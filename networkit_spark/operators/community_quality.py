@@ -1,0 +1,155 @@
+"""Partition quality measures and clustering tools (module ``community/``).
+
+- ``modularity``: coverage − expected coverage
+  (``community/Modularity.cpp:25-85``). Cluster volume = Σ weightedDegree
+  with self-loop weight counted TWICE (``:45-52``); expected coverage =
+  Σ (vol_c / 2m')² with 2m' = total volume (``:60-64``).
+- ``coverage``: intra-cluster edge-weight fraction (``community/Coverage.cpp``).
+- ``edge_cut``: total weight of inter-cluster edges.
+- ``num_subsets`` / ``compact_labels`` / ``subset_sizes``: the Partition
+  accessor family (``structures/Partition.hpp:147-308``).
+- ``equal_clusterings``: equality up to relabeling via bidirectional
+  label-functional check (``GraphClusteringTools.cpp:99-115``) — the
+  reference's own parity oracle for CC/PLP.
+- ``coarsen``: ParallelPartitionCoarsening (``coarsening/
+  ParallelPartitionCoarsening.cpp``): contract the graph by a partition —
+  one join-groupBy; the building block for Louvain-style recursion.
+
+All are one or two join-aggregations over the edge table — Catalyst
+broadcasts the label map when it fits, sort-merge joins otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _labeled_edges(g: Graph, labels: DataFrame) -> DataFrame:
+    """Edges with both endpoint labels attached: (src, dst, weight, lu, lv)."""
+    return (
+        g.edges.join(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("lu")), "src"
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("lv")), "dst"
+        )
+    )
+
+
+def coverage(g: Graph, labels: DataFrame) -> float:
+    """Fraction of edge weight that is intra-cluster."""
+    e = _labeled_edges(g, labels)
+    row = e.agg(
+        F.sum(
+            F.when(F.col("lu") == F.col("lv"), F.col("weight")).otherwise(0.0)
+        ).alias("intra"),
+        F.sum("weight").alias("total"),
+    ).collect()[0]
+    return (row["intra"] or 0.0) / row["total"] if row["total"] else 0.0
+
+
+def modularity(g: Graph, labels: DataFrame) -> float:
+    """Modularity.getQuality (``Modularity.cpp:25-85``)."""
+    e = _labeled_edges(g, labels)
+    # intra-cluster weight & total weight in NetworKit convention
+    # (undirected storage holds both orientations; self-loop rows once).
+    # coverage denominator = total edge weight counted once per edge.
+    agg = e.agg(
+        F.sum(
+            F.when(
+                F.col("lu") == F.col("lv"),
+                F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(
+                    F.col("weight") / 2.0
+                ),
+            ).otherwise(0.0)
+        ).alias("intra"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(
+                F.col("weight") / 2.0
+            )
+        ).alias("total"),
+    ).collect()[0]
+    total = agg["total"] or 0.0
+    if total == 0.0:
+        return 0.0
+    cov = (agg["intra"] or 0.0) / total
+    # cluster volumes: Σ wdeg(v) + extra self-loop weight (counted twice;
+    # wdeg already includes the loop once — Modularity.cpp:45-52)
+    loops = g.edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("weight").alias("loop_w")
+    )
+    vol = (
+        g.degrees()
+        .join(loops.groupBy("id").agg(F.sum("loop_w").alias("loop_w")), "id", "left")
+        .select(
+            "id",
+            (F.col("wdeg") + F.coalesce(F.col("loop_w"), F.lit(0.0))).alias("vol"),
+            )
+        .join(labels.withColumnRenamed("node", "id"), "id")
+        .groupBy("label")
+        .agg(F.sum("vol").alias("cvol"))
+    )
+    total_vol = 2.0 * total
+    exp_cov = (
+        vol.agg(F.sum(F.pow(F.col("cvol") / F.lit(total_vol), 2))).collect()[0][0]
+        or 0.0
+    )
+    return cov - exp_cov
+
+
+def edge_cut(g: Graph, labels: DataFrame) -> float:
+    """Total weight of inter-cluster edges (``community/EdgeCut.cpp``),
+    each undirected edge counted once."""
+    e = _labeled_edges(g, labels)
+    row = e.filter(F.col("lu") != F.col("lv")).agg(
+        F.sum(F.col("weight") / (F.lit(1.0) if g.directed else F.lit(2.0)))
+    ).collect()[0]
+    return row[0] or 0.0
+
+
+def num_subsets(labels: DataFrame) -> int:
+    """Partition::numberOfSubsets (``Partition.hpp:252``)."""
+    return labels.select(F.countDistinct("label")).collect()[0][0]
+
+
+def subset_sizes(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+def compact_labels(labels: DataFrame) -> DataFrame:
+    """Partition::compact (``Partition.hpp:192``): relabel to 0..k-1 in
+    ascending order of the old label id."""
+    w = Window.orderBy("label")
+    remap = (
+        labels.select("label")
+        .distinct()
+        .withColumn("new_label", (F.dense_rank().over(w) - 1).cast("long"))
+    )
+    return labels.join(remap, "label").select(
+        "node", F.col("new_label").alias("label")
+    )
+
+
+def equal_clusterings(a: DataFrame, b: DataFrame) -> bool:
+    """GraphClusteringTools::equalClusterings (``:99-115``): partitions are
+    equal iff the label maps are bijective images of each other."""
+    j = a.withColumnRenamed("label", "la").join(
+        b.withColumnRenamed("label", "lb"), "node"
+    )
+    bad_a = j.groupBy("la").agg(F.countDistinct("lb").alias("k")).filter("k > 1").count()
+    bad_b = j.groupBy("lb").agg(F.countDistinct("la").alias("k")).filter("k > 1").count()
+    return bad_a == 0 and bad_b == 0
+
+
+def coarsen(g: Graph, labels: DataFrame) -> Graph:
+    """Contract g by a partition: supernode per label, edge weights summed
+    (``coarsening/ParallelPartitionCoarsening.cpp``). Self-loops keep
+    intra-cluster weight."""
+    e = _labeled_edges(g, labels).groupBy(
+        F.col("lu").alias("src"), F.col("lv").alias("dst")
+    ).agg(F.sum("weight").alias("weight"))
+    nodes = labels.select(F.col("label").alias("id")).distinct()
+    return Graph(nodes=nodes, edges=e, directed=g.directed, weighted=True)

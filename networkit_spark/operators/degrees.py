@@ -1,0 +1,40 @@
+"""Degree centrality (``centrality/DegreeCentrality.cpp:15-48``).
+
+Semantics: score(v) = degree(v); by DEFAULT self-loops are ignored
+(``DegreeCentrality.cpp:12`` default ``ignoreSelfLoops=true`` subtracts the
+loop; golden fixture ``test_centrality.py:10-28`` expects [2,1,4,2,2,5,1,1]
+on the 8-node self-loop graph). ``normalized`` divides by the maximum
+possible degree: n−1 when ignoring loops, n otherwise
+(``DegreeCentrality.cpp:41-49``). ``in_degree=True`` counts in-degree on
+directed graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def degree_centrality(
+    g: Graph,
+    in_degree: bool = False,
+    normalized: bool = False,
+    ignore_self_loops: bool = True,
+) -> DataFrame:
+    """(id, score DOUBLE) for every node."""
+    edges = g.edges
+    if ignore_self_loops:
+        edges = edges.filter(F.col("src") != F.col("dst"))
+    key = "dst" if in_degree else "src"
+    d = edges.groupBy(F.col(key).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    out = g.nodes.join(d, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).cast("double").alias("score")
+    )
+    if normalized:
+        n = g.num_nodes()
+        max_deg = float(n - 1 if ignore_self_loops else n)
+        if max_deg > 0:
+            out = out.select("id", (F.col("score") / F.lit(max_deg)).alias("score"))
+    return out

@@ -1,0 +1,145 @@
+"""PageRank — parity target #1.
+
+Matches NetworKit ``centrality/PageRank.cpp:20-104`` exactly:
+
+- init ``score[u] = 1/n``; divisor is the weighted OUT-degree
+  (``PageRank.cpp:26-30``);
+- superstep: ``pr[u] = (1-damp)/n + damp * Σ_{(v,u)∈E} score[v]·w(v,u)/wdeg(v)``
+  — a gather over IN-edges (``PageRank.cpp:56-66``);
+- NO per-step dangling-mass redistribution: mass leaks each superstep and
+  is fixed only by the final normalization (``PageRank.cpp:75-80``);
+- convergence on PRE-normalization values: ``‖new−old‖ ≤ tol`` in L2
+  (default) or L1 (``PageRank.cpp:41-51,68-71``; defaults
+  ``PageRank.hpp:40,64-67``: damp=0.85, tol=1e-8, maxIterations=∞);
+- ``normalized=True`` divides by ``(1/n)·((1-damp) + damp·Σ_{wdeg(u)=0} score[u])``
+  instead of by the sum (``PageRank.cpp:82-91``).
+
+Spark plan per superstep (pure pyspark.sql — distributed SpMV):
+    contribs = edges_with_deg ⋈ scores on src      (big ⋈ small)
+    gathered = contribs.groupBy(dst).sum            (map-side partial agg
+                                                     absorbs hub-dst skew)
+    new      = nodes left⋈ gathered → teleport + damp·sum
+    delta    = new ⋈ old → agg(Σ|diff|ᵖ)            (one collect per step)
+
+Scale notes: ``edges_with_deg`` is materialized ONCE (edge table joined to
+the out-degree vector, repartitioned by src, cached) — supersteps then
+shuffle only |V|-sized score vectors, and AQE skew-join splitting covers
+power-law src hubs. Lineage is truncated per superstep via SuperstepRunner
+(checkpoint + resume, metrics per superstep).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+@dataclass
+class PageRankResult:
+    scores: DataFrame  # (id LONG, score DOUBLE)
+    iterations: int
+    converged: bool
+
+
+def pagerank(
+    g: Graph,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    normalized: bool = False,
+    norm: str = "l2",
+    max_iterations: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> PageRankResult:
+    """Run NetworKit-semantics PageRank over ``g``; see module docstring."""
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    n = g.num_nodes()
+    if n == 0:
+        return PageRankResult(g.nodes.withColumn("score", F.lit(0.0)), 0, True)
+    teleport = (1.0 - damp) / n
+    max_iterations = max_iterations if max_iterations is not None else 1 << 30
+
+    # gather relation: IN-edge list with the sender's weighted out-degree
+    # attached once up front. For undirected graphs g.edges already holds
+    # both orientations, so "incoming" == rows grouped by dst.
+    degrees = g.degrees().select("id", "wdeg")
+    edges_deg = (
+        g.edges.join(degrees.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+        .repartition("src")
+        .cache()
+    )
+    edges_deg.count()  # materialize once; supersteps reuse this layout
+
+    nodes = g.nodes.cache()
+
+    # resume support: pick up the latest durably-checkpointed superstep
+    start = 0
+    resumed = runner.latest_complete()
+    if resumed is not None:
+        start, scores = resumed
+        scores = scores.select("id", "score")
+    else:
+        scores = nodes.withColumn("score", F.lit(1.0 / n))
+    scores = scores.localCheckpoint(eager=True)
+
+    iterations = start
+    converged = False
+    import time
+
+    while iterations < max_iterations:
+        t0 = time.monotonic()
+        gathered = (
+            edges_deg.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("score")).alias("gather"))
+        )
+        new_scores = (
+            nodes.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damp) * F.coalesce(F.col("gather"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+        iterations += 1
+        new_scores = runner.persist_step(new_scores, iterations)
+
+        # convergence on pre-normalization values (PageRank.cpp:68-71)
+        diff = new_scores.withColumnRenamed("score", "new").join(
+            scores.withColumnRenamed("score", "old"), "id"
+        )
+        if norm == "l1":
+            delta = diff.agg(F.sum(F.abs(F.col("new") - F.col("old")))).collect()[0][0]
+        else:
+            delta = math.sqrt(
+                diff.agg(F.sum(F.pow(F.col("new") - F.col("old"), 2))).collect()[0][0]
+            )
+        scores = new_scores
+        runner.record(iterations, delta=delta, step_s=round(time.monotonic() - t0, 4))
+        if delta <= tol:
+            converged = True
+            break
+
+    # end-only normalization (PageRank.cpp:75-91)
+    if normalized:
+        dangling_sum = (
+            scores.join(degrees, "id")
+            .filter(F.col("wdeg") == 0.0)
+            .agg(F.sum("score"))
+            .collect()[0][0]
+            or 0.0
+        )
+        factor = (1.0 / n) * ((1.0 - damp) + damp * dangling_sum)
+    else:
+        factor = scores.agg(F.sum("score")).collect()[0][0] or 1.0
+    out = scores.select("id", (F.col("score") / F.lit(factor)).alias("score"))
+    return PageRankResult(scores=out, iterations=iterations, converged=converged)

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k neighbors for a set of query
+  vectors — ``F.zip_with`` dot product + norms, all JVM-side. The join is
+  queries × corpus: broadcast the (small) query side; at 100 TB corpus
+  scale this is one scan of the corpus per query batch, embarrassingly
+  parallel, no shuffle except the per-query top-k windows.
+- ``ivf_topk``: IVF-style two-stage ANN: a deterministic coarse quantizer
+  (every ``stride``-th vector is a centroid), vectors assigned to their
+  nearest centroid (one corpus scan), queries probe the ``nprobe`` nearest
+  centroids and rank only those buckets — the scale path: the candidate
+  set shrinks by ~|centroids|/nprobe.
+
+Ties and float determinism: ranking sorts by (cosine rounded to 1e-6 desc,
+neighbor id asc), so results are stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact top-k by cosine.
+
+    ``queries`` shape = ``corpus`` shape; a query is never its own
+    neighbor. Ranking key: round(cosine, 6) desc, neighbor id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    stride: int = 20,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k (same output schema as cosine_topk).
+
+    Centroids: vectors with id % stride == 0 (deterministic coarse
+    quantizer — at scale, swap in k-means centroids; the plan shape is
+    identical). Assignment + probing both reuse the exact-cosine ranking.
+    """
+    cent = corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # assign each corpus vector to its nearest centroid (broadcast centroids)
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "cv",
+            "cent_id",
+            F.round(_cosine(F.col("cv"), F.col("cent_v")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "cent_id")
+    )
+    # queries probe their nprobe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cent_id",
+            F.round(_cosine(F.col("qv"), F.col("cent_v")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets 1000-executor clusters over ~100 TB of Iceberg data;
+locally we run ``local[N]``. The session defaults below are the ones that
+matter at both scales:
+
+- AQE on (runtime coalescing + skew-join splitting — our hub-vertex
+  defense for the big ``edges × scores`` joins),
+- Arrow on (every pandas UDF crosses JVM↔Python in columnar batches),
+- broadcast threshold left at default so Catalyst broadcasts the small
+  per-node score/degree vectors in CI-scale runs; at cluster scale the
+  same plans degrade gracefully to sort-merge joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "networkit-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession configured for iterative graph jobs."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else max(os.cpu_count() or 8, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative kernels build long lineage chains; they checkpoint via
+        # plans.superstep — keep retained jobs small for driver memory
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

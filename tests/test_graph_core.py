@@ -1,0 +1,70 @@
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.ids import compact_graph, remap_edges
+from networkit_spark.operators.degrees import degree_centrality
+
+from tests.fixtures import G8DEG_EDGES, G8DEG_N, G8DEG_SCORES, G8W_EDGES, G8W_N
+
+
+def test_degree_centrality_selfloop_golden(spark):
+    """test_centrality.py:10-28 golden: self-loop counts once."""
+    g = Graph.of(spark, G8DEG_EDGES, n=G8DEG_N)
+    got = {r["id"]: r["score"] for r in degree_centrality(g).collect()}
+    assert [int(got[i]) for i in range(G8DEG_N)] == G8DEG_SCORES
+
+
+def test_counts_and_weights(spark):
+    g = Graph.of(spark, G8W_EDGES, n=G8W_N, weighted=True)
+    assert g.num_nodes() == 8
+    assert g.num_edges() == 9
+    assert g.num_self_loops() == 0
+    assert g.total_edge_weight() == pytest.approx(sum(w for _, _, w in G8W_EDGES))
+
+
+def test_selfloop_counting(spark):
+    g = Graph.of(spark, [(0, 0), (0, 1)], n=2)
+    assert g.num_edges() == 2
+    assert g.num_self_loops() == 1
+    assert g.total_edge_weight() == pytest.approx(2.0)
+
+
+def test_degrees_weighted_out(spark):
+    """weightedDegree = weighted OUT-degree (Graph.cpp:540-544)."""
+    g = Graph.of(spark, [(0, 1, 2.0), (0, 2, 3.0), (2, 1, 1.0)], n=3,
+                 directed=True, weighted=True)
+    d = {r["id"]: (r["deg"], r["wdeg"]) for r in g.degrees().collect()}
+    assert d[0] == (2, 5.0)
+    assert d[1] == (0, 0.0)
+    assert d[2] == (1, 1.0)
+    ind = {r["id"]: r["in_deg"] for r in g.in_degrees().collect()}
+    assert ind == {0: 0, 1: 2, 2: 1}
+
+
+def test_transforms(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=4, directed=True)
+    t = g.transpose()
+    assert {(r["src"], r["dst"]) for r in t.edges.collect()} == {(1, 0), (2, 1)}
+    u = g.to_undirected()
+    assert u.num_edges() == 2 and not u.directed
+    assert g.density() == pytest.approx(2 / 12)
+
+
+def test_subgraph_from_nodes(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], n=4)
+    sub = g.subgraph_from_nodes(g.nodes.filter("id < 3"))
+    assert sub.num_nodes() == 3
+    assert sub.num_edges() == 2  # (0,1) and (1,2)
+
+
+def test_remap_and_compact(spark):
+    e = spark.createDataFrame(
+        [(100, 7), (7, 2000), (2000, 100)], "src long, dst long"
+    )
+    remapped, mapping = remap_edges(e)
+    ids = {r["id"] for r in mapping.collect()}
+    assert ids == {0, 1, 2}
+    g = Graph.of(spark, [(5, 9), (9, 12)], directed=False)
+    c = compact_graph(g)
+    assert {r["id"] for r in c.nodes.collect()} == {0, 1, 2}
+    assert c.num_edges() == 2
