@@ -1,38 +1,642 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: PageRank over the part co-occurrence graph
+derived from sf0.001 lineitem.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2). The graph kernels run over a deterministic edge table
+derived from ``lineitem``: two parts are linked iff they appear in the
+same order (canonical ``src < dst``, deduped) — computable identically in
+Spark and DuckDB, so even the iterative kernels (PageRank, connected
+components) have exact SQL oracles via recursive CTEs. Float-valued
+results are rounded to 6 decimals ON BOTH SIDES so cross-engine
+summation-order noise (~1e-15) can't flip the value hash.
+
+Non-SQL-expressible entries (synchronous PLP label propagation, k-core)
+have no oracle → the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.porthash import DEFAULT_PRIME, md5_mod_sql
+from networkit_spark.graph import Graph
+
+# --------------------------------------------------------------------------
+# shared graph derivation: part co-occurrence graph from lineitem
+# --------------------------------------------------------------------------
+
+# DuckDB-side canonical edge table (src < dst, distinct)
+CO_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+# symmetrized (both orientations) + node set + degree table, reused below
+GRAPH_PRELUDE_SQL = f"""
+  e0 AS ({CO_EDGES_SQL}),
+  edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+  nodes AS (SELECT DISTINCT src AS id FROM edges),
+  deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def _co_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Part co-occurrence graph: undirected, unweighted, nodes = endpoints."""
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return Graph.from_edges(e, directed=False)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _scalar_df(spark: SparkSession, name: str, value: float) -> DataFrame:
+    return spark.createDataFrame([(float(value),)], f"{name} double")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """PageRank ranking over the sf0.001 part co-occurrence graph."""
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.operators.ranking import ranking
 
+    g = _co_graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, damp=0.85, tol=1e-8)
+    scores = res.scores.select("id", F.round("score", 8).alias("score"))
+    return ranking(scores)
+
+
+# --------------------------------------------------------------------------
+# graph kernel queries
+# --------------------------------------------------------------------------
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _co_graph(spark, sf_dir)
+    return g.degrees().select("id", "deg")
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 15 power-iteration supersteps then sum-normalize (the
+    NetworKit end-only normalization, PageRank.cpp:75-80)."""
+    from networkit_spark.operators.pagerank import pagerank
+
+    g = _co_graph(spark, sf_dir)
+    res = pagerank(g, damp=0.85, tol=0.0, max_iterations=15)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components, canonical labels = min node id per component."""
+    from networkit_spark.operators.components import connected_components
+
+    g = _co_graph(spark, sf_dir)
+    return connected_components(g)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_count_per_node
+
+    return triangle_count_per_node(_co_graph(spark, sf_dir))
+
+
+def q_graph_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import total_triangles
+
+    n = total_triangles(_co_graph(spark, sf_dir))
+    return spark.createDataFrame([(int(n),)], "total_triangles long")
+
+
+def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import local_clustering_coefficient
+
+    lcc = local_clustering_coefficient(_co_graph(spark, sf_dir))
+    return lcc.select("id", F.round("lcc", 6).alias("lcc"))
+
+
+def q_graph_global_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import global_clustering_coefficient
+
+    v = global_clustering_coefficient(_co_graph(spark, sf_dir))
+    return _scalar_df(spark, "global_cc", round(v, 6))
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the trivial partition label = id % 10 (SQL-expressible
+    so the quality measure itself is oracle-checked)."""
+    from networkit_spark.operators.community_quality import modularity
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    return _scalar_df(spark, "modularity", round(modularity(g, labels), 6))
+
+
+def q_graph_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.community_quality import edge_cut
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    return _scalar_df(spark, "cut_weight", round(edge_cut(g, labels), 6))
+
+
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelPartitionCoarsening by label = id % 10: contracted edges."""
+    from networkit_spark.operators.community_quality import coarsen
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    cg = coarsen(g, labels)
+    return cg.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_graph_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous PLP (deterministic, 20 supersteps cap) — no SQL oracle."""
+    from networkit_spark.operators.plp import plp
+
+    g = _co_graph(spark, sf_dir)
+    return plp(g, max_iterations=20).labels
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries: dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir), bits=60).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries: text analysis
+# --------------------------------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.text import language_id
+
+    out = language_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.text import quality_scores
+
+    out = quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), shingle_n=4)
+
+
+def q_ingest_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content-hash invariant (BASELINE.json input_hint)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return cosine_topk(embs, queries, k=5)
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.pipeline.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, k=5, stride=20, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+# events (windowed aggregation)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event type (timezone-proof: the
+    bucket is epoch-seconds // 3600, identical in both engines)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            (F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_degree": q_graph_degree,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "graph_triangles": q_graph_triangles,
+        "graph_triangle_total": q_graph_triangle_total,
+        "graph_lcc": q_graph_lcc,
+        "graph_global_cc": q_graph_global_cc,
+        "graph_modularity": q_graph_modularity,
+        "graph_edge_cut": q_graph_edge_cut,
+        "graph_coarsen": q_graph_coarsen,
+        "graph_plp": q_graph_plp,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "ingest_sha256": q_ingest_sha256,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# shared text prelude: tokens / shingles (3-gram), mirroring pipeline.dedup
+_TOKS_SQL = """
+  toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents
+  )
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+  sh AS (
+    SELECT DISTINCT doc_id, {parts} AS s
+    FROM toks, UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS u(i)
+  )
+"""
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "no", "es", "en", "un", "por"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh = [md5_mod_sql("s", salt=f"mh{i}:") for i in range(16)]
+    band_keys = [
+        " || '_' || ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+        for b in range(4)
+    ]
+    all_sw = _sql_list([w for ws in _STOPWORDS.values() for w in ws])
+
+    return {
+        "graph_degree": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT id, deg FROM deg
+""",
+        "graph_pagerank": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr(iter, node, score) AS (
+  SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT iter + 1, dst,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(score / wdeg)
+  FROM (SELECT pr.iter, e.dst, pr.score, d.deg::DOUBLE AS wdeg
+        FROM pr JOIN edges e ON pr.node = e.src JOIN deg d ON pr.node = d.id
+        WHERE pr.iter < 15) sub
+  GROUP BY iter + 1, dst
+),
+final AS (SELECT node AS id, score FROM pr WHERE iter = 15)
+SELECT id, round(score / (SELECT sum(score) FROM final), 6) AS score FROM final
+""",
+        "graph_components": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+cc(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+  WHERE cc.label < e.dst
+)
+SELECT node, min(label) AS label FROM cc GROUP BY node
+""",
+        "graph_triangles": f"""
+WITH {GRAPH_PRELUDE_SQL},
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+  JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT n.id, coalesce(c.triangles, 0) AS triangles
+FROM nodes n LEFT JOIN cnt c ON n.id = c.id
+""",
+        "graph_triangle_total": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT count(*) AS total_triangles
+FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+""",
+        "graph_lcc": f"""
+WITH {GRAPH_PRELUDE_SQL},
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+  JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT n.id,
+       CASE WHEN coalesce(d.deg, 0) >= 2
+            THEN round(2.0 * coalesce(c.triangles, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM nodes n LEFT JOIN cnt c ON n.id = c.id LEFT JOIN deg d ON n.id = d.id
+""",
+        "graph_global_cc": f"""
+WITH {GRAPH_PRELUDE_SQL},
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+  JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+SELECT round(2.0 * (SELECT coalesce(sum(triangles), 0) FROM cnt)
+             / (SELECT sum(deg * (deg - 1)) FROM deg), 6) AS global_cc
+""",
+        "graph_modularity": f"""
+WITH {GRAPH_PRELUDE_SQL},
+m AS (SELECT count(*)::DOUBLE AS m FROM e0),
+intra AS (SELECT count(*)::DOUBLE AS c FROM e0 WHERE src % 10 = dst % 10),
+vols AS (SELECT id % 10 AS label, sum(deg)::DOUBLE AS cvol FROM deg GROUP BY 1)
+SELECT round((SELECT c FROM intra) / (SELECT m FROM m)
+             - (SELECT sum(pow(cvol / (2 * (SELECT m FROM m)), 2)) FROM vols),
+             6) AS modularity
+""",
+        "graph_edge_cut": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT round(count(*)::DOUBLE, 6) AS cut_weight FROM e0 WHERE src % 10 <> dst % 10
+""",
+        "graph_coarsen": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT src % 10 AS src, dst % 10 AS dst, round(count(*)::DOUBLE, 6) AS weight
+FROM edges GROUP BY 1, 2
+""",
+        # graph_plp: no SQL oracle (iterative label propagation w/ window
+        # tie-breaks is not expressible in DuckDB recursive CTEs)
+        "dedup_exact": """
+SELECT sha256(text) AS digest, count(*) AS group_size, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_TOKS_SQL}, {_shingle_sql(3)},
+sig AS (
+  SELECT doc_id, {", ".join(f"min({mh[i]}) AS h{i}" for i in range(16))}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {band_keys[b]} AS key FROM sig" for b in range(4))}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS bands_shared
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        "dedup_simhash": f"""
+WITH {_TOKS_SQL},
+tok AS (
+  SELECT doc_id, u.t AS t, count(*) AS cnt
+  FROM toks, UNNEST(t) AS u(t) GROUP BY doc_id, u.t
+),
+hashed AS (SELECT doc_id, cnt, {md5_mod_sql("t", salt="sh:", prime=(1 << 61) - 1)} AS th FROM tok),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (th >> b.b) % 2 = 1 THEN cnt ELSE -cnt END) AS v
+  FROM hashed, (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+""",
+        "dedup_jaccard": f"""
+WITH {_TOKS_SQL}, {_shingle_sql(3)},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common::DOUBLE / (x.sz + y.sz - common), 6) AS jaccard
+FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE common::DOUBLE / (x.sz + y.sz - common) >= 0.5
+""",
+        "text_tokens": r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> ''))::BIGINT AS n_words,
+       length(text)::BIGINT AS n_chars
+FROM documents
+""",
+        "text_langid": f"""
+WITH {_TOKS_SQL},
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM ({" UNION ALL ".join(f"SELECT doc_id, '{lang}' AS lang, len(list_filter(t, x -> list_contains([{_sql_list(ws)}], x)))::DOUBLE / greatest(len(t), 1) AS score FROM toks" for lang, ws in sorted(_STOPWORDS.items()))})
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 6) AS lang_score
+FROM ranked WHERE rn = 1
+""",
+        "text_quality": rf"""
+WITH {_TOKS_SQL},
+base AS (
+  SELECT d.doc_id, t,
+         greatest(len(t), 1) AS n_toks,
+         greatest(length(text), 1) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+         len(list_filter(t, x -> list_contains([{all_sw}], x))) AS sw_hits
+  FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+),
+r AS (
+  SELECT doc_id,
+         list_sum(list_transform(t, x -> length(x)))::DOUBLE / n_toks AS mean_word_len,
+         punct::DOUBLE / n_chars AS punct_ratio,
+         sw_hits::DOUBLE / n_toks AS stopword_ratio,
+         alpha::DOUBLE / n_chars AS alpha_ratio
+  FROM base
+)
+SELECT doc_id,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(least(stopword_ratio * 4, 1.0) * 0.4
+             + least(alpha_ratio * 1.25, 1.0) * 0.4
+             + (1 - least(punct_ratio * 5, 1.0)) * 0.2, 6) AS quality
+FROM r
+""",
+        "text_fingerprint": f"""
+WITH {_TOKS_SQL}, {_shingle_sql(4)},
+fp AS (SELECT doc_id, min({md5_mod_sql("s", salt="fp:")}) AS fingerprint FROM sh GROUP BY doc_id)
+SELECT d.doc_id, fp.fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+        "ingest_sha256": """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        "sim_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "sim_ivf_topk": """
+WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_v FROM embeddings WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+asg AS (
+  SELECT neighbor_id, cv, cent_id,
+         row_number() OVER (PARTITION BY neighbor_id
+           ORDER BY round(list_dot_product(cv, cent_v)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cent_v, cent_v))), 6) DESC,
+           cent_id ASC) AS rn
+  FROM c CROSS JOIN cent
+),
+assigned AS (SELECT neighbor_id, cv, cent_id FROM asg WHERE rn = 1),
+prb AS (
+  SELECT query_id, qv, cent_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(list_dot_product(qv, cent_v)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent_v, cent_v))), 6) DESC,
+           cent_id ASC) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT query_id, qv, cent_id FROM prb WHERE rn <= 3),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM probes JOIN assigned USING (cent_id)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "events_hourly": """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    }

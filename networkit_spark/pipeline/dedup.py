@@ -179,7 +179,7 @@ def simhash_signatures(
     ).select(
         "id",
         "b",
-        F.when(F.shiftright(F.col("th"), F.col("b").cast("int")) % 2 == 1, F.col("cnt"))
+        F.when(F.expr("shiftright(th, CAST(b AS INT)) % 2 = 1"), F.col("cnt"))
         .otherwise(-F.col("cnt"))
         .alias("vote"),
     )
@@ -189,9 +189,10 @@ def simhash_signatures(
         .groupBy("id")
         .agg(
             F.sum(
-                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int"))).otherwise(
-                    F.lit(0).cast("long")
-                )
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
     )

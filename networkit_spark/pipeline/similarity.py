@@ -22,14 +22,17 @@ from pyspark.sql import functions as F
 
 
 def _cosine(a, b):
+    # cast each element to double BEFORE multiplying: float32 products
+    # round differently and break cross-engine value parity at 1e-6
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
-    return dot / (na * nb)
+    sq = lambda u: F.aggregate(  # noqa: E731
+        u, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
 
 
 def cosine_topk(
