@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line with per-query wall
+seconds plus PageRank superstep throughput (edges/sec per superstep —
+the BASELINE.md metric, edges/s = m / elapsed per
+/root/reference/benchmark/Benchmark.py:303).
+
+Usage: python bench.py            # sf0.1, local[32]
+       SPARK_GRAFT_CPUS=8 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _co_graph, _docs, _embs
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.operators.plp import plp
+    from networkit_spark.operators.triangles import total_triangles
+    from networkit_spark.pipeline.dedup import minhash_lsh_candidates
+    from networkit_spark.pipeline.similarity import cosine_topk
+    from networkit_spark.pipeline.text import quality_scores
+    from networkit_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        return out
+
+    # graph load: derive co-occurrence edges, symmetrize, cache
+    def load():
+        g = _co_graph(spark, sf_dir).cache()
+        return g, g.edges.count()
+
+    g, m_sym = timed("load_graph", load)
+    m = m_sym // 2  # canonical undirected edge count (no self-loops here)
+    extras["edges"] = m
+    extras["nodes"] = g.num_nodes()
+
+    pr = timed("pagerank", lambda: pagerank(g, damp=0.85, tol=1e-6))
+    extras["pagerank_iterations"] = pr.iterations
+    extras["pagerank_converged"] = pr.converged
+    # edges/sec per superstep over the symmetrized gather relation
+    extras["pagerank_edges_per_sec_per_superstep"] = round(
+        m_sym * pr.iterations / timings["pagerank"]
+    )
+
+    timed("components", lambda: connected_components(g).count())
+    res = timed("plp", lambda: plp(g, max_iterations=10))
+    extras["plp_iterations"] = res.iterations
+    extras["triangles"] = timed("triangles", lambda: total_triangles(g))
+
+    docs = _docs(spark, sf_dir).cache()
+    docs.count()
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
+    timed("text_quality", lambda: quality_scores(docs).count())
+
+    embs = _embs(spark, sf_dir).cache()
+    embs.count()
+    timed(
+        "sim_cosine_topk",
+        lambda: cosine_topk(embs, embs.filter(F.col("vec_id") < 10), k=5).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "wall_seconds_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

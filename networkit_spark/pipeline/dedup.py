@@ -32,6 +32,18 @@ from networkit_spark.functions.porthash import md5_mod
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism before an
+    explode-heavy stage. Small parquet inputs arrive as 1-2 partitions (one
+    row group), which would serialize the shingle/hash work onto one task;
+    at real scale inputs already have ≥ parallelism partitions and this is
+    a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(col):
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
 
@@ -73,7 +85,7 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: only docs sharing ≥1 shingle are compared.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -107,7 +119,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}): MinHash signature per doc via k salted portable
     hashes. Docs with no shingles get NULL mins (filtered by callers)."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     aggs = [
@@ -166,7 +178,7 @@ def simhash_signatures(
     on doc-sized keys; the 64× bit blowup stays columnar.
     """
     tok = (
-        docs.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+        _spread(docs).select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("th", md5_mod(F.col("t"), salt="sh:", prime=(1 << 61) - 1))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.functions.porthash import md5_mod
-from networkit_spark.pipeline.dedup import TOKEN_SPLIT, _shingles, _tokens
+from networkit_spark.pipeline.dedup import TOKEN_SPLIT, _shingles, _spread, _tokens
 
 # tiny embedded stopword lists — a deterministic n-gram-free heuristic
 STOPWORDS = {
@@ -109,7 +109,7 @@ def doc_fingerprint(
     """(id, fingerprint): min portable-hash over word k-grams — a
     winnowing-style rolling fingerprint that is stable under whitespace
     and case changes."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col), F.explode_outer(_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     return sh.groupBy(id_col).agg(
