@@ -177,6 +177,81 @@ def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cg.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
 
 
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, fixed 10 iterations, α = 1/(1+maxDegree), β=0.1
+    (KatzCentrality.cpp:15-17,28-75)."""
+    from networkit_spark.operators.spectral import katz_centrality
+
+    g = _co_graph(spark, sf_dir)
+    res = katz_centrality(g, beta=0.1, tol=0.0, max_iterations=10)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, fixed 10 power-iteration steps
+    (EigenvectorCentrality.cpp:21-67). Per-step L2 normalization only
+    rescales, so the SQL oracle runs the unnormalized recurrence and
+    normalizes once at the end — mathematically identical."""
+    from networkit_spark.operators.spectral import eigenvector_centrality
+
+    g = _co_graph(spark, sf_dir)
+    res = eigenvector_centrality(g, tol=0.0, max_iterations=10)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition (k-core peeling) — iterative deletion is not
+    SQL-expressible; rows-only check."""
+    from networkit_spark.operators.kcore import core_decomposition
+
+    return core_decomposition(_co_graph(spark, sf_dir))
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from node 0 (distance/BFS.cpp semantics:
+    unreachable nodes absent)."""
+    from networkit_spark.operators.traversal import bfs
+
+    return bfs(_co_graph(spark, sf_dir), source=0)
+
+
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link-prediction indices (Adamic-Adar, Jaccard,
+    resource allocation) on the subgraph induced by nodes < 200 —
+    restricted so the all-pairs output stays comparison-sized."""
+    from networkit_spark.operators.linkprediction import common_neighbor_scores
+
+    g = _co_graph(spark, sf_dir)
+    sub = g.subgraph_from_nodes(spark.range(200).select("id"))
+    out = common_neighbor_scores(sub)
+    return out.select(
+        "u",
+        "v",
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_alloc", 6).alias("resource_alloc"),
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson r of endpoint degrees over edge
+    slots) — correlation/Assortativity.cpp semantics."""
+    from networkit_spark.operators.linkprediction import degree_assortativity
+
+    v = degree_assortativity(_co_graph(spark, sf_dir))
+    return _scalar_df(spark, "assortativity", round(v, 6))
+
+
+def q_graph_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-similarity edge scores (sparsification backbone) — the
+    per-edge score table itself, rounded."""
+    from networkit_spark.operators.sparsification import jaccard_similarity_scores
+
+    out = jaccard_similarity_scores(_co_graph(spark, sf_dir))
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
 def q_graph_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous PLP (deterministic, 20 supersteps cap) — no SQL oracle."""
     from networkit_spark.operators.plp import plp
@@ -281,6 +356,32 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal plumbing (binary payload columns; decode stubbed)
+# --------------------------------------------------------------------------
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media metadata over binary payload columns: the Spark-side
+    plumbing (schema, utf-8 payload synthesis) is real; n_bytes comes from
+    the binary column."""
+    from networkit_spark.pipeline.multimodal import attach_binary_payload
+
+    media = attach_binary_payload(_docs(spark, sf_dir))
+    return media.select(
+        "media_id", "modality", "mime", F.octet_length("payload").alias("n_bytes")
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (Arrow-batched mapInPandas; decoder stubbed as
+    deterministic byte slices — documents are ASCII so the SQL oracle's
+    string slices hash identically)."""
+    from networkit_spark.pipeline.multimodal import attach_binary_payload, frame_sample
+
+    media = attach_binary_payload(_docs(spark, sf_dir))
+    return frame_sample(media, every_ms=1000)
+
+
+# --------------------------------------------------------------------------
 # events (windowed aggregation)
 # --------------------------------------------------------------------------
 
@@ -316,6 +417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_edge_cut": q_graph_edge_cut,
         "graph_coarsen": q_graph_coarsen,
+        "graph_katz": q_graph_katz,
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_kcore": q_graph_kcore,
+        "graph_bfs": q_graph_bfs,
+        "graph_linkpred": q_graph_linkpred,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_sparsify": q_graph_sparsify,
         "graph_plp": q_graph_plp,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -328,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_sha256": q_ingest_sha256,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "mm_media_meta": q_mm_media_meta,
+        "mm_frame_sample": q_mm_frame_sample,
         "events_hourly": q_events_hourly,
     }
 
@@ -476,6 +586,103 @@ SELECT round(count(*)::DOUBLE, 6) AS cut_weight FROM e0 WHERE src % 10 <> dst % 
 WITH {GRAPH_PRELUDE_SQL}
 SELECT src % 10 AS src, dst % 10 AS dst, round(count(*)::DOUBLE, 6) AS weight
 FROM edges GROUP BY 1, 2
+""",
+        "graph_katz": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+alpha AS (SELECT CAST(1.0 AS DOUBLE) / (1 + max(deg)) AS a FROM deg),
+kz(iter, node, score) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+  UNION ALL
+  SELECT iter + 1, src,
+         CAST(0.1 AS DOUBLE) + (SELECT a FROM alpha) * sum(CAST(1.0 AS DOUBLE) + score)
+  FROM (SELECT kz.iter, e.src, kz.score
+        FROM kz JOIN edges e ON kz.node = e.dst WHERE kz.iter < 10) s
+  GROUP BY iter + 1, src
+),
+fin AS (SELECT node AS id, score FROM kz WHERE iter = 10)
+SELECT id, round(score / sqrt((SELECT sum(score * score) FROM fin)), 6) AS score
+FROM fin
+""",
+        "graph_eigenvector": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+ev(iter, node, score) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+  UNION ALL
+  SELECT iter + 1, dst, sum(score)
+  FROM (SELECT ev.iter, e.dst, ev.score
+        FROM ev JOIN edges e ON ev.node = e.src WHERE ev.iter < 10) s
+  GROUP BY iter + 1, dst
+),
+fin AS (SELECT node AS id, score FROM ev WHERE iter = 10)
+SELECT id, round(score / sqrt((SELECT sum(score * score) FROM fin)), 6) AS score
+FROM fin
+""",
+        # graph_kcore: no SQL oracle (iterative peel-to-exhaustion is not
+        # expressible in DuckDB recursive CTEs)
+        "graph_bfs": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < 20
+)
+SELECT node, min(dist) AS dist FROM walk GROUP BY node
+""",
+        "graph_linkpred": f"""
+WITH e0 AS ({CO_EDGES_SQL}),
+sube AS (SELECT src, dst FROM e0 WHERE src < 200 AND dst < 200),
+adj AS (SELECT src AS node, dst AS nbr FROM sube UNION ALL SELECT dst, src FROM sube),
+d AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+cent AS (SELECT nbr AS z, node AS e FROM adj),
+w AS (
+  SELECT a.e AS u, b.e AS v, dz.deg AS zdeg
+  FROM cent a JOIN cent b ON a.z = b.z AND a.e < b.e
+  JOIN d dz ON dz.node = a.z
+),
+s AS (
+  SELECT u, v, count(*) AS common,
+         sum(1.0 / ln(zdeg)) AS aa, sum(1.0 / zdeg) AS ra
+  FROM w GROUP BY u, v
+),
+ne AS (
+  SELECT s.* FROM s LEFT JOIN sube ON s.u = sube.src AND s.v = sube.dst
+  WHERE sube.src IS NULL
+)
+SELECT u, v, common,
+       round(common::DOUBLE / (du.deg + dv.deg - common), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar, round(ra, 6) AS resource_alloc
+FROM ne JOIN d du ON du.node = u JOIN d dv ON dv.node = v
+""",
+        "graph_assortativity": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT round(corr(dsrc.deg::DOUBLE, ddst.deg::DOUBLE), 6) AS assortativity
+FROM edges e JOIN deg dsrc ON e.src = dsrc.id JOIN deg ddst ON e.dst = ddst.id
+""",
+        "graph_sparsify": f"""
+WITH {GRAPH_PRELUDE_SQL},
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+  JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+),
+pairs AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri UNION ALL SELECT b, c FROM tri
+),
+etri AS (
+  SELECT e0.src, e0.dst, coalesce(t.n, 0) AS tri
+  FROM e0 LEFT JOIN (
+    SELECT least(x, y) AS src, greatest(x, y) AS dst, count(*) AS n
+    FROM pairs GROUP BY 1, 2
+  ) t USING (src, dst)
+)
+SELECT e.src, e.dst,
+       CASE WHEN du.deg + dv.deg - 2 - e.tri > 0
+            THEN round(e.tri::DOUBLE / (du.deg + dv.deg - 2 - e.tri), 6)
+            ELSE 0.0 END AS score
+FROM etri e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
 """,
         # graph_plp: no SQL oracle (iterative label propagation w/ window
         # tie-breaks is not expressible in DuckDB recursive CTEs)
@@ -633,6 +840,22 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "mm_media_meta": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text))::INT AS n_bytes
+FROM documents
+""",
+        "mm_frame_sample": """
+WITH vids AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+       sha256(substring(text, CAST(u.i * 1000 + 1 AS BIGINT), 1000)) AS frame_sha256
+FROM vids, UNNEST(range(least(greatest(n // 1000, 1), 8))) AS u(i)
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,

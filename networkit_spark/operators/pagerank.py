@@ -67,12 +67,15 @@ def pagerank(
 
     # gather relation: IN-edge list with the sender's weighted out-degree
     # attached once up front. For undirected graphs g.edges already holds
-    # both orientations, so "incoming" == rows grouped by dst.
-    degrees = g.degrees().select("id", "wdeg")
+    # both orientations, so "incoming" == rows grouped by dst. Every src in
+    # edges has out-degree ≥ 1, so the raw groupBy aggregate joins back
+    # inner — no |V|-sized left join needed here. The join on src leaves the
+    # output hash-partitioned by src; an extra repartition would be a
+    # redundant full shuffle of the edge table.
+    out_deg = g.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     edges_deg = (
-        g.edges.join(degrees.withColumnRenamed("id", "src"), "src")
+        g.edges.join(out_deg.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
-        .repartition("src")
         .cache()
     )
     edges_deg.count()  # materialize once; supersteps reuse this layout
@@ -95,35 +98,50 @@ def pagerank(
 
     while iterations < max_iterations:
         t0 = time.monotonic()
+        # gather: shuffle only the |V|-sized score vector. The shuffle_hash
+        # hint forbids both a driver-built broadcast (single-threaded hash
+        # table build every superstep — does not scale with cores) and a
+        # sort-merge join (re-sorts the cached edge relation every step).
         gathered = (
-            edges_deg.join(scores.withColumnRenamed("id", "src"), "src")
+            edges_deg.join(
+                scores.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("score")).alias("gather"))
         )
+        # update: join the gather result back onto the score vector itself,
+        # carrying the previous value in the same row — the convergence norm
+        # then needs no second |V| ⋈ |V| join. Nodes with no in-edges get
+        # teleport only (left join ⇒ null gather ⇒ 0), covering dangling
+        # targets exactly as PageRank.cpp:56-66.
         new_scores = (
-            nodes.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            scores.withColumnRenamed("score", "old")
+            .join(gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
                     F.lit(teleport)
                     + F.lit(damp) * F.coalesce(F.col("gather"), F.lit(0.0))
                 ).alias("score"),
+                "old",
             )
         )
         iterations += 1
         new_scores = runner.persist_step(new_scores, iterations)
 
-        # convergence on pre-normalization values (PageRank.cpp:68-71)
-        diff = new_scores.withColumnRenamed("score", "new").join(
-            scores.withColumnRenamed("score", "old"), "id"
-        )
+        # convergence on pre-normalization values (PageRank.cpp:68-71) —
+        # one cheap scan of the just-materialized step output
         if norm == "l1":
-            delta = diff.agg(F.sum(F.abs(F.col("new") - F.col("old")))).collect()[0][0]
+            delta = new_scores.agg(
+                F.sum(F.abs(F.col("score") - F.col("old")))
+            ).collect()[0][0]
         else:
             delta = math.sqrt(
-                diff.agg(F.sum(F.pow(F.col("new") - F.col("old"), 2))).collect()[0][0]
+                new_scores.agg(
+                    F.sum(F.pow(F.col("score") - F.col("old"), 2))
+                ).collect()[0][0]
             )
-        scores = new_scores
+        scores = new_scores.select("id", "score")
         runner.record(iterations, delta=delta, step_s=round(time.monotonic() - t0, 4))
         if delta <= tol:
             converged = True
@@ -132,8 +150,8 @@ def pagerank(
     # end-only normalization (PageRank.cpp:75-91)
     if normalized:
         dangling_sum = (
-            scores.join(degrees, "id")
-            .filter(F.col("wdeg") == 0.0)
+            scores.join(out_deg.withColumnRenamed("src", "id"), "id", "left")
+            .filter(F.coalesce(F.col("wdeg"), F.lit(0.0)) == 0.0)
             .agg(F.sum("score"))
             .collect()[0][0]
             or 0.0

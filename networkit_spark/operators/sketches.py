@@ -1,0 +1,121 @@
+"""Neighborhood-function sketches — ANF / effective diameter.
+
+Reference: ``distance/EffectiveDiameterApproximation.cpp:19-80`` —
+Flajolet-Martin ANF: every node holds k bitmasks; bit i of a fresh mask
+is set with probability 2^-(i+1); per hop every node ORs in its
+neighbors' masks; the neighborhood-size estimate at hop h is
+``2^b / 0.77351`` with b = mean index of the lowest zero bit; the
+effective diameter is the first hop where ≥ ratio (default 0.9) of the
+final reachable-pairs mass is covered.
+
+Spark mapping: masks are LONG columns; the per-hop step is
+``edges ⋈ masks`` → ``groupBy(node).agg(bit_or(mask_j)…)`` — the same
+shuffle shape as every other superstep in this engine (this sketch
+family is also what backs Spark's own ``approx_count_distinct``). Bits
+are seeded deterministically from ``xxhash64(node, trial, seed)``: one
+geometric draw per (node, trial) — equivalent to the reference's
+bit-by-bit coin flips (``EffectiveDiameterApproximation.cpp:52-62``) —
+so results are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+_PHI = 0.77351  # Flajolet-Martin bias correction
+
+
+def _init_masks(g: Graph, k: int, bits: int, seed: int) -> DataFrame:
+    """(id, m0..m{k-1}): one geometric bit set per trial mask."""
+    u = lambda t: (  # noqa: E731 — uniform(0,1) from a seeded hash
+        f"(CAST(xxhash64(id, {t}, {seed}) AS DOUBLE) / {float(1 << 64)} + 0.5)"
+    )
+    idx = [
+        f"CAST(least(CAST(floor(-log2(1.0 - {u(t)})) AS INT), {bits - 1}) AS INT)"
+        for t in range(k)
+    ]
+    return g.nodes.selectExpr(
+        "id",
+        *[f"shiftleft(CAST(1 AS BIGINT), {idx[t]}) AS m{t}" for t in range(k)],
+    )
+
+
+def _estimate_total(masks: DataFrame, k: int) -> float:
+    """Σ over nodes of 2^(mean lowest-zero-bit index)/φ."""
+    # lowest zero bit of m: r = (~m) & (m+1) is a power of two; its index
+    # is bit_count(r-1) — exact integer arithmetic, no float log rounding
+    lz = [f"CAST(bit_count(((~m{t}) & (m{t} + 1)) - 1) AS DOUBLE)" for t in range(k)]
+    b = "(" + " + ".join(lz) + f") / {float(k)}"
+    row = masks.selectExpr(f"pow(2.0, {b}) / {_PHI} AS est").agg(
+        F.sum("est")
+    ).collect()[0]
+    return float(row[0] or 0.0)
+
+
+def neighborhood_function(
+    g: Graph,
+    k: int = 64,
+    bits: int = 48,
+    max_hops: int = 32,
+    seed: int = 42,
+) -> list[float]:
+    """Estimated #(node, reachable-node) pairs at hops 1..H; stops once the
+    estimate is stable (all sketches saturated ⇒ all nodes reached)."""
+    sym = g.symmetrized_edges() if g.directed else g.edges
+    edges = sym.select("src", "dst").cache()
+    edges.count()
+    masks = _init_masks(g, k, bits, seed).localCheckpoint(eager=True)
+    mask_cols = [f"m{t}" for t in range(k)]
+
+    estimates: list[float] = []
+    prev_total = None
+    for _hop in range(max_hops):
+        nbr = (
+            edges.join(
+                masks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(F.col(c)).alias(c) for c in mask_cols])
+        )
+        masks = (
+            masks.alias("m")
+            .join(nbr.alias("n"), "id", "left")
+            .select(
+                "id",
+                *[
+                    # SQL `|` = bitwise OR on BIGINT (python `|` on Columns
+                    # is logical OR and rejects integral types)
+                    F.expr(f"m.{c} | coalesce(n.{c}, CAST(0 AS BIGINT))").alias(c)
+                    for c in mask_cols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = _estimate_total(masks, k)
+        estimates.append(total)
+        if prev_total is not None and total <= prev_total:
+            break
+        prev_total = total
+    return estimates
+
+
+def effective_diameter_approx(
+    g: Graph,
+    ratio: float = 0.9,
+    k: int = 64,
+    bits: int = 48,
+    seed: int = 42,
+) -> float:
+    """First hop h where the neighborhood function reaches ``ratio`` of its
+    final value (``distance/EffectiveDiameterApproximation.cpp:64-80``)."""
+    nf = neighborhood_function(g, k=k, bits=bits, seed=seed)
+    if not nf:
+        return 0.0
+    final = nf[-1]
+    for h, val in enumerate(nf, start=1):
+        if val >= ratio * final:
+            return float(h)
+    return float(len(nf))

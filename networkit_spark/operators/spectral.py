@@ -1,0 +1,156 @@
+"""Katz and eigenvector centrality — power-iteration kernels.
+
+Reference semantics:
+
+- ``KatzCentrality`` (``centrality/KatzCentrality.cpp:28-75``): init
+  score=1; per iteration ``x'[u] = β + α·Σ_{(u,v)∈E_out} w(u,v)·(1 + x[v])``
+  over UNNORMALIZED previous values; converge when the L2 length of the
+  vector changes by ≤ tol between iterations; final scores divided by the
+  last length. Default ``α = 1/(1+maxDegree)`` (``:15-17``).
+- ``EigenvectorCentrality`` (``centrality/EigenvectorCentrality.cpp:21-67``):
+  init 1; ``x'[u] = Σ_{(v,u)∈E_in} w(v,u)·x[v]``; L2-normalize EVERY
+  iteration; converge on |len−oldLen| ≤ tol; if score[0] < 0 flip signs.
+
+Both are the same distributed SpMV superstep as PageRank: one shuffle of
+the |V|-sized vector into a hash join against the cached edge relation,
+one aggregation, one driver-side norm. Skew and scale behavior are
+identical to the PageRank kernel (see operators/pagerank.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+@dataclass
+class SpectralResult:
+    scores: DataFrame  # (id LONG, score DOUBLE)
+    iterations: int
+    converged: bool
+
+
+def _l2(df: DataFrame, col: str = "score") -> float:
+    return math.sqrt(df.agg(F.sum(F.pow(F.col(col), 2))).collect()[0][0] or 0.0)
+
+
+def katz_centrality(
+    g: Graph,
+    alpha: float | None = None,
+    beta: float = 0.1,
+    tol: float = 1e-8,
+    max_iterations: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> SpectralResult:
+    """NetworKit-semantics Katz centrality (module docstring)."""
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    max_iterations = max_iterations if max_iterations is not None else 1 << 30
+
+    if alpha is None:
+        # defaultAlpha = 1/(1+maxDegree)   (KatzCentrality.cpp:15-17)
+        max_deg = (
+            g.edges.groupBy("src").count().agg(F.max("count")).collect()[0][0] or 0
+        )
+        alpha = 1.0 / (1.0 + max_deg)
+
+    # gather over OUT-edges: contributions arrive at src from dst's score
+    edges = g.edges.select("src", "dst", "weight").cache()
+    edges.count()
+    scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(eager=True)
+
+    length = 0.0
+    iterations = 0
+    converged = False
+    while iterations < max_iterations:
+        gathered = (
+            edges.join(
+                scores.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("weight") * F.lit(alpha) * (1.0 + F.col("score"))).alias(
+                    "gather"
+                )
+            )
+        )
+        new_scores = (
+            scores.select("id")
+            .join(gathered.withColumnRenamed("src", "id").hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                (F.lit(beta) + F.coalesce(F.col("gather"), F.lit(0.0))).alias("score"),
+            )
+        )
+        iterations += 1
+        new_scores = runner.persist_step(new_scores, iterations)
+        new_length = _l2(new_scores)
+        scores = new_scores
+        runner.record(iterations, length=new_length)
+        if abs(new_length - length) <= tol:
+            length = new_length
+            converged = True
+            break
+        length = new_length
+
+    out = scores.select("id", (F.col("score") / F.lit(length)).alias("score"))
+    return SpectralResult(scores=out, iterations=iterations, converged=converged)
+
+
+def eigenvector_centrality(
+    g: Graph,
+    tol: float = 1e-9,
+    max_iterations: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> SpectralResult:
+    """NetworKit-semantics eigenvector centrality (module docstring)."""
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    max_iterations = max_iterations if max_iterations is not None else 1 << 30
+
+    edges = g.edges.select("src", "dst", "weight").cache()
+    edges.count()
+    scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(eager=True)
+
+    length = 0.0
+    iterations = 0
+    converged = False
+    while iterations < max_iterations:
+        # gather over IN-edges: x'[u] = Σ_{(v,u)} w·x[v]
+        gathered = (
+            edges.join(
+                scores.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("score")).alias("gather"))
+        )
+        raw = (
+            scores.select("id")
+            .join(gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left")
+            .select("id", F.coalesce(F.col("gather"), F.lit(0.0)).alias("score"))
+        )
+        iterations += 1
+        raw = runner.persist_step(raw, iterations)
+        new_length = _l2(raw)
+        if new_length == 0.0:
+            scores = raw
+            break
+        scores = raw.select("id", (F.col("score") / F.lit(new_length)).alias("score"))
+        runner.record(iterations, length=new_length)
+        if abs(new_length - length) <= tol:
+            converged = True
+            break
+        length = new_length
+
+    # sign convention: if score of node 0 (min id) is negative, flip
+    # (EigenvectorCentrality.cpp:59-64)
+    first = scores.orderBy("id").limit(1).collect()
+    if first and first[0]["score"] < 0:
+        scores = scores.select("id", F.abs(F.col("score")).alias("score"))
+    return SpectralResult(scores=scores, iterations=iterations, converged=converged)

@@ -49,6 +49,7 @@ class SuperstepRunner:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.cadence = max(1, cadence)
         self.metrics: list[dict] = []
+        self._live: list[DataFrame] = []
         self._t0 = time.monotonic()
 
     # ------------------------------------------------------------ paths
@@ -61,12 +62,32 @@ class SuperstepRunner:
 
     # ------------------------------------------------------------ state io
     def persist_step(self, state: DataFrame, step: int) -> DataFrame:
-        """Truncate lineage; durably checkpoint every ``cadence`` steps."""
+        """Persist superstep state; durably checkpoint every ``cadence`` steps.
+
+        Between durable checkpoints the state is LAZILY local-checkpointed:
+        the logical plan is truncated immediately (kernels like the
+        large-star/small-star contraction reference their input 4-16× per
+        round, so an untruncated plan grows EXPONENTIALLY in rounds and
+        OOMs the driver on plan strings alone), while the actual computation
+        happens on the caller's next action — always the convergence/metrics
+        aggregate — so each superstep still costs ONE job. States older
+        than two steps are unpersisted to bound executor memory (at
+        |V| = billions the score vector is not free).
+        """
         if self.checkpoint_dir and step % self.cadence == 0:
             path = self._step_dir(step)
             state.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
-        return state.localCheckpoint(eager=True)
+            out = self.spark.read.parquet(path)
+        else:
+            out = state.localCheckpoint(eager=False)
+        self._live.append(out)
+        if len(self._live) > 2:
+            old = self._live.pop(0)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        return out
 
     def latest_complete(self) -> tuple[int, DataFrame] | None:
         """Newest superstep whose Parquet commit finished (_SUCCESS present)."""

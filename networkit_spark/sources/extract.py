@@ -52,10 +52,15 @@ def _refs_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if pat is None or content is None:
                 continue
             for m in pat.findall(content):
+                # resolution is EXTENSION-AGNOSTIC: a python `import a.b.c`
+                # or a C `#include "a/b/c.h"` both resolve to the repo file
+                # whose extension-stripped path is a/b/c — cross-language
+                # dependencies (python importing a C module, JNI, cffi)
+                # would otherwise silently drop edges
                 if lang in ("python", "java"):
-                    ref = m.replace(".", "/") + _EXT[lang]
+                    ref = m.replace(".", "/")
                 else:
-                    ref = m
+                    ref = re.sub(r"\.[^./]+$", "", m)
                 out_repo.append(repo)
                 out_path.append(path)
                 out_ref.append(ref)
@@ -63,14 +68,22 @@ def _refs_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_edges(files: DataFrame) -> DataFrame:
-    """(repo, src_path, dst_path) dependency edges, resolved intra-repo."""
+    """(repo, src_path, dst_path) dependency edges, resolved intra-repo
+    against extension-stripped target paths."""
     refs = files.select("repo", "path", "lang", "content").mapInPandas(
         _refs_batch, schema="repo string, path string, ref_path string"
     )
-    targets = files.select("repo", F.col("path").alias("ref_path")).distinct()
+    targets = (
+        files.select(
+            "repo",
+            F.regexp_replace("path", r"\.[^./]+$", "").alias("ref_path"),
+            F.col("path").alias("dst_path"),
+        )
+        .distinct()
+    )
     resolved = refs.join(targets, ["repo", "ref_path"], "inner")
     return resolved.select(
-        "repo", F.col("path").alias("src_path"), F.col("ref_path").alias("dst_path")
+        "repo", F.col("path").alias("src_path"), "dst_path"
     ).distinct()
 
 

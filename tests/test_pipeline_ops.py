@@ -1,0 +1,94 @@
+"""Ingest (source table → dependency graph), multimodal plumbing, and
+pipeline-op tests that the SQL-oracle gate doesn't already cover."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.generators import erdos_renyi
+from networkit_spark.pipeline.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+)
+from networkit_spark.sources.extract import dependency_graph, with_sha256
+from networkit_spark.sources.source_table import synthesize_source_table
+
+
+@pytest.fixture(scope="module")
+def source_files(spark):
+    g = erdos_renyi(spark, 40, 0.08, seed=7, directed=True)
+    files = synthesize_source_table(spark, g.edges, n=40, repos=1).cache()
+    files.count()
+    return g, files
+
+
+def test_ingest_roundtrip_recovers_graph(spark, source_files):
+    """Rendering a graph as source files then extracting import edges must
+    recover exactly the original edge set (ids remapped densely)."""
+    g, files = source_files
+    recovered, mapping = dependency_graph(files, directed=True)
+    # mapping's dense ids are rank-ordered by (repo, path); path encodes the
+    # original vertex id — rebuild the original-id edge set for comparison
+    m = {
+        r["id"]: int(r["path"].split("/f")[-1].split(".")[0])
+        for r in mapping.collect()
+    }
+    rec = {(m[r["src"]], m[r["dst"]]) for r in recovered.edges.collect()}
+    orig = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert rec == orig
+    assert recovered.num_nodes() == 40  # every file a vertex, isolated kept
+
+
+def test_ingest_sha256_invariant_across_parallelism(spark, source_files):
+    """content sha256 per (repo, path) identical regardless of partitioning
+    (BASELINE.json input_hint per-row invariant)."""
+    _, files = source_files
+    a = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in with_sha256(files).collect()
+    }
+    b = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in with_sha256(files.repartition(13)).collect()
+    }
+    assert a == b and len(a) == 40
+
+
+def test_multimodal_features_shape_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 9
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert abs(math.sqrt(sum(x * x for x in r["feature"])) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in feats)
+
+
+def test_multimodal_strict_mode_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = attach_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, strict=True).collect()
+
+
+def test_frame_sample_video_only(spark):
+    docs = spark.createDataFrame(
+        [(i, "v" * 2500) for i in range(6)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    frames = frame_sample(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {i for i in range(6) if i % 3 == 2}  # modality 'video'
+    per = [r for r in frames if r["media_id"] == sorted(vids)[0]]
+    assert {r["frame_idx"] for r in per} == {0, 1}  # 2500 bytes → 2 frames
+    assert all(len(r["frame_sha256"]) == 64 for r in frames)
