@@ -356,6 +356,45 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dynamics: event replay (GraphEvent / GraphUpdater semantics)
+# --------------------------------------------------------------------------
+
+def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a deterministic edit log derived from orders: every order adds
+    a customer→order edge; 'F' orders later remove it. Output = surviving
+    canonical edge list — exercises the ordered event fold."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.streaming.dynamics import apply_events
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    add = orders.select(
+        (F.col("o_orderkey") * 2).alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("o_custkey").alias("u"),
+        (F.col("o_orderkey") + 1000000).alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    rm = orders.filter(F.col("o_orderstatus") == "F").select(
+        (F.col("o_orderkey") * 2 + 1).alias("seq"),
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("o_custkey").alias("u"),
+        (F.col("o_orderkey") + 1000000).alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    nodes = (
+        orders.select(F.col("o_custkey").alias("id"))
+        .unionByName(orders.select((F.col("o_orderkey") + 1000000).alias("id")))
+        .distinct()
+    )
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    base = Graph(nodes=nodes, edges=empty, directed=False)
+    g2 = apply_events(base, add.unionByName(rm))
+    return g2.edges.filter(F.col("src") < F.col("dst")).select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (binary payload columns; decode stubbed)
 # --------------------------------------------------------------------------
 
@@ -436,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_sha256": q_ingest_sha256,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "dyn_replay": q_dyn_replay,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "events_hourly": q_events_hourly,
@@ -840,6 +880,10 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "dyn_replay": """
+SELECT o_custkey AS src, o_orderkey + 1000000 AS dst, CAST(1.0 AS DOUBLE) AS weight
+FROM orders WHERE o_orderstatus <> 'F'
 """,
         "mm_media_meta": """
 SELECT doc_id AS media_id,

@@ -1,0 +1,188 @@
+"""Independent set, matching, spanning forest — propose/accept supersteps.
+
+Reference semantics:
+
+- ``Luby`` maximal independent set (``independentset/Luby.cpp``, 195 LoC):
+  classic rounds — every live node draws a random priority; local minima
+  join the set; they and their neighbors leave the graph.
+- ``SuitorMatcher`` (``matching/SuitorMatcher.cpp``): each node proposes
+  to its best-weight neighbor; mutual proposals match — we implement the
+  synchronous propose/accept variant (one round = one join-agg pair),
+  iterating on the unmatched remainder. Deterministic tie-break:
+  (weight desc, neighbor id asc).
+- ``KruskalMSF`` / ``SpanningForest`` (``graph/KruskalMSF.cpp``): the
+  reference sorts edges and runs union-find — inherently sequential; the
+  distributed analogue is **Borůvka**: every component picks its
+  minimum-weight incident edge, picked edges merge components (via the
+  connected-components kernel on the picked subset), repeat — O(log n)
+  rounds, everything join-agg.
+
+All three are deterministic given the seed (Luby) / tie-breaks, so they
+are stable across parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _sym_edges(g: Graph) -> DataFrame:
+    e = g.symmetrized_edges() if g.directed else g.edges
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def luby_independent_set(g: Graph, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """(id LONG, in_set BOOLEAN): a maximal independent set.
+
+    Per round: priority(v) = xxhash64(v, round, seed); v enters the set iff
+    its priority beats every live neighbor's; winners' neighbors drop out.
+    """
+    live = g.nodes
+    edges = _sym_edges(g).select("src", "dst").localCheckpoint(eager=True)
+    chosen = []
+    for rnd in range(max_rounds):
+        n_live = live.count()
+        if n_live == 0:
+            break
+        pri = live.select(
+            "id", F.xxhash64(F.col("id"), F.lit(rnd), F.lit(seed)).alias("p")
+        )
+        # max neighbor priority among live neighbors
+        nbr = (
+            edges.join(pri.withColumnRenamed("id", "src"), "src")
+            .join(live.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max(F.struct("p", F.col("src").alias("tie"))).alias("mx"))
+        )
+        winners = (
+            pri.join(nbr, "id", "left")
+            .filter(
+                F.col("mx").isNull()
+                | (F.struct(F.col("p"), F.col("id").alias("tie")) > F.col("mx"))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        chosen.append(winners)
+        # remove winners and their neighbors from the live set
+        loser = (
+            edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        live = (
+            live.join(winners, "id", "left_anti")
+            .join(loser, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    in_set = chosen[0]
+    for c in chosen[1:]:
+        in_set = in_set.unionByName(c)
+    return g.nodes.join(
+        in_set.withColumn("in_set", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("in_set", F.lit(False)).alias("in_set"))
+
+
+def suitor_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
+    """(u LONG, v LONG) matched pairs (u < v) — greedy weighted matching by
+    synchronous propose/accept (SuitorMatcher semantics; ties by id)."""
+    edges = _sym_edges(g).select("src", "dst", "weight").localCheckpoint(eager=True)
+    unmatched = g.nodes
+    matched_pairs = None
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    for _ in range(max_rounds):
+        # live edges: both endpoints unmatched
+        live = (
+            edges.join(unmatched.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(unmatched.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        if live.limit(1).count() == 0:
+            break
+        prop = (
+            live.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst")
+        )
+        mutual = (
+            prop.alias("a")
+            .join(
+                prop.alias("b"),
+                (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+                "left_semi",
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .localCheckpoint(eager=True)
+        )
+        if mutual.limit(1).count() == 0:
+            break
+        matched_pairs = (
+            mutual if matched_pairs is None else matched_pairs.unionByName(mutual)
+        )
+        newly = (
+            mutual.select(F.col("src").alias("id"))
+            .unionByName(mutual.select(F.col("dst").alias("id")))
+        )
+        unmatched = unmatched.join(newly, "id", "left_anti").localCheckpoint(eager=True)
+    if matched_pairs is None:
+        return g.nodes.sparkSession.createDataFrame([], "u long, v long")
+    return matched_pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+
+
+def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
+    """(src, dst, weight): a minimum spanning forest via Borůvka rounds.
+
+    Each round every current component selects its minimum-weight outgoing
+    edge (ties: weight asc, then canonical (src, dst) asc — deterministic),
+    selected edges join the forest, components contract. Terminates in
+    O(log n) rounds.
+    """
+    from networkit_spark.operators.components import connected_components
+
+    sym = _sym_edges(g).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+
+    labels = g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    forest = None
+    for _ in range(max_rounds):
+        lab_e = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), F.col("label").alias("ls")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("ld")),
+                "dst",
+            )
+            .filter(F.col("ls") != F.col("ld"))
+        )
+        if lab_e.limit(1).count() == 0:
+            break
+        # min outgoing edge per component (consider both component views)
+        cand = lab_e.select(F.col("ls").alias("comp"), "src", "dst", "weight").unionByName(
+            lab_e.select(F.col("ld").alias("comp"), "src", "dst", "weight")
+        )
+        wmin = Window.partitionBy("comp").orderBy(
+            F.asc("weight"), F.asc("src"), F.asc("dst")
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "weight")
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        forest = picked if forest is None else forest.unionByName(picked).dropDuplicates(
+            ["src", "dst"]
+        )
+        # contract: components connected by the forest so far
+        fg = Graph.from_edges(forest, directed=False, nodes=g.nodes)
+        labels = connected_components(fg).localCheckpoint(eager=True)
+    if forest is None:
+        return g.nodes.sparkSession.createDataFrame([], "src long, dst long, weight double")
+    return forest

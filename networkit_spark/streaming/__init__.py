@@ -1,0 +1,17 @@
+from networkit_spark.streaming.dynamics import (
+    EVENT_SCHEMA,
+    DynConnectedComponents,
+    apply_events,
+    events_of,
+    parse_dgs_lines,
+    replay_at,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "apply_events",
+    "replay_at",
+    "events_of",
+    "parse_dgs_lines",
+    "DynConnectedComponents",
+]

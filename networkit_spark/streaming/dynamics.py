@@ -1,0 +1,282 @@
+"""Dynamic graphs — typed edit events, batch replay, incremental kernels.
+
+Reference semantics:
+
+- ``GraphEvent`` record: ``{type, u, v, w}`` with types NODE_ADDITION,
+  NODE_REMOVAL, NODE_RESTORATION, EDGE_ADDITION, EDGE_REMOVAL,
+  EDGE_WEIGHT_UPDATE, EDGE_WEIGHT_INCREMENT, TIME_STEP
+  (``dynamics/GraphEvent.hpp:22-37``).
+- ``GraphUpdater.update(batch)`` applies an ordered batch
+  (``dynamics/GraphUpdater.cpp``).
+- ``DGSStreamParser`` reads an event log (``dynamics/DGSStreamParser.cpp``).
+- ``DynConnectedComponents.update/updateBatch`` maintains components
+  incrementally (``components/DynConnectedComponents.cpp``; test usage
+  ``components/test/ConnectedComponentsGTest.cpp:288-316``).
+
+Spark mapping: events are an append-only DataFrame
+``(seq LONG, type STRING, u LONG, v LONG, w DOUBLE)``. Batch replay folds
+each edge's event list IN SEQ ORDER with a pure column expression
+(``F.aggregate`` over ``sort_array(collect_list(...))`` — no per-row
+Python), because EDGE_WEIGHT_INCREMENT makes the fold order-dependent:
+last-writer-wins is not enough. Node events fold the same way.
+``replay_at(g, events, t)`` = ``filter(seq <= t)`` + fold — time travel.
+
+``DynConnectedComponents`` warm-starts from the previous labels: edge
+ADDITIONS only merge components, so seeding min-label propagation with
+the old labels converges in O(rounds-to-merge) instead of from scratch;
+any REMOVAL falls back to full recompute (the reference's removal path is
+likewise the expensive one). Structured Streaming: feed micro-batches
+into ``update_batch`` from ``foreachBatch`` — each batch's labels are
+durably checkpointed by the SuperstepRunner, which is what makes the
+stream resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+EVENT_SCHEMA = "seq long, type string, u long, v long, w double"
+
+NODE_ADDITION = "NODE_ADDITION"
+NODE_REMOVAL = "NODE_REMOVAL"
+NODE_RESTORATION = "NODE_RESTORATION"
+EDGE_ADDITION = "EDGE_ADDITION"
+EDGE_REMOVAL = "EDGE_REMOVAL"
+EDGE_WEIGHT_UPDATE = "EDGE_WEIGHT_UPDATE"
+EDGE_WEIGHT_INCREMENT = "EDGE_WEIGHT_INCREMENT"
+TIME_STEP = "TIME_STEP"
+
+
+def events_of(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Tiny-batch constructor: list of (seq, type, u, v, w) tuples."""
+    return spark.createDataFrame(
+        [
+            (int(s), str(t), None if u is None else int(u),
+             None if v is None else int(v), None if w is None else float(w))
+            for (s, t, u, v, w) in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def _fold_edge_events(initial_exists, initial_w, events_col):
+    """Column fold of ordered edge events onto (exists, weight) state."""
+    init = F.struct(
+        initial_exists.alias("exists"), initial_w.alias("w")
+    )
+    return F.aggregate(
+        events_col,
+        init,
+        lambda acc, e: F.struct(
+            F.when(e["type"] == EDGE_ADDITION, F.lit(True))
+            .when(e["type"] == EDGE_REMOVAL, F.lit(False))
+            .otherwise(acc["exists"])
+            .alias("exists"),
+            F.when(e["type"] == EDGE_ADDITION, F.coalesce(e["w"], F.lit(1.0)))
+            .when(e["type"] == EDGE_WEIGHT_UPDATE, e["w"])
+            .when(e["type"] == EDGE_WEIGHT_INCREMENT, acc["w"] + F.coalesce(e["w"], F.lit(0.0)))
+            .otherwise(acc["w"])
+            .alias("w"),
+        ),
+    )
+
+
+def apply_events(g: Graph, events: DataFrame) -> Graph:
+    """Replay an ordered event batch onto ``g`` (GraphUpdater semantics).
+
+    Undirected graphs key edge events canonically (min, max); the result
+    re-symmetrizes. Edges touching removed nodes are dropped (NetworKit's
+    removeNode drops incident edges, ``graph.pyx:233``).
+    """
+    # ---------------------------------------------------------------- nodes
+    nev = events.filter(
+        F.col("type").isin(NODE_ADDITION, NODE_REMOVAL, NODE_RESTORATION)
+    )
+    node_state = (
+        nev.groupBy(F.col("u").alias("id"))
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "type"))).alias("evs"))
+        .select(
+            "id",
+            F.aggregate(
+                "evs",
+                F.lit(None).cast("boolean"),
+                lambda acc, e: F.when(e["type"] == NODE_REMOVAL, F.lit(False)).otherwise(
+                    F.lit(True)
+                ),
+            ).alias("exists"),
+        )
+    )
+    nodes = (
+        g.nodes.join(node_state, "id", "full")
+        .select("id", F.coalesce("exists", F.lit(True)).alias("exists"))
+        .filter("exists")
+        .select("id")
+    )
+
+    # ---------------------------------------------------------------- edges
+    eev = events.filter(
+        F.col("type").isin(EDGE_ADDITION, EDGE_REMOVAL, EDGE_WEIGHT_UPDATE, EDGE_WEIGHT_INCREMENT)
+    )
+    if not g.directed:
+        key = [
+            F.least("u", "v").alias("src"),
+            F.greatest("u", "v").alias("dst"),
+        ]
+        base = (
+            g.edges.filter(F.col("src") <= F.col("dst"))  # one orientation (+loops)
+        )
+    else:
+        key = [F.col("u").alias("src"), F.col("v").alias("dst")]
+        base = g.edges
+    folded = (
+        eev.select(*key, F.struct("seq", "type", "w").alias("e"))
+        .groupBy("src", "dst")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+    )
+    merged = (
+        base.join(folded, ["src", "dst"], "full")
+        .select(
+            "src",
+            "dst",
+            _fold_edge_events(
+                F.col("weight").isNotNull(),
+                F.coalesce("weight", F.lit(0.0)),
+                F.coalesce("evs", F.array()),
+            ).alias("st"),
+        )
+        .filter(F.col("st.exists"))
+        .select("src", "dst", F.col("st.w").alias("weight"))
+    )
+    # drop edges incident to removed nodes
+    merged = merged.join(
+        nodes.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
+        "src", "dst", "weight"
+    )
+    return Graph.from_edges(
+        merged, directed=g.directed, weighted=g.weighted, nodes=nodes
+    )
+
+
+def replay_at(g: Graph, events: DataFrame, t: int) -> Graph:
+    """Graph state after all events with seq ≤ t (time travel)."""
+    return apply_events(g, events.filter(F.col("seq") <= t))
+
+
+def parse_dgs_lines(lines: DataFrame) -> DataFrame:
+    """Parse a DGS-style event log (``dynamics/DGSStreamParser.cpp``):
+    ``an <u>`` / ``dn <u>`` / ``ae <u> <v> [w]`` / ``de <u> <v>`` /
+    ``ce <u> <v> <w>`` / ``st`` — one event per text line, seq = line order
+    (requires a ``value`` string column; use ``spark.read.text``)."""
+    p = F.split(F.trim(F.col("value")), r"\s+")
+    typed = lines.select(
+        F.monotonically_increasing_id().alias("seq"),
+        F.try_element_at(p, F.lit(1)).alias("op"),
+        F.try_element_at(p, F.lit(2)).cast("long").alias("u"),
+        F.try_element_at(p, F.lit(3)).cast("long").alias("v"),
+        F.try_element_at(p, F.lit(4)).cast("double").alias("w"),
+    )
+    return typed.select(
+        "seq",
+        F.when(F.col("op") == "an", NODE_ADDITION)
+        .when(F.col("op") == "dn", NODE_REMOVAL)
+        .when(F.col("op") == "rn", NODE_RESTORATION)
+        .when(F.col("op") == "ae", EDGE_ADDITION)
+        .when(F.col("op") == "de", EDGE_REMOVAL)
+        .when(F.col("op") == "ce", EDGE_WEIGHT_UPDATE)
+        .when(F.col("op") == "ie", EDGE_WEIGHT_INCREMENT)
+        .when(F.col("op") == "st", TIME_STEP)
+        .alias("type"),
+        "u",
+        "v",
+        # DGS 'ae u v' without weight ⇒ weight 1.0 on fold
+        "w",
+    ).filter(F.col("type").isNotNull())
+
+
+class DynConnectedComponents:
+    """Incrementally-maintained connected components
+    (``components/DynConnectedComponents.cpp`` semantics: additions are
+    cheap merges; removals recompute).
+
+    ``labels`` always holds (node, label) with label = min node id of the
+    component — the same canonical labeling as the static kernel, so
+    ``update_batch`` output is directly comparable with a fresh run.
+    """
+
+    def __init__(self, g: Graph, runner: SuperstepRunner | None = None) -> None:
+        from networkit_spark.operators.components import connected_components
+
+        self.graph = g
+        self.runner = runner or SuperstepRunner(g.edges.sparkSession)
+        self.labels = connected_components(g, runner=self.runner)
+
+    def update_batch(self, events: DataFrame) -> DataFrame:
+        from networkit_spark.operators.components import connected_components
+
+        has_removal = (
+            events.filter(
+                F.col("type").isin(EDGE_REMOVAL, NODE_REMOVAL)
+            ).limit(1).count()
+            > 0
+        )
+        self.graph = apply_events(self.graph, events)
+        if has_removal:
+            # removals can split components — recompute (reference's
+            # expensive path, DynConnectedComponents.cpp handles it with
+            # stored edge presence; recompute is the batch analogue)
+            self.labels = connected_components(self.graph, runner=self.runner)
+            return self.labels
+
+        # additions only merge: warm-start min-label propagation from the
+        # previous labels; new nodes seed with their own id
+        labels = (
+            self.graph.nodes.join(
+                self.labels.withColumnRenamed("node", "id"), "id", "left"
+            )
+            .select(
+                F.col("id").alias("node"),
+                F.coalesce("label", F.col("id")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            self.graph.symmetrized_edges()
+            if self.graph.directed
+            else self.graph.edges
+        ).select("src", "dst")
+        step = 0
+        while True:
+            step += 1
+            nbr_min = (
+                edges.join(
+                    labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min.hint("shuffle_hash"), "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                        "chg"
+                    ),
+                )
+            )
+            new_labels = self.runner.persist_step(new_labels, step)
+            changed = new_labels.filter("chg").count()
+            labels = new_labels.select("node", "label")
+            self.runner.record(step, changed=changed)
+            if changed == 0:
+                break
+        self.labels = labels
+        return self.labels

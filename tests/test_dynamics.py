@@ -1,0 +1,98 @@
+"""Dynamic-graph event replay + incremental CC tests
+(GraphEvent.hpp / GraphUpdater.cpp / DynConnectedComponents semantics)."""
+
+from __future__ import annotations
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.components import connected_components
+from networkit_spark.streaming.dynamics import (
+    DynConnectedComponents,
+    apply_events,
+    events_of,
+    parse_dgs_lines,
+    replay_at,
+)
+
+
+def _labels(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_apply_events_edge_lifecycle(spark):
+    g = Graph.of(spark, [(0, 1, 2.0)], n=3, weighted=True)
+    ev = events_of(spark, [
+        (1, "EDGE_ADDITION", 1, 2, 5.0),
+        (2, "EDGE_WEIGHT_INCREMENT", 0, 1, 1.5),   # 2.0 -> 3.5
+        (3, "EDGE_WEIGHT_UPDATE", 1, 2, 7.0),      # 5.0 -> 7.0
+        (4, "EDGE_ADDITION", 0, 2, 1.0),
+        (5, "EDGE_REMOVAL", 0, 2, None),
+    ])
+    g2 = apply_events(g, ev)
+    edges = {(r["src"], r["dst"]): r["weight"]
+             for r in g2.edges.filter("src < dst").collect()}
+    assert edges == {(0, 1): 3.5, (1, 2): 7.0}
+    assert g2.num_nodes() == 3
+
+
+def test_apply_events_node_removal_drops_incident_edges(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 0)], n=3)
+    ev = events_of(spark, [(1, "NODE_REMOVAL", 1, None, None)])
+    g2 = apply_events(g, ev)
+    assert g2.num_nodes() == 2
+    edges = {(r["src"], r["dst"]) for r in g2.edges.filter("src < dst").collect()}
+    assert edges == {(0, 2)}
+
+
+def test_replay_at_time_travel(spark):
+    g = Graph.of(spark, [], n=2)
+    ev = events_of(spark, [
+        (1, "EDGE_ADDITION", 0, 1, 1.0),
+        (5, "EDGE_REMOVAL", 0, 1, None),
+    ])
+    assert replay_at(g, ev, 1).num_edges() == 1
+    assert replay_at(g, ev, 5).num_edges() == 0
+
+
+def test_fold_order_not_last_writer_wins(spark):
+    # two increments then an addition reset: order matters
+    g = Graph.of(spark, [], n=2, weighted=True)
+    ev = events_of(spark, [
+        (1, "EDGE_ADDITION", 0, 1, 1.0),
+        (2, "EDGE_WEIGHT_INCREMENT", 0, 1, 2.0),
+        (3, "EDGE_WEIGHT_INCREMENT", 0, 1, 3.0),
+    ])
+    g2 = apply_events(g, ev)
+    w = g2.edges.filter("src = 0 and dst = 1").collect()[0]["weight"]
+    assert w == 6.0
+
+
+def test_parse_dgs_lines(spark):
+    lines = spark.createDataFrame(
+        [("an 0",), ("an 1",), ("ae 0 1 2.5",), ("de 0 1",), ("st",)], "value string"
+    )
+    ev = parse_dgs_lines(lines).orderBy("seq").collect()
+    assert [r["type"] for r in ev] == [
+        "NODE_ADDITION", "NODE_ADDITION", "EDGE_ADDITION", "EDGE_REMOVAL", "TIME_STEP",
+    ]
+    assert ev[2]["w"] == 2.5
+
+
+def test_dyn_cc_addition_merges_and_matches_static(spark):
+    # two components merge via an added edge; result == fresh recompute
+    # (the reference's dynamic-vs-static cross-check,
+    # ConnectedComponentsGTest.cpp:319-390)
+    g = Graph.of(spark, [(0, 1), (2, 3)], n=5)  # {0,1} {2,3} {4}
+    dyn = DynConnectedComponents(g)
+    assert len(set(_labels(dyn.labels).values())) == 3
+    ev = events_of(spark, [(1, "EDGE_ADDITION", 1, 2, 1.0)])
+    labels = _labels(dyn.update_batch(ev))
+    assert labels == _labels(connected_components(apply_events(g, ev)))
+    assert len(set(labels.values())) == 2 and labels[3] == 0
+
+
+def test_dyn_cc_removal_recomputes(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=3)
+    dyn = DynConnectedComponents(g)
+    ev = events_of(spark, [(1, "EDGE_REMOVAL", 1, 2, None)])
+    labels = _labels(dyn.update_batch(ev))
+    assert len(set(labels.values())) == 2 and labels[2] == 2
