@@ -260,6 +260,16 @@ def q_graph_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plp(g, max_iterations=20).labels
 
 
+def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLM / Louvain (deterministic seeded move gating) on the nodes < 200
+    subgraph — no SQL oracle (multilevel modularity optimization)."""
+    from networkit_spark.operators.louvain import plm
+
+    g = _co_graph(spark, sf_dir)
+    sub = g.subgraph_from_nodes(spark.range(200).select("id"))
+    return plm(sub, max_rounds=6, max_levels=3).labels
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries: dedup
 # --------------------------------------------------------------------------
@@ -464,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_sparsify": q_graph_sparsify,
         "graph_plp": q_graph_plp,
+        "graph_plm": q_graph_plm,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -624,7 +635,8 @@ SELECT round(count(*)::DOUBLE, 6) AS cut_weight FROM e0 WHERE src % 10 <> dst % 
 """,
         "graph_coarsen": f"""
 WITH {GRAPH_PRELUDE_SQL}
-SELECT src % 10 AS src, dst % 10 AS dst, round(count(*)::DOUBLE, 6) AS weight
+SELECT src % 10 AS src, dst % 10 AS dst,
+       round(sum(CASE WHEN src % 10 = dst % 10 THEN 0.5 ELSE 1.0 END), 6) AS weight
 FROM edges GROUP BY 1, 2
 """,
         "graph_katz": f"""

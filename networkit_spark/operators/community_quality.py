@@ -145,11 +145,25 @@ def equal_clusterings(a: DataFrame, b: DataFrame) -> bool:
 
 
 def coarsen(g: Graph, labels: DataFrame) -> Graph:
-    """Contract g by a partition: supernode per label, edge weights summed
-    (``coarsening/ParallelPartitionCoarsening.cpp``). Self-loops keep
-    intra-cluster weight."""
-    e = _labeled_edges(g, labels).groupBy(
-        F.col("lu").alias("src"), F.col("lv").alias("dst")
-    ).agg(F.sum("weight").alias("weight"))
+    """Contract g by a partition: supernode per label
+    (``coarsening/ParallelPartitionCoarsening.cpp``).
+
+    Weight conventions preserve total edge weight and node volumes so
+    modularity on the coarse graph equals modularity of the induced fine
+    partition (the invariant Louvain levels rely on): for undirected
+    symmetric storage, an intra-cluster non-loop edge appears in both
+    orientations and must contribute its weight ONCE to the supernode
+    self-loop — hence the w/2 on same-label non-loop rows."""
+    e = _labeled_edges(g, labels)
+    if not g.directed:
+        contrib = F.when(
+            (F.col("lu") == F.col("lv")) & (F.col("src") != F.col("dst")),
+            F.col("weight") / 2.0,
+        ).otherwise(F.col("weight"))
+    else:
+        contrib = F.col("weight")
+    e = e.groupBy(F.col("lu").alias("src"), F.col("lv").alias("dst")).agg(
+        F.sum(contrib).alias("weight")
+    )
     nodes = labels.select(F.col("label").alias("id")).distinct()
     return Graph(nodes=nodes, edges=e, directed=g.directed, weighted=True)

@@ -1,0 +1,202 @@
+"""PLM — Louvain community detection (local moving + multilevel coarsening).
+
+Reference: ``community/PLM.cpp`` (325 LoC). Semantics matched:
+
+- singleton init; node volume = weightedDegree + self-loop weight again
+  (``PLM.cpp:44-47``);
+- move gain for u from community C to D
+  (``PLM.cpp:130-135``, modGain):
+
+      Δ = (aff(u,D) − aff(u,C∖u)) / ω(E)
+        + γ·((vol(C∖u) − vol(D∖u))·vol(u)) / (2·ω(E)²)
+
+  where aff(u,X) = edge weight from u into X (self-loops excluded,
+  ``PLM.cpp:105-111``); move to the best D with Δ > 0;
+- when a pass stops moving, contract by the labels
+  (ParallelPartitionCoarsening) and recurse; prolong labels back down
+  (``PLM.cpp`` coarsen/prolong).
+
+The reference's move phase is asynchronous (OpenMP threads race on
+labels); a synchronous superstep would oscillate on symmetric graphs
+(two cliques swapping wholesale), so we gate moves by node-id parity per
+round — the standard determinization in distributed Louvain — which
+makes output identical at every cluster size. Tests therefore assert
+modularity quality and planted-partition recovery, matching how the
+reference's own tests treat PLM (quality, not exact labels).
+
+Every round is three shuffles: affinity join-agg, best-move window,
+volume re-aggregation. Community volumes are |labels|-sized — broadcast
+or hash-joined by Catalyst as appropriate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.community_quality import coarsen
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+@dataclass
+class PLMResult:
+    labels: DataFrame  # (node LONG, label LONG)
+    levels: int
+    moves: int
+
+
+def _local_moving(
+    g: Graph, gamma: float, max_rounds: int, runner: SuperstepRunner
+) -> tuple[DataFrame, int]:
+    """One Louvain move phase. Returns ((node, label), total moves)."""
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    )
+    loops = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("weight").alias("loop_w")
+    ).groupBy("id").agg(F.sum("loop_w").alias("loop_w"))
+    nonloop = edges.filter(F.col("src") != F.col("dst")).cache()
+    nonloop.count()
+
+    total = g.total_edge_weight()
+    if total == 0:
+        return g.nodes.select(
+            F.col("id").alias("node"), F.col("id").alias("label")
+        ), 0
+    divisor = 2.0 * total * total
+
+    vol_node = (
+        g.degrees()
+        .join(loops, "id", "left")
+        .select(
+            "id",
+            (F.col("wdeg") + F.coalesce("loop_w", F.lit(0.0))).alias("vol"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = vol_node.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    w_best = Window.partitionBy("node").orderBy(F.desc("delta"), F.asc("cand"))
+    total_moves = 0
+    quiet = 0
+    for rnd in range(max_rounds):
+        comm_vol = (
+            labels.join(vol_node.withColumnRenamed("id", "node"), "node")
+            .groupBy("label")
+            .agg(F.sum("vol").alias("cvol"))
+        )
+        # affinity of u to each neighboring community (self-loops excluded)
+        aff = (
+            nonloop.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("cand")
+                ).hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "cand")
+            .agg(F.sum("weight").alias("aff"))
+        )
+        cur = labels.withColumnRenamed("label", "cur")
+        # random-half gate: only a seeded-random half of the nodes may move
+        # per round. Synchronous Louvain oscillates (pairs/cliques swap
+        # wholesale every round); a DETERMINISTIC alternation (e.g. id
+        # parity) re-coordinates the same sets every other round and the
+        # oscillation persists — a hashed random half breaks such cycles
+        # with probability 1 while staying reproducible at any parallelism.
+        movable = F.xxhash64(F.col("node"), F.lit(rnd), F.lit(9172)) % 2 == 0
+        cand = (
+            aff.join(cur, "node")
+            .filter(movable)
+            .filter(F.col("cand") != F.col("cur"))
+            # aff to own community (0 when none)
+            .join(
+                aff.select(
+                    "node", F.col("cand").alias("cur"), F.col("aff").alias("aff_own")
+                ),
+                ["node", "cur"],
+                "left",
+            )
+            .join(vol_node.withColumnRenamed("id", "node"), "node")
+            .join(comm_vol.withColumnRenamed("label", "cur").withColumnRenamed("cvol", "vol_cur"), "cur")
+            .join(comm_vol.withColumnRenamed("label", "cand").withColumnRenamed("cvol", "vol_cand"), "cand")
+            .select(
+                "node",
+                "cand",
+                "cur",
+                (
+                    (F.col("aff") - F.coalesce("aff_own", F.lit(0.0))) / F.lit(total)
+                    + F.lit(gamma)
+                    * (
+                        (F.col("vol_cur") - F.col("vol")) - F.col("vol_cand")
+                    )
+                    * F.col("vol")
+                    / F.lit(divisor)
+                ).alias("delta"),
+            )
+        )
+        moves = (
+            cand.withColumn("rn", F.row_number().over(w_best))
+            .filter((F.col("rn") == 1) & (F.col("delta") > 0))
+            .select("node", F.col("cand").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(moves.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                F.col("new_label").isNotNull().alias("chg"),
+            )
+        )
+        new_labels = runner.persist_step(new_labels, rnd + 1)
+        n_moved = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "label")
+        runner.record(rnd + 1, moved=n_moved)
+        total_moves += n_moved
+        quiet = quiet + 1 if n_moved == 0 else 0
+        if quiet >= 2:  # both parities quiet in a row ⇒ stable
+            break
+    return labels, total_moves
+
+
+def plm(
+    g: Graph,
+    gamma: float = 1.0,
+    max_rounds: int = 32,
+    max_levels: int = 10,
+    runner: SuperstepRunner | None = None,
+) -> PLMResult:
+    """Multilevel Louvain. Returns canonical (node, label) — labels are
+    representative node ids at the coarsest level, compacted afterwards
+    only by the caller if desired."""
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+
+    mapping: DataFrame | None = None  # fine node -> current coarse label
+    current = g
+    levels = 0
+    all_moves = 0
+    while levels < max_levels:
+        levels += 1
+        labels, moved = _local_moving(current, gamma, max_rounds, runner)
+        all_moves += moved
+        mapping = (
+            labels
+            if mapping is None
+            else mapping.join(
+                labels.withColumnRenamed("node", "label2").withColumnRenamed(
+                    "label", "new"
+                ),
+                mapping.label == F.col("label2"),
+            ).select("node", F.col("new").alias("label"))
+        )
+        mapping = mapping.localCheckpoint(eager=True)
+        n_comm = labels.select("label").distinct().count()
+        n_nodes = current.num_nodes()
+        if moved == 0 or n_comm == n_nodes:
+            break
+        current = coarsen(current, labels).cache()
+    return PLMResult(labels=mapping, levels=levels, moves=all_moves)

@@ -1,0 +1,36 @@
+"""PLM (Louvain) quality tests — mirrors how the reference tests PLM:
+modularity quality + planted-partition recovery, never exact labels
+(PLM is order-dependent in the reference too)."""
+
+from __future__ import annotations
+
+from networkit_spark.generators import clustered_random
+from networkit_spark.graph import Graph
+from networkit_spark.operators.community_quality import equal_clusterings, modularity
+from networkit_spark.operators.louvain import plm
+
+
+def test_plm_two_cliques(spark):
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a + 5, b + 5) for a, b in k5a]
+    g = Graph.of(spark, k5a + k5b + [(4, 5)], n=10)
+    res = plm(g, max_rounds=10)
+    labels = {r["node"]: r["label"] for r in res.labels.collect()}
+    assert len({labels[i] for i in range(5)}) == 1
+    assert len({labels[i] for i in range(5, 10)}) == 1
+    assert labels[0] != labels[9]
+    q = modularity(g, res.labels)
+    assert q > 0.3
+
+
+def test_plm_planted_partition_recovers_truth(spark):
+    g, truth = clustered_random(spark, 30, 3, p_intra=1.0, p_inter=0.0, seed=11)
+    res = plm(g, max_rounds=10)
+    assert equal_clusterings(res.labels, truth)
+
+
+def test_plm_improves_modularity_vs_singletons(spark):
+    g, _ = clustered_random(spark, 24, 3, p_intra=0.9, p_inter=0.05, seed=3)
+    res = plm(g, max_rounds=10)
+    singletons = g.nodes.selectExpr("id AS node", "id AS label")
+    assert modularity(g, res.labels) > modularity(g, singletons) + 0.2
