@@ -114,6 +114,48 @@ def _co_subgraph200(spark: SparkSession, sf_dir: str) -> Graph:
     return _memo(spark, sf_dir, "co_subgraph200", build)
 
 
+def _chain_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Directed part-sequence graph: edge partkey(i) → partkey(i+1) for
+    consecutive line numbers within each order (orders with key % 7 == 0
+    only — the sparsified variant has a giant SCC plus a large DAG
+    periphery, the interesting decomposition shape)."""
+
+    def build() -> Graph:
+        li = _lineitem(spark, sf_dir).filter(F.col("l_orderkey") % 7 == 0).select(
+            "l_orderkey", "l_linenumber", "l_partkey"
+        )
+        b = li.select(
+            "l_orderkey",
+            (F.col("l_linenumber") - 1).alias("l_linenumber"),
+            F.col("l_partkey").alias("dst_part"),
+        )
+        e = (
+            li.join(b, ["l_orderkey", "l_linenumber"])
+            .filter(F.col("l_partkey") != F.col("dst_part"))
+            .select(F.col("l_partkey").alias("src"), F.col("dst_part").alias("dst"))
+            .distinct()
+        )
+        g = Graph.from_edges(e, directed=True)
+        return Graph(
+            nodes=g.nodes.localCheckpoint(eager=True),
+            edges=g.edges.localCheckpoint(eager=True),
+            directed=True,
+            weighted=False,
+        )
+
+    return _memo(spark, sf_dir, "chain_graph", build)
+
+
+# DuckDB-side chain graph (must match _chain_graph exactly)
+CHAIN_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+   AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 7 = 0
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -325,6 +367,121 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact standard closeness on the <200-node subgraph
+    (Closeness.hpp:78-93; all-pairs BFS — subgraph-sized on purpose)."""
+    from networkit_spark.operators.distance import closeness_centrality
+
+    sub = _co_subgraph200(spark, sf_dir)
+    out = closeness_centrality(sub, variant="standard")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness on the <200-node subgraph (HarmonicCloseness.cpp)."""
+    from networkit_spark.operators.distance import harmonic_closeness
+
+    sub = _co_subgraph200(spark, sf_dir)
+    out = harmonic_closeness(sub)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness on the <200-node subgraph
+    (Betweenness.cpp:47-91) — path-counting DP is not SQL-expressible;
+    rows-only here, exact parity vs a numpy Brandes oracle in pytest."""
+    from networkit_spark.operators.distance import betweenness
+
+    sub = _co_subgraph200(spark, sf_dir)
+    out = betweenness(sub)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_betweenness_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EstimateBetweenness (16 hash-sampled sources, seed 42) on the FULL
+    co-graph (EstimateBetweenness.cpp) — the at-scale variant."""
+    from networkit_spark.operators.distance import estimate_betweenness
+
+    g = _co_graph(spark, sf_dir)
+    out = estimate_betweenness(g, n_samples=16, seed=42)
+    return out.select("id", F.round("score", 4).alias("score"))
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop diameter of the <200-node subgraph (max eccentricity,
+    Diameter.cpp exact path)."""
+    from networkit_spark.operators.distance import diameter_exact
+
+    sub = _co_subgraph200(spark, sf_dir)
+    return spark.createDataFrame([(int(diameter_exact(sub)),)], "diameter long")
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from node 0 on the <200-node subgraph with
+    deterministic integer weights w(u,v) = (u+v) % 5 + 1 (Bellman-Ford
+    relax loop; Dijkstra.cpp:93 fixed point). Integer weights keep the
+    DuckDB recursive-CTE oracle's state space finite."""
+    from networkit_spark.operators.distance import sssp
+
+    sub = _co_subgraph200(spark, sf_dir)
+    weighted = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    out = sssp(weighted, source=0)
+    return out.select("node", F.round("dist", 6).alias("dist"))
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed part-sequence graph
+    (StronglyConnectedComponents.cpp semantics; coloring/FW-BW kernel).
+    Labels are canonical min-member ids — oracle = transitive-closure SQL."""
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    g = _chain_graph(spark, sf_dir)
+    return strongly_connected_components(g)
+
+
+def q_graph_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI distance between the id%10 and id%7 partitions of the co-graph
+    node set (NMIDistance.cpp closed form — fully SQL-expressible)."""
+    from networkit_spark.operators.community_quality import nmi_distance
+
+    g = _co_graph(spark, sf_dir)
+    a = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    b = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 7).alias("label"))
+    return _scalar_df(spark, "nmi_distance", round(nmi_distance(a, b), 6))
+
+
+def q_graph_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted-Rand dissimilarity between id%10 and id%7 partitions
+    (AdjustedRandMeasure.cpp)."""
+    from networkit_spark.operators.community_quality import (
+        adjusted_rand_dissimilarity,
+    )
+
+    g = _co_graph(spark, sf_dir)
+    a = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    b = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 7).alias("label"))
+    return _scalar_df(spark, "ari_distance", round(adjusted_rand_dissimilarity(a, b), 6))
+
+
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of the id%2 bipartition of the co-graph
+    (Conductance.cpp: cut / min volume)."""
+    from networkit_spark.operators.community_quality import conductance
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 2).alias("label"))
+    return _scalar_df(spark, "conductance", round(conductance(g, labels), 6))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries: dedup
 # --------------------------------------------------------------------------
@@ -352,7 +509,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -530,6 +687,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sparsify": q_graph_sparsify,
         "graph_plp": q_graph_plp,
         "graph_plm": q_graph_plm,
+        "graph_closeness": q_graph_closeness,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
+        "graph_betweenness_est": q_graph_betweenness_est,
+        "graph_diameter": q_graph_diameter,
+        "graph_sssp": q_graph_sssp,
+        "graph_scc": q_graph_scc,
+        "graph_nmi": q_graph_nmi,
+        "graph_ari": q_graph_ari,
+        "graph_conductance": q_graph_conductance,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -551,6 +718,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+# shared subgraph-<200 prelude (nodes are ALL ids 0..199, matching the
+# Spark subgraph_from_nodes node set, isolated ids included)
+SUB200_PRELUDE_SQL = """
+  e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+  edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+  nodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i)),
+  walk(root, node, dist) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+    UNION
+    SELECT w.root, e.dst, w.dist + 1
+    FROM walk w JOIN edges e ON w.node = e.src WHERE w.dist < 64
+  ),
+  sp AS (SELECT root, node, min(dist) AS dist FROM walk GROUP BY root, node)
+"""
 
 # shared text prelude: tokens / shingles (3-gram), mirroring pipeline.dedup
 _TOKS_SQL = """
@@ -793,6 +978,97 @@ FROM etri e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
 """,
         # graph_plp: no SQL oracle (iterative label propagation w/ window
         # tie-breaks is not expressible in DuckDB recursive CTEs)
+        # graph_plm / graph_betweenness / graph_betweenness_est: no SQL
+        # oracle (multilevel optimization / shortest-path counting DP);
+        # pytest covers them against numpy oracles.
+        "graph_closeness": f"""
+WITH RECURSIVE {SUB200_PRELUDE_SQL},
+agg AS (SELECT root AS id, sum(dist) AS s FROM sp WHERE dist > 0 GROUP BY root)
+SELECT n.id,
+       round(CASE WHEN coalesce(a.s, 0) > 0
+                  THEN CAST(1.0 AS DOUBLE) / a.s ELSE 0.0 END, 6) AS score
+FROM nodes n LEFT JOIN agg a ON n.id = a.id
+""",
+        "graph_harmonic": f"""
+WITH RECURSIVE {SUB200_PRELUDE_SQL},
+agg AS (SELECT root AS id, sum(CAST(1.0 AS DOUBLE) / dist) AS s
+        FROM sp WHERE dist > 0 GROUP BY root)
+SELECT n.id, round(coalesce(a.s, 0.0), 6) AS score
+FROM nodes n LEFT JOIN agg a ON n.id = a.id
+""",
+        "graph_diameter": f"""
+WITH RECURSIVE {SUB200_PRELUDE_SQL}
+SELECT coalesce(max(dist), 0) AS diameter FROM sp
+""",
+        "graph_sssp": f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+wedges AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM edges),
+wk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, wk.dist + e.w FROM wk JOIN wedges e ON wk.node = e.src
+  WHERE wk.dist < 64
+)
+SELECT node, round(CAST(min(dist) AS DOUBLE), 6) AS dist FROM wk GROUP BY node
+""",
+        "graph_scc": f"""
+WITH RECURSIVE de AS ({CHAIN_EDGES_SQL}),
+reach(s, d) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN de e ON r.d = e.src
+),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+vs AS (SELECT src AS id FROM de UNION SELECT dst FROM de)
+SELECT n.id AS node, least(n.id, coalesce(min(m.v), n.id)) AS label
+FROM vs n LEFT JOIN mutual m ON m.u = n.id
+GROUP BY n.id
+""",
+        "graph_nmi": f"""
+WITH {GRAPH_PRELUDE_SQL},
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pa AS (SELECT id % 10 AS la, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+pb AS (SELECT id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+cells AS (SELECT id % 10 AS la, id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1, 2),
+mi AS (SELECT sum((c.s / (SELECT n FROM nn))
+                  * log2(c.s * (SELECT n FROM nn) / (pa.s * pb.s))) AS v
+       FROM cells c JOIN pa USING (la) JOIN pb USING (lb)),
+ha AS (SELECT -sum((s / (SELECT n FROM nn)) * log2(s / (SELECT n FROM nn))) AS v FROM pa),
+hb AS (SELECT -sum((s / (SELECT n FROM nn)) * log2(s / (SELECT n FROM nn))) AS v FROM pb)
+SELECT round(CAST(1.0 AS DOUBLE)
+             - 2.0 * (SELECT v FROM mi) / ((SELECT v FROM ha) + (SELECT v FROM hb)),
+             6) AS nmi_distance
+""",
+        "graph_ari": f"""
+WITH {GRAPH_PRELUDE_SQL},
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pa AS (SELECT id % 10 AS la, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+pb AS (SELECT id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+cells AS (SELECT id % 10 AS la, id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1, 2),
+ri AS (SELECT sum(s * (s - 1) / 2) AS v FROM cells),
+sa AS (SELECT sum(s * (s - 1) / 2) AS v FROM pa),
+sb AS (SELECT sum(s * (s - 1) / 2) AS v FROM pb),
+parts AS (
+  SELECT (SELECT v FROM ri) AS ri, (SELECT v FROM sa) AS sa, (SELECT v FROM sb) AS sb,
+         (SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2 AS denom
+)
+SELECT round(CAST(1.0 AS DOUBLE)
+             - (ri - sa * sb / denom) / (0.5 * (sa + sb) - sa * sb / denom),
+             6) AS ari_distance
+FROM parts
+""",
+        "graph_conductance": f"""
+WITH {GRAPH_PRELUDE_SQL},
+cut AS (SELECT count(*)::DOUBLE AS c FROM e0 WHERE src % 2 <> dst % 2),
+vols AS (SELECT id % 2 AS side, sum(deg)::DOUBLE AS vol FROM deg GROUP BY 1)
+SELECT round((SELECT c FROM cut) / (SELECT min(vol) FROM vols), 6) AS conductance
+""",
         "dedup_exact": """
 SELECT sha256(text) AS digest, count(*) AS group_size, min(doc_id) AS keep_id
 FROM documents GROUP BY 1
@@ -830,10 +1106,12 @@ FROM votes GROUP BY doc_id
 """,
         "dedup_jaccard": f"""
 WITH {_TOKS_SQL}, {_shingle_sql(3)},
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,

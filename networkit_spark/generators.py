@@ -123,6 +123,104 @@ def rmat(
     return Graph.from_edges(edges, directed=directed, nodes=nodes, dedupe=True)
 
 
+def lfr_style(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    mu: float = 0.1,
+    avg_degree: int = 10,
+    max_degree: int | None = None,
+    tau_degree: float = 2.5,
+    tau_comm: float = 1.5,
+    seed: int = 42,
+) -> tuple[Graph, DataFrame]:
+    """LFR-style benchmark graph + ground truth (``generators/LFRGenerator.hpp:35``
+    semantics, re-derived for columnar generation — NOT a port of the
+    reference's sequential configuration-model rewiring):
+
+    - node degrees ~ truncated power-law(τ₁) via inverse-CDF of a seeded
+      hash-uniform (deterministic at any parallelism);
+    - community of node i ~ power-law-skewed over k communities (so
+      community sizes follow a power-law, the LFR property);
+    - each node emits ``deg`` stubs; a stub is intra-community with
+      probability 1−μ, else global. Targets are sampled by indexing into
+      a per-community member table (join on (community, index)) — no
+      driver-side state, every step a hash or a keyed join.
+
+    Returns (graph, truth) with truth = (node, label). The realized
+    degree sequence approximates the drawn one (collisions/self-pairs
+    dropped), same as LFR's rewiring tolerance.
+    """
+    max_degree = max_degree or max(int(n ** 0.5), avg_degree * 4)
+    nodes = spark.range(n).select("id")
+
+    # power-law degree draw: dmin·(1-u)^(-1/(τ-1)), capped
+    u_deg = _uniform(F.col("id"), seed * 7 + 1)
+    dmin = max(1, int(avg_degree * (tau_degree - 2) / (tau_degree - 1)))
+    raw_deg = F.lit(float(dmin)) * F.pow(
+        F.lit(1.0) - u_deg, F.lit(-1.0 / (tau_degree - 1.0))
+    )
+    deg = F.least(F.round(raw_deg).cast("long"), F.lit(max_degree))
+
+    # power-law community assignment: comm = floor(k · u^τ₂) skews sizes
+    u_comm = _uniform(F.col("id"), seed * 7 + 2)
+    comm = F.least(
+        (F.lit(float(k)) * F.pow(u_comm, F.lit(tau_comm))).cast("long"),
+        F.lit(k - 1),
+    )
+
+    prof = nodes.select("id", deg.alias("deg"), comm.alias("comm")).cache()
+    truth = prof.select(F.col("id").alias("node"), F.col("comm").alias("label"))
+
+    # per-community member index + sizes (window bounded by community size)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comm").orderBy("id")
+    members = prof.select(
+        "comm", "id", (F.row_number().over(w) - 1).alias("idx")
+    )
+    csizes = members.groupBy("comm").agg(F.count(F.lit(1)).alias("csize"))
+
+    stubs = (
+        prof.select("id", "deg", "comm")
+        .join(csizes, "comm")
+        .select(
+            "id",
+            "comm",
+            "csize",
+            F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("stub"),
+        )
+    )
+    h = F.xxhash64("id", "stub", F.lit(seed * 7 + 3))
+    is_intra = _uniform(F.xxhash64("id", "stub", F.lit(seed * 7 + 4)), seed) < F.lit(
+        1.0 - mu
+    )
+    stubs = stubs.select(
+        "id",
+        "comm",
+        "stub",
+        is_intra.alias("intra"),
+        F.pmod(h, F.col("csize")).alias("tgt_idx"),
+        F.pmod(h, F.lit(n)).alias("tgt_global"),
+    )
+    intra_e = (
+        stubs.filter("intra")
+        .join(members.withColumnRenamed("id", "dst").withColumnRenamed("idx", "tgt_idx"),
+              ["comm", "tgt_idx"])
+        .select(F.col("id").alias("src"), "dst")
+    )
+    inter_e = stubs.filter(~F.col("intra")).select(
+        F.col("id").alias("src"), F.col("tgt_global").alias("dst")
+    )
+    edges = (
+        intra_e.unionByName(inter_e)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return Graph.from_edges(edges, nodes=nodes), truth
+
+
 def chain(spark: SparkSession, n: int) -> Graph:
     """Path graph 0-1-2-…-(n-1): worst case for naive min-label rounds."""
     edges = spark.range(n - 1).select(

@@ -9,9 +9,15 @@ natural sort order of the external key, which is stable across cluster
 sizes and re-runs (component/label parity is relabel-invariant anyway, see
 ``community/GraphClusteringTools.cpp:99-115``).
 
-Scale note: the remap is a ``dense_rank`` over the distinct key set — one
-shuffle over |V| rows (≪ |E|), computed once at ingest and joined back onto
-the edge table (sort-merge or AQE-broadcast depending on |V|).
+Scale note: the remap is a two-phase rank over the distinct key set —
+a global ``Window.orderBy`` would funnel all |V| keys through ONE task
+(the dense-id scale-killer at 10¹²-file ingest). Instead: range-partition
+the distinct keys, rank within each range partition in parallel, then add
+exclusive-prefix-sum partition offsets (one tiny collect of per-partition
+counts). Range partitioning puts every key of partition *i* before every
+key of partition *i+1*, so offset + local rank == global rank no matter
+where the sampled boundaries land — output is identical at any
+parallelism.
 """
 
 from __future__ import annotations
@@ -22,17 +28,37 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import Graph
 
 
-def assign_dense_ids(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Map each distinct tuple of ``cols`` to a dense id 0..k-1.
+def assign_dense_ids(df: DataFrame, cols: list[str], buckets: int | None = None) -> DataFrame:
+    """Map each distinct tuple of ``cols`` to a dense id 0..k-1 in the
+    natural sort order of ``cols`` (deterministic across parallelism).
 
-    Returns a DataFrame with ``cols`` + ``id LONG``, ordered by the natural
-    sort of ``cols`` (deterministic across parallelism levels).
+    Returns a DataFrame with ``cols`` + ``id LONG``.
     """
-    w = Window.orderBy(*[F.col(c) for c in cols])
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    distinct = df.select(*cols).distinct()
+    parts = distinct.repartitionByRange(
+        buckets, *[F.col(c) for c in cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    # pin the partition layout so counts and ranks see the same pids
+    parts = parts.localCheckpoint(eager=True)
+    counts = {
+        int(r["__pid"]): int(r["n"])
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        return distinct.withColumn("id", F.lit(0).cast("long")).limit(0)
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
     return (
-        df.select(*cols)
-        .distinct()
-        .withColumn("id", (F.dense_rank().over(w) - F.lit(1)).cast("long"))
+        parts.withColumn("__rk", F.row_number().over(w) - F.lit(1))
+        .join(F.broadcast(off_df), "__pid")
+        .select(*cols, (F.col("__rk") + F.col("__off")).cast("long").alias("id"))
     )
 
 

@@ -119,14 +119,46 @@ def subset_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
 
-def compact_labels(labels: DataFrame) -> DataFrame:
+def compact_labels(labels: DataFrame, buckets: int = 256) -> DataFrame:
     """Partition::compact (``Partition.hpp:192``): relabel to 0..k-1 in
-    ascending order of the old label id."""
-    w = Window.orderBy("label")
+    ascending order of the old label id.
+
+    Two-phase rank — a global ``Window.orderBy`` funnels every distinct
+    label through ONE task, which is the classic dense-id scale-killer.
+    Instead: range-bucket by label, rank within each bucket in parallel,
+    then add exclusive-prefix-sum bucket offsets (``buckets`` rows,
+    computed driver-side)."""
+    distinct = labels.select("label").distinct()
+    lo_hi = distinct.agg(
+        F.min("label").alias("lo"), F.max("label").alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return labels.select("node", "label")
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = max(hi - lo + 1, 1)
+    bucket = ((F.col("label") - F.lit(lo)) * F.lit(buckets) / F.lit(span)).cast(
+        "long"
+    )
+    bucketed = distinct.withColumn(
+        "bucket", F.least(bucket, F.lit(buckets - 1))
+    )
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    spark = labels.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, offsets[b]) for b in sorted(offsets)], "bucket long, off long"
+    )
+    w = Window.partitionBy("bucket").orderBy("label")
     remap = (
-        labels.select("label")
-        .distinct()
-        .withColumn("new_label", (F.dense_rank().over(w) - 1).cast("long"))
+        bucketed.withColumn("rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "bucket")
+        .select("label", (F.col("rk") + F.col("off")).cast("long").alias("new_label"))
     )
     return labels.join(remap, "label").select(
         "node", F.col("new_label").alias("label")
@@ -142,6 +174,110 @@ def equal_clusterings(a: DataFrame, b: DataFrame) -> bool:
     bad_a = j.groupBy("la").agg(F.countDistinct("lb").alias("k")).filter("k > 1").count()
     bad_b = j.groupBy("lb").agg(F.countDistinct("la").alias("k")).filter("k > 1").count()
     return bad_a == 0 and bad_b == 0
+
+
+def _contingency(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Shared contingency table for partition-similarity measures:
+    (cell sizes |C∩D|, sizes of a's clusters, sizes of b's clusters, n)."""
+    j = a.withColumnRenamed("label", "la").join(
+        b.withColumnRenamed("label", "lb"), "node"
+    )
+    cells = j.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("s")).cache()
+    sa = cells.groupBy("la").agg(F.sum("s").alias("s"))
+    sb = cells.groupBy("lb").agg(F.sum("s").alias("s"))
+    n = cells.agg(F.sum("s")).collect()[0][0] or 0
+    return cells, sa, sb, int(n)
+
+
+def nmi_distance(a: DataFrame, b: DataFrame) -> float:
+    """NMIDistance (``community/NMIDistance.cpp:30-120``): 1 − NMI with
+    NMI = 2·MI/(H(a)+H(b)), MI = Σ (|C∩D|/n)·log₂(|C∩D|·n/(|C|·|D|)),
+    H = −Σ P log₂ P. Contingency table = one join + groupBy."""
+    cells, sa, sb, n = _contingency(a, b)
+    if n == 0:
+        return 0.0
+    mi_df = (
+        cells.join(sa.withColumnRenamed("s", "sc"), "la")
+        .join(sb.withColumnRenamed("s", "sd"), "lb")
+        .agg(
+            F.sum(
+                (F.col("s") / F.lit(float(n)))
+                * F.log2(F.col("s") * F.lit(float(n)) / (F.col("sc") * F.col("sd")))
+            )
+        )
+    )
+    mi = mi_df.collect()[0][0] or 0.0
+
+    def entropy(sizes: DataFrame) -> float:
+        v = sizes.agg(
+            F.sum(-(F.col("s") / F.lit(float(n))) * F.log2(F.col("s") / F.lit(float(n))))
+        ).collect()[0][0]
+        return v or 0.0
+
+    h_sum = entropy(sa) + entropy(sb)
+    if abs(h_sum) < 1e-12:
+        return 0.0
+    return 1.0 - (2.0 * mi) / h_sum
+
+
+def adjusted_rand_dissimilarity(a: DataFrame, b: DataFrame) -> float:
+    """AdjustedRandMeasure (``community/AdjustedRandMeasure.cpp:10-55``):
+    1 − ARI with the permutation-model expected index."""
+    cells, sa, sb, n = _contingency(a, b)
+    if n < 2:
+        return 0.0
+
+    def pairs(df: DataFrame) -> float:
+        v = df.agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).collect()[0][0]
+        return float(v or 0)
+
+    rand_index = pairs(cells)
+    sum_a, sum_b = pairs(sa), pairs(sb)
+    denom = n * (n - 1) / 2
+    max_index = 0.5 * (sum_a + sum_b)
+    expected = sum_a * sum_b / denom
+    if max_index == 0 or max_index == expected:
+        return 0.0
+    return 1.0 - (rand_index - expected) / (max_index - expected)
+
+
+def rand_dissimilarity(a: DataFrame, b: DataFrame) -> float:
+    """NodeStructuralRandMeasure (``community/NodeStructuralRandMeasure.cpp``):
+    fraction of node pairs on which the two partitions disagree,
+    1 − (s11 + s00)/(n·(n−1)/2), computed from the contingency table."""
+    cells, sa, sb, n = _contingency(a, b)
+    if n < 2:
+        return 0.0
+
+    def pairs(df: DataFrame) -> float:
+        v = df.agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).collect()[0][0]
+        return float(v or 0)
+
+    total = n * (n - 1) / 2
+    s11 = pairs(cells)  # together in both
+    same_a, same_b = pairs(sa), pairs(sb)
+    # together in exactly one partition:
+    disagree = (same_a - s11) + (same_b - s11)
+    return disagree / total
+
+
+def conductance(g: Graph, labels: DataFrame) -> float:
+    """Conductance of a 2-partition (``community/Conductance.cpp:15-55``):
+    cut weight / min(vol(S₀), vol(S₁)), volumes = Σ weightedDegree."""
+    k = num_subsets(labels)
+    if k != 2:
+        raise ValueError(f"conductance requires a 2-partition, got {k} subsets")
+    vols = (
+        g.degrees()
+        .join(labels.withColumnRenamed("node", "id"), "id")
+        .groupBy("label")
+        .agg(F.sum("wdeg").alias("vol"))
+        .collect()
+    )
+    denom = min(float(r["vol"]) for r in vols)
+    if denom == 0.0:
+        return 0.0
+    return edge_cut(g, labels) / denom
 
 
 def coarsen(g: Graph, labels: DataFrame) -> Graph:

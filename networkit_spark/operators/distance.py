@@ -1,0 +1,405 @@
+"""Distance-based kernels: multi-source BFS, betweenness (Brandes),
+closeness / harmonic closeness, diameter, weighted SSSP.
+
+Reference semantics matched (all citations into /root/reference):
+
+- BFS / SSSP distances: ``distance/BFS.cpp``, ``distance/Dijkstra.cpp:93``
+  (weighted relax; we use the join-agg Bellman-Ford form — same fixed
+  point, shuffle-friendly).
+- Betweenness: Brandes accumulation ``centrality/Betweenness.cpp:47-91``
+  (dependency[p] += (σ_p/σ_t)(1+dependency[t]); normalized divides by
+  (n-1)(n-2)).
+- EstimateBetweenness: ``centrality/EstimateBetweenness.cpp:44-110`` —
+  sampled sources, linear-scaled dependency (× dist(p)/dist(t),
+  Geisberger et al.), extrapolation × 2n/nSamples.
+- Closeness: ``include/networkit/centrality/Closeness.hpp:78-93`` —
+  standard variant score = 1/Σdist (0 when nothing reached), normalized
+  × (n-1); generalized variant = (r-1)/Σdist/(n-1), normalized × (r-1).
+- HarmonicCloseness: ``centrality/HarmonicCloseness.cpp:25-47`` —
+  Σ 1/dist over reached, normalized /(n-1).
+- Diameter: ``distance/Diameter.cpp`` — exact via all-pairs ecc;
+  estimatedRange via the two-sweep lower bound (lb = ecc of the far
+  node of a double BFS sweep, ub = 2·lb).
+
+Spark plan notes (100 TB posture): the substrate is a batched
+multi-source BFS whose frontier is keyed by (root, node) — one shuffle
+per hop level for ALL roots simultaneously, so k sampled sources cost
+O(diameter) rounds total, not k × diameter. Per-level states are
+localCheckpointed through SuperstepRunner (lineage truncation, metrics,
+resume). Exact all-sources variants are O(n·m) total work — same as the
+reference — and are meant for subgraphs / sampled source sets at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+@dataclass
+class MSBFSResult:
+    # visited: (root LONG, node LONG, dist LONG, sigma DOUBLE)
+    visited: DataFrame
+    # levels[d]: (root, node, sigma) at hop distance d (levels[0] = sources)
+    levels: list[DataFrame]
+    depth: int
+
+
+def multi_source_bfs(
+    g: Graph,
+    sources: DataFrame,
+    runner: SuperstepRunner | None = None,
+    with_sigma: bool = True,
+) -> MSBFSResult:
+    """Batched BFS from every row of ``sources`` (single column of ids).
+
+    Tracks per-(root, node) hop distance and — for Brandes — σ, the
+    number of distinct shortest paths from root to node. One frontier
+    join + one (root, dst) aggregation per hop level, shared across all
+    roots; the edge relation is cached once.
+    """
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+
+    edges = g.edges.select("src", "dst").cache()
+    edges.count()
+
+    roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
+    level0 = roots.select(
+        "root", F.col("root").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+
+    visited = level0.select("root", "node", F.lit(0).cast("long").alias("dist"), "sigma")
+    visited = visited.localCheckpoint(eager=True)
+    levels = [level0]
+    frontier = level0
+
+    depth = 0
+    while True:
+        depth += 1
+        # expand: every (root, node) in the frontier sends σ along out-edges;
+        # paths to the same (root, dst) sum — that IS σ for the next level
+        # when dst is newly discovered.
+        msgs = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = msgs.join(
+            visited.select("root", "node"), ["root", "node"], "left_anti"
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_new = nxt.count()
+        runner.record(depth, frontier=n_new)
+        if n_new == 0:
+            depth -= 1
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("root", "node", F.lit(depth).cast("long").alias("dist"), "sigma")
+        )
+        visited = runner.persist_step(visited, depth)
+        frontier = nxt
+
+    if not with_sigma:
+        visited = visited.drop("sigma")
+    return MSBFSResult(visited=visited, levels=levels, depth=depth)
+
+
+# --------------------------------------------------------------------------
+# Betweenness (Brandes) — exact and sampled
+# --------------------------------------------------------------------------
+
+def _brandes(
+    g: Graph,
+    sources: DataFrame,
+    linear_scaling: bool,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Sum of Brandes dependencies over ``sources``: (id, score).
+
+    Backward phase walks the BFS DAG level by level from the deepest
+    frontier; δ for level d-1 is one join-agg over level-d deltas
+    (predecessor p of t satisfies dist(p) = dist(t) - 1 and (p,t) ∈ E).
+    """
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    res = multi_source_bfs(g, sources, runner=runner)
+    edges = g.edges.select("src", "dst")
+
+    acc: DataFrame | None = None  # (node, dep) summed over roots, per level
+    delta: DataFrame | None = None  # (root, node, delta) at current level
+    for d in range(res.depth, 0, -1):
+        lvl = res.levels[d]  # (root, node, sigma) at dist d
+        cur = (
+            lvl.join(delta, ["root", "node"], "left").select(
+                "root",
+                "node",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+            if delta is not None
+            else lvl.select("root", "node", "sigma", F.lit(0.0).alias("delta"))
+        )
+        # score[t] += dependency[t] for t at this level (root ≠ t by construction)
+        contrib = cur.groupBy(F.col("node").alias("id")).agg(
+            F.sum("delta").alias("dep")
+        )
+        acc = contrib if acc is None else acc.unionByName(contrib)
+
+        # push dependency to predecessors at level d-1
+        factor = F.lit((d - 1) / d) if linear_scaling else F.lit(1.0)
+        prev = res.levels[d - 1].select(
+            "root", F.col("node").alias("src"), F.col("sigma").alias("sigma_p")
+        )
+        delta = (
+            edges.join(
+                cur.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
+            )
+            .join(prev, ["root", "src"])  # keeps only true DAG predecessors
+            .groupBy("root", F.col("src").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sigma_p") / F.col("sigma"))
+                    * factor
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        delta = delta.localCheckpoint(eager=True)
+
+    if acc is None:
+        return g.nodes.select("id", F.lit(0.0).alias("score"))
+    dep = acc.groupBy("id").agg(F.sum("dep").alias("score"))
+    return g.nodes.join(dep, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def betweenness(
+    g: Graph,
+    normalized: bool = False,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Exact Brandes betweenness (``centrality/Betweenness.cpp``):
+    (id, score). Undirected pairs contribute twice, as in the reference
+    (raw maximum is (n-1)(n-2)/2 · 2); normalized divides by (n-1)(n-2)."""
+    scores = _brandes(g, g.nodes, linear_scaling=False, runner=runner)
+    if normalized:
+        n = g.num_nodes()
+        pairs = max((n - 1) * (n - 2), 1)
+        scores = scores.select("id", (F.col("score") / F.lit(float(pairs))).alias("score"))
+    return scores
+
+
+def estimate_betweenness(
+    g: Graph,
+    n_samples: int,
+    seed: int = 42,
+    normalized: bool = False,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """EstimateBetweenness (``centrality/EstimateBetweenness.cpp``):
+    sampled sources, linear-scaled dependencies, extrapolated ×2n/samples.
+
+    Sampling is a seeded hash order over the node set (deterministic at
+    any parallelism) rather than the reference's RNG — same estimator,
+    reproducible across cluster sizes.
+    """
+    n = g.num_nodes()
+    k = min(n_samples, n)
+    sampled = (
+        g.nodes.orderBy(F.xxhash64("id", F.lit(seed)))
+        .limit(k)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    scores = _brandes(g, sampled, linear_scaling=True, runner=runner)
+    scale = 2.0 * n / k
+    if normalized:
+        scale /= max((n - 1) * (n - 2), 1)
+    return scores.select("id", (F.col("score") * F.lit(scale)).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# Closeness family
+# --------------------------------------------------------------------------
+
+def closeness_centrality(
+    g: Graph,
+    variant: str = "standard",
+    normalized: bool = False,
+    sources: DataFrame | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Closeness (``Closeness.hpp:78-93``): (id, score).
+
+    ``sources`` restricts which nodes get scores (exact all-nodes by
+    default — O(n·m); pass a sample or run on a subgraph at scale).
+    Distances are measured FROM the node along out-edges, matching the
+    reference's BFS direction.
+    """
+    n = g.num_nodes()
+    src = sources if sources is not None else g.nodes
+    res = multi_source_bfs(g, src, runner=runner, with_sigma=False)
+    agg = (
+        res.visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum("dist").alias("sum_dist"), F.count(F.lit(1)).alias("reached"))
+    )
+    if variant == "standard":
+        score = F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist")).otherwise(0.0)
+        if normalized:
+            score = score * F.lit(float(n - 1))
+    else:  # generalized (Lin/ Wasserman-Faust form used by the reference)
+        score = F.when(
+            F.col("sum_dist") > 0,
+            F.col("reached") / F.col("sum_dist") / F.lit(float(max(n - 1, 1))),
+        ).otherwise(0.0)
+        if normalized:
+            score = score * F.col("reached")
+    out = agg.select("id", score.alias("score"))
+    base = src.select(F.col(src.columns[0]).cast("long").alias("id"))
+    return base.join(out, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def harmonic_closeness(
+    g: Graph,
+    normalized: bool = False,
+    sources: DataFrame | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """HarmonicCloseness (``HarmonicCloseness.cpp:25-47``): Σ 1/dist."""
+    n = g.num_nodes()
+    src = sources if sources is not None else g.nodes
+    res = multi_source_bfs(g, src, runner=runner, with_sigma=False)
+    agg = (
+        res.visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("score"))
+    )
+    base = src.select(F.col(src.columns[0]).cast("long").alias("id"))
+    out = base.join(agg, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    if normalized:
+        out = out.select("id", (F.col("score") / F.lit(float(max(n - 1, 1)))).alias("score"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Diameter
+# --------------------------------------------------------------------------
+
+def eccentricities(g: Graph, sources: DataFrame | None = None) -> DataFrame:
+    """(id, ecc) — max hop distance to any reached node (``distance/Eccentricity.cpp``)."""
+    src = sources if sources is not None else g.nodes
+    res = multi_source_bfs(g, src, with_sigma=False)
+    return res.visited.groupBy(F.col("root").alias("id")).agg(
+        F.max("dist").alias("ecc")
+    )
+
+
+def diameter_exact(g: Graph) -> int:
+    """Exact hop diameter of the (largest-reach) graph: max eccentricity.
+
+    All-pairs BFS — O(n·m); the reference's exact mode has the same
+    complexity bound (``distance/Diameter.cpp`` exact path).
+    """
+    row = eccentricities(g).agg(F.max("ecc")).collect()[0]
+    return int(row[0] or 0)
+
+
+def diameter_range(g: Graph, seed: int = 42) -> tuple[int, int]:
+    """Two-sweep estimate (``distance/Diameter.cpp:330`` estimatedRange
+    semantics, lb/ub pair): BFS from a max-degree node, re-BFS from the
+    farthest node found; lb = that eccentricity, ub = 2·lb."""
+    from networkit_spark.operators.traversal import bfs
+
+    start = (
+        g.degrees()
+        .orderBy(F.desc("deg"), F.asc("id"))
+        .limit(1)
+        .collect()[0]["id"]
+    )
+    d1 = bfs(g, int(start))
+    far = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]["node"]
+    d2 = bfs(g, int(far))
+    lb = int(d2.agg(F.max("dist")).collect()[0][0] or 0)
+    return lb, 2 * lb
+
+
+# --------------------------------------------------------------------------
+# Weighted SSSP (Bellman-Ford relax loop)
+# --------------------------------------------------------------------------
+
+def sssp(
+    g: Graph,
+    source: int,
+    max_rounds: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Weighted single-source shortest paths: (node, dist DOUBLE).
+
+    Same fixed point as ``distance/Dijkstra.cpp:93`` for non-negative
+    weights; executed as the join-agg Bellman-Ford relax loop (each round
+    one frontier⋈edges shuffle + a min-agg). Only IMPROVED nodes re-relax
+    — the frontier shrinks like delta-stepping's light buckets. Converges
+    in ≤ hop-diameter rounds on non-negative weights; raises after
+    |V| rounds otherwise (negative cycle guard). Unreachable = absent.
+    """
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    max_rounds = max_rounds or (g.num_nodes() + 1)
+
+    edges = g.edges.select("src", "dst", "weight").cache()
+    edges.count()
+
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "node long, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        relax = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand") < F.col("dist"))
+                ).alias("improved"),
+            )
+        )
+        merged = runner.persist_step(merged, rounds)
+        n_improved = merged.filter("improved").count()
+        runner.record(rounds, improved=n_improved)
+        frontier = merged.filter("improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if n_improved == 0:
+            return dist
+    raise RuntimeError(
+        f"sssp did not converge in {max_rounds} rounds (negative cycle?)"
+    )

@@ -198,5 +198,17 @@ def plm(
         n_nodes = current.num_nodes()
         if moved == 0 or n_comm == n_nodes:
             break
-        current = coarsen(current, labels).cache()
+        cg = coarsen(current, labels)
+        # EAGER localCheckpoint, not cache(): the coarse graph's lineage
+        # references this level's final labels, which the superstep runner
+        # unpersists two steps later — a lazily-cached frame evicted under
+        # memory pressure would then recompute into a truncated lineage
+        # ("Checkpoint block not found"). Materializing here severs the
+        # dependency before the runner ages the labels out.
+        current = Graph(
+            nodes=cg.nodes.localCheckpoint(eager=True),
+            edges=cg.edges.localCheckpoint(eager=True),
+            directed=cg.directed,
+            weighted=cg.weighted,
+        )
     return PLMResult(labels=mapping, levels=levels, moves=all_moves)

@@ -78,6 +78,8 @@ def luby_independent_set(g: Graph, seed: int = 42, max_rounds: int = 64) -> Data
             .join(loser, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
+    if not chosen:  # empty node set: nothing to choose
+        return g.nodes.withColumn("in_set", F.lit(False))
     in_set = chosen[0]
     for c in chosen[1:]:
         in_set = in_set.unionByName(c)
@@ -86,14 +88,24 @@ def luby_independent_set(g: Graph, seed: int = 42, max_rounds: int = 64) -> Data
     ).select("id", F.coalesce("in_set", F.lit(False)).alias("in_set"))
 
 
-def suitor_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
+def suitor_matching(g: Graph, max_rounds: int | None = None) -> DataFrame:
     """(u LONG, v LONG) matched pairs (u < v) — greedy weighted matching by
-    synchronous propose/accept (SuitorMatcher semantics; ties by id)."""
+    synchronous propose/accept (SuitorMatcher semantics; ties by id).
+
+    Always maximal, like the reference: the globally best live edge under
+    (weight desc, pair asc) is mutual every round, so each round matches
+    ≥ 1 pair and the loop runs until NO live edge remains (≤ ⌈n/2⌉ rounds;
+    an adversarial strictly-increasing path needs the full O(n) — a fixed
+    round cap would silently return a non-maximal matching there)."""
     edges = _sym_edges(g).select("src", "dst", "weight").localCheckpoint(eager=True)
     unmatched = g.nodes
     matched_pairs = None
     w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            break
         # live edges: both endpoints unmatched
         live = (
             edges.join(unmatched.withColumnRenamed("id", "src"), "src", "left_semi")

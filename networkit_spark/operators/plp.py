@@ -92,6 +92,7 @@ def plp(
     )
     labels = labels.localCheckpoint(eager=True)
     changed: DataFrame | None = None  # None ⇒ everyone votes (first round)
+    last_updated = n  # everyone "changed" before round 1
 
     iterations = 0
     import time
@@ -99,7 +100,12 @@ def plp(
     while iterations < max_iterations:
         t0 = time.monotonic()
         target = None
-        if active_set and changed is not None:
+        # The changed-adjacency semi-join is an EXTRA shuffle of the edge
+        # table; while most nodes are still flipping (early rounds) it
+        # filters almost nothing and costs more than it saves. Engage the
+        # active set only once the frontier has shrunk below 40% of |V| —
+        # before that a full vote is the cheaper plan.
+        if active_set and changed is not None and last_updated < 0.4 * n:
             # nodes adjacent to a changed node (PLP.cpp:92-100 reactivation)
             target = (
                 edges.join(changed.withColumnRenamed("node", "src"), "src", "left_semi")
@@ -120,6 +126,7 @@ def plp(
         iterations += 1
         new_labels = runner.persist_step(new_labels, iterations)
         n_updated = new_labels.filter("chg").count()
+        last_updated = n_updated
         changed = new_labels.filter("chg").select("node")
         labels = new_labels.select("node", "label")
         runner.record(

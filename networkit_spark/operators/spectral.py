@@ -152,5 +152,7 @@ def eigenvector_centrality(
     # (EigenvectorCentrality.cpp:59-64)
     first = scores.orderBy("id").limit(1).collect()
     if first and first[0]["score"] < 0:
-        scores = scores.select("id", F.abs(F.col("score")).alias("score"))
+        # negate the WHOLE vector (not element-wise abs — wrong for
+        # mixed-sign vectors), matching the reference exactly
+        scores = scores.select("id", (-F.col("score")).alias("score"))
     return SpectralResult(scores=scores, iterations=iterations, converged=converged)

@@ -80,14 +80,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
 
     Inverted-index join: only docs sharing ≥1 shingle are compared.
+
+    ``max_df`` is the scale guard: a shingle appearing in more than
+    ``max_df`` documents ("stop shingle" — boilerplate, license headers)
+    is dropped from BOTH the pair index and the per-doc sizes, i.e. the
+    Jaccard is computed over the filtered shingle universe. Without it
+    the self-join is quadratic per shared shingle — one shingle present
+    in a million docs yields 5·10¹¹ candidate rows. At 100 TB always set
+    it (df-capped inverted indexes are standard for near-dup mining);
+    leave None only for verifier runs on pre-blocked candidate pairs.
     """
     sh = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         sh.alias("a")

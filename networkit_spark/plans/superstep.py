@@ -73,6 +73,14 @@ class SuperstepRunner:
         aggregate — so each superstep still costs ONE job. States older
         than two steps are unpersisted to bound executor memory (at
         |V| = billions the score vector is not free).
+
+        CONTRACT for callers: any long-lived DataFrame whose lineage
+        reads a persisted state (e.g. a coarsened graph built from a
+        level's final labels) must be EAGERLY materialized
+        (``localCheckpoint(eager=True)``) before two more persist_step
+        calls age that state out — a lazy ``.cache()`` evicted under
+        memory pressure would recompute into the truncated lineage and
+        fail with "Checkpoint block not found".
         """
         if self.checkpoint_dir and step % self.cadence == 0:
             path = self._step_dir(step)

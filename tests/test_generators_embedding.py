@@ -1,0 +1,84 @@
+"""LFR-style generator and Node2Vec walk tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.generators import lfr_style
+from networkit_spark.graph import Graph
+from networkit_spark.operators.embedding import node2vec, random_walks
+
+
+def test_lfr_style_structure(spark):
+    g, truth = lfr_style(spark, n=400, k=8, mu=0.1, avg_degree=8, seed=7)
+    n = g.num_nodes()
+    assert n == 400
+    m = g.num_edges()
+    assert m > 400  # connected-ish, not degenerate
+    # ground truth covers every node with k communities
+    sizes = truth.groupBy("label").count().collect()
+    assert 2 <= len(sizes) <= 8
+    assert sum(r["count"] for r in sizes) == 400
+    # mixing: intra-community edge fraction should be far above μ-random
+    lab = truth
+    e = g.canonical_undirected_edges()
+    j = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    intra = j.filter("ls = ld").count()
+    assert intra / m > 0.6, (intra, m)
+
+
+def test_lfr_deterministic(spark):
+    g1, _ = lfr_style(spark, n=200, k=4, mu=0.2, avg_degree=6, seed=11)
+    g2, _ = lfr_style(spark, n=200, k=4, mu=0.2, avg_degree=6, seed=11)
+    e1 = sorted((r["src"], r["dst"]) for r in g1.canonical_undirected_edges().collect())
+    e2 = sorted((r["src"], r["dst"]) for r in g2.canonical_undirected_edges().collect())
+    assert e1 == e2
+
+
+def test_random_walks_follow_edges(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    g = Graph.of(spark, edges, n=4)
+    adj = set()
+    for u, v in edges:
+        adj.add((u, v))
+        adj.add((v, u))
+    walks = random_walks(g, walk_length=6, walks_per_node=2, seed=3).collect()
+    assert len(walks) == 8
+    for r in walks:
+        seq = r["seq"]
+        assert len(seq) == 6
+        assert seq[0] == r["walk_id"] // 2  # starts at its node
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in adj, seq
+
+
+def test_random_walks_dead_end_stops(spark):
+    g = Graph.of(spark, [(0, 1)], n=3, directed=True)  # 1 and 2 are sinks
+    walks = {r["walk_id"]: r["seq"] for r in random_walks(g, walk_length=5, walks_per_node=1).collect()}
+    assert walks[0] == [0, 1]  # walked one step then hit the sink
+    assert walks[1] == [1]
+    assert walks[2] == [2]
+
+
+def test_node2vec_embeddings_shape(spark):
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(i, (i + 2) % 10) for i in range(10)]
+    g = Graph.of(spark, edges, n=10)
+    res = node2vec(g, walk_length=8, walks_per_node=3, dimensions=16, seed=5)
+    rows = res.embeddings.collect()
+    assert len(rows) == 10
+    assert all(len(r["vector"]) == 16 for r in rows)
+
+
+def test_node2vec_biased_walks_valid(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = Graph.of(spark, edges, n=5)
+    adj = set()
+    for u, v in edges:
+        adj.add((u, v))
+        adj.add((v, u))
+    walks = random_walks(g, walk_length=5, walks_per_node=2, p=0.5, q=2.0, seed=9).collect()
+    for r in walks:
+        for a, b in zip(r["seq"], r["seq"][1:]):
+            assert (a, b) in adj

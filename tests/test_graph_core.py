@@ -68,3 +68,38 @@ def test_remap_and_compact(spark):
     c = compact_graph(g)
     assert {r["id"] for r in c.nodes.collect()} == {0, 1, 2}
     assert c.num_edges() == 2
+
+
+def test_assign_dense_ids_two_phase_order(spark):
+    """Two-phase ranking must equal the global sort order at any bucket
+    count (offsets + within-bucket rank == global rank)."""
+    from networkit_spark.ids import assign_dense_ids
+
+    vals = [(x,) for x in [50, 3, 99, 7, 7, 42, 0, 13, 99, 64]]
+    df = spark.createDataFrame(vals, "key long")
+    for buckets in (1, 3, 16):
+        got = {
+            r["key"]: r["id"]
+            for r in assign_dense_ids(df, ["key"], buckets=buckets).collect()
+        }
+        expected = {k: i for i, k in enumerate(sorted({x for (x,) in vals}))}
+        assert got == expected, (buckets, got)
+
+
+def test_assign_dense_ids_empty(spark):
+    from networkit_spark.ids import assign_dense_ids
+
+    df = spark.createDataFrame([], "key long")
+    assert assign_dense_ids(df, ["key"]).count() == 0
+
+
+def test_compact_labels_two_phase(spark):
+    from networkit_spark.operators.community_quality import compact_labels
+
+    rows = [(i, l) for i, l in enumerate([900, 5, 5, 17, 900, 2, 17, 2, 2])]
+    labels = spark.createDataFrame(rows, "node long, label long")
+    got = {r["node"]: r["label"] for r in compact_labels(labels).collect()}
+    # ascending old-label order: 2->0, 5->1, 17->2, 900->3
+    exp_map = {2: 0, 5: 1, 17: 2, 900: 3}
+    for node, old in rows:
+        assert got[node] == exp_map[old]

@@ -57,3 +57,30 @@ def test_spanning_forest_mst(spark):
     # forest on a disconnected graph: one tree per component, n - #comp edges
     g2 = Graph.of(spark, [(0, 1, 1.0), (2, 3, 1.0)], n=5, weighted=True)
     assert spanning_forest(g2).count() == 2
+
+
+def test_luby_empty_graph(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.matching import luby_independent_set
+
+    empty_nodes = spark.createDataFrame([], "id long")
+    empty_edges = spark.createDataFrame([], "src long, dst long, weight double")
+    g = Graph(nodes=empty_nodes, edges=empty_edges, directed=False)
+    assert luby_independent_set(g).count() == 0
+
+
+def test_suitor_matching_is_maximal_on_increasing_path(spark):
+    """A path with strictly increasing weights matches one pair per round;
+    the loop must run to exhaustion, not a fixed cap (SuitorMatcher is
+    always maximal)."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.matching import suitor_matching
+
+    n = 24
+    edges = [(i, i + 1, float(i + 1)) for i in range(n - 1)]
+    g = Graph.of(spark, edges, n=n, weighted=True)
+    pairs = [(r["u"], r["v"]) for r in suitor_matching(g).collect()]
+    matched = {x for uv in pairs for x in uv}
+    # maximality: no live edge between two unmatched nodes remains
+    for u, v, _ in edges:
+        assert u in matched or v in matched, (u, v, sorted(pairs))

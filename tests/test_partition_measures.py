@@ -1,0 +1,109 @@
+"""Partition-similarity measures (NMI / ARI / Rand) and conductance vs
+closed-form oracles."""
+
+import math
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.community_quality import (
+    adjusted_rand_dissimilarity,
+    conductance,
+    nmi_distance,
+    rand_dissimilarity,
+)
+
+
+def _labels_df(spark, labels):
+    return spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(labels)], "node long, label long"
+    )
+
+
+def _py_contingency(a, b):
+    cells = {}
+    for x, y in zip(a, b):
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    sa, sb = {}, {}
+    for (x, y), s in cells.items():
+        sa[x] = sa.get(x, 0) + s
+        sb[y] = sb.get(y, 0) + s
+    return cells, sa, sb, len(a)
+
+
+def py_nmid(a, b):
+    cells, sa, sb, n = _py_contingency(a, b)
+    mi = sum(
+        (s / n) * math.log2(s * n / (sa[x] * sb[y])) for (x, y), s in cells.items()
+    )
+    ha = -sum((s / n) * math.log2(s / n) for s in sa.values())
+    hb = -sum((s / n) * math.log2(s / n) for s in sb.values())
+    if ha + hb == 0:
+        return 0.0
+    return 1.0 - 2.0 * mi / (ha + hb)
+
+
+def py_ari_dissim(a, b):
+    cells, sa, sb, n = _py_contingency(a, b)
+    ri = sum(s * (s - 1) / 2 for s in cells.values())
+    pa = sum(s * (s - 1) / 2 for s in sa.values())
+    pb = sum(s * (s - 1) / 2 for s in sb.values())
+    denom = n * (n - 1) / 2
+    mx = 0.5 * (pa + pb)
+    exp = pa * pb / denom
+    if mx == 0 or mx == exp:
+        return 0.0
+    return 1.0 - (ri - exp) / (mx - exp)
+
+
+LAB_A = [0, 0, 0, 1, 1, 1, 2, 2, 2, 2]
+LAB_B = [0, 0, 1, 1, 1, 2, 2, 2, 0, 2]
+
+
+def test_nmi_identical_is_zero(spark):
+    a = _labels_df(spark, LAB_A)
+    assert nmi_distance(a, a) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_nmi_matches_closed_form(spark):
+    a, b = _labels_df(spark, LAB_A), _labels_df(spark, LAB_B)
+    assert nmi_distance(a, b) == pytest.approx(py_nmid(LAB_A, LAB_B), abs=1e-12)
+
+
+def test_ari_matches_closed_form(spark):
+    a, b = _labels_df(spark, LAB_A), _labels_df(spark, LAB_B)
+    assert adjusted_rand_dissimilarity(a, b) == pytest.approx(
+        py_ari_dissim(LAB_A, LAB_B), abs=1e-12
+    )
+    assert adjusted_rand_dissimilarity(a, a) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rand_disagreement_fraction(spark):
+    a, b = _labels_df(spark, LAB_A), _labels_df(spark, LAB_B)
+    n = len(LAB_A)
+    disagree = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if (LAB_A[i] == LAB_A[j]) != (LAB_B[i] == LAB_B[j])
+    )
+    assert rand_dissimilarity(a, b) == pytest.approx(
+        disagree / (n * (n - 1) / 2), abs=1e-12
+    )
+    assert rand_dissimilarity(a, a) == 0.0
+
+
+def test_conductance_barbell(spark):
+    # two triangles joined by one edge; S = {0,1,2}
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.of(spark, edges, n=6)
+    labels = _labels_df(spark, [0, 0, 0, 1, 1, 1])
+    # cut = 1, vol(S) = 2*3 + 1 = 7, vol(T) = 7 -> 1/7
+    assert conductance(g, labels) == pytest.approx(1.0 / 7.0, abs=1e-12)
+
+
+def test_conductance_requires_2_partition(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=3)
+    labels = _labels_df(spark, [0, 1, 2])
+    with pytest.raises(ValueError):
+        conductance(g, labels)

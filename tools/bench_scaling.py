@@ -57,9 +57,18 @@ def run(path: str, cpus: int, supersteps: int) -> None:
     from networkit_spark.session import get_spark
 
     # shuffle partitioning is held CONSTANT across parallelism levels —
-    # on a real cluster you scale executors, not the job's partitioning
+    # on a real cluster you scale executors, not the job's partitioning.
+    # ActiveProcessorCount makes the JVM size its internal pools (GC,
+    # netty, codegen) for N cores, so the "small cluster" run doesn't
+    # silently borrow the whole box; the orchestrator additionally
+    # tasksets the process to N physical cores.
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=SHUFFLE_PARTS
+        f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=SHUFFLE_PARTS,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     from networkit_spark.plans.superstep import SuperstepRunner
@@ -102,8 +111,15 @@ def orchestrate() -> None:
         )
     results = {}
     for cpus in (8, 32):
+        # pin to N physical cores: without this, local[8]'s JVM helper
+        # threads (GC, shuffle IO, parquet decode) spill onto all 32
+        # cores and the "N-core" baseline is silently faster than a real
+        # N-core machine — which understates scaling efficiency.
+        cmd = [sys.executable, __file__, "run", INPUT_DIR, str(cpus), str(SUPERSTEPS)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "run", INPUT_DIR, str(cpus), str(SUPERSTEPS)],
+            cmd,
             check=True,
             env=env,
             capture_output=True,
