@@ -482,6 +482,73 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalar_df(spark, "conductance", round(conductance(g, labels), 6))
 
 
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (Borůvka) of the <200-node subgraph with
+    deterministic weights (KruskalMSF semantics) — iterative contraction,
+    rows-only; pytest checks forest weight vs a python Kruskal oracle."""
+    from networkit_spark.operators.matching import spanning_forest
+
+    sub = _co_subgraph200(spark, sf_dir)
+    weighted = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            (
+                (F.least("src", "dst") * 7 + F.greatest("src", "dst") * 13) % 97 + 1
+            ).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = spanning_forest(weighted)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_graph_suitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suitor matching on the weighted <200-node subgraph
+    (SuitorMatcher.cpp) — rows-only (iterative propose/accept)."""
+    from networkit_spark.operators.matching import suitor_matching
+
+    sub = _co_subgraph200(spark, sf_dir)
+    weighted = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 11 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    return suitor_matching(weighted)
+
+
+def q_graph_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set, seeded (independentset/Luby.cpp) —
+    rows-only (pytest asserts independence + maximality)."""
+    from networkit_spark.operators.matching import luby_independent_set
+
+    g = _co_graph(spark, sf_dir)
+    return luby_independent_set(g, seed=42)
+
+
+def q_graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / effective diameter approximation (Flajolet-Martin sketches,
+    EffectiveDiameterApproximation.cpp) — rows-only scalar."""
+    from networkit_spark.operators.sketches import effective_diameter_approx
+
+    g = _co_graph(spark, sf_dir)
+    v = effective_diameter_approx(g, ratio=0.9, k=16, seed=42)
+    return _scalar_df(spark, "effective_diameter", float(v))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries: dedup
 # --------------------------------------------------------------------------
@@ -567,6 +634,14 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
     return cosine_topk(embs, queries, k=5)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact verifier tier; the
+    bucketed tier reuses the IVF quantizer — see cosine_near_dupes)."""
+    from networkit_spark.pipeline.similarity import cosine_near_dupes
+
+    return cosine_near_dupes(_embs(spark, sf_dir), threshold=0.4)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nmi": q_graph_nmi,
         "graph_ari": q_graph_ari,
         "graph_conductance": q_graph_conductance,
+        "graph_msf": q_graph_msf,
+        "graph_suitor": q_graph_suitor,
+        "graph_luby": q_graph_luby,
+        "graph_anf": q_graph_anf,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -708,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_sha256": q_ingest_sha256,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
         "dyn_replay": q_dyn_replay,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1225,6 +1305,15 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+        "dedup_embedding": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
 """,
         "dyn_replay": """
 SELECT o_custkey AS src, o_orderkey + 1000000 AS dst, CAST(1.0 AS DOUBLE) AS weight

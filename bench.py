@@ -72,6 +72,15 @@ def main() -> None:
     extras["plp_iterations"] = res.iterations
     extras["triangles"] = timed("triangles", lambda: total_triangles(g))
 
+    from networkit_spark.operators.distance import estimate_betweenness, sssp
+
+    timed(
+        "betweenness_est16",
+        lambda: estimate_betweenness(g, n_samples=16, seed=42).count(),
+    )
+    src0 = g.nodes.orderBy("id").limit(1).collect()[0]["id"]
+    timed("sssp", lambda: sssp(g.to_weighted(), int(src0)).count())
+
     docs = _docs(spark, sf_dir).cache()
     docs.count()
     timed("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs).count())

@@ -193,6 +193,21 @@ class Graph:
         """GraphTools::toUnweighted (``GraphTools.hpp:335``)."""
         return replace(self, edges=self.edges.withColumn("weight", F.lit(1.0)), weighted=False)
 
+    def to_weighted(self) -> "Graph":
+        """GraphTools::toWeighted (``GraphTools.hpp:344``): mark weighted,
+        existing edges at defaultEdgeWeight (already 1.0 in storage)."""
+        return replace(self, weighted=True)
+
+    def max_degree(self) -> int:
+        """GraphTools::maxDegree (``GraphTools.hpp:103``)."""
+        row = self.degrees().agg(F.max("deg")).collect()[0]
+        return int(row[0] or 0)
+
+    def max_weighted_degree(self) -> float:
+        """GraphTools::maxWeightedDegree (``GraphTools.hpp:117``)."""
+        row = self.degrees().agg(F.max("wdeg")).collect()[0]
+        return float(row[0] or 0.0)
+
     def transpose(self) -> "Graph":
         """GraphTools::transpose (``GraphTools.hpp:353``) — directed only."""
         t = self.edges.select(

@@ -31,7 +31,7 @@ skew is eliminated structurally, not mitigated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -181,3 +181,74 @@ def avg_local_clustering_coefficient(g: Graph) -> float:
         .collect()[0]
     )
     return row[0] or 0.0
+
+
+def approx_global_clustering(g: Graph, trials: int = 10000, seed: int = 42) -> float:
+    """Wedge-sampled global CC estimate
+    (``global/ClusteringCoefficient.cpp:221-283`` approxGlobal).
+
+    The reference samples wedge apexes with probability ∝ d(d−1) via a
+    prefix-sum + RNG; the distributed, deterministic analogue allocates
+    each node a STRATIFIED share trials·w_v/W of the trial budget (same
+    estimator expectation, no driver-side prefix array), then draws two
+    distinct neighbor indexes per trial from seeded hashes and checks
+    closure with one join against the canonical edge set. Everything is
+    column expressions + two keyed joins — no Python in the row path.
+    """
+    adj = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst").dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy("dst")
+    indexed = adj.withColumn("idx", F.row_number().over(w) - 1).cache()
+    deg = indexed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tot = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1))).collect()[0][0] or 0
+    if tot == 0:
+        return 0.0
+
+    alloc = (
+        deg.filter(F.col("deg") >= 2)
+        .select(
+            "src",
+            "deg",
+            F.greatest(
+                F.round(
+                    F.lit(float(trials)) * F.col("deg") * (F.col("deg") - 1) / F.lit(float(tot))
+                ).cast("long"),
+                F.lit(1),
+            ).alias("k"),
+        )
+    )
+    t = alloc.select(
+        "src",
+        "deg",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("trial"),
+    )
+    h1 = F.pmod(F.xxhash64("src", "trial", F.lit(seed)), F.col("deg"))
+    h2r = F.pmod(F.xxhash64("src", "trial", F.lit(seed + 1)), F.col("deg") - 1)
+    t = t.select(
+        "src",
+        "trial",
+        h1.alias("i1"),
+        # distinct second index without rejection sampling
+        F.when(h2r >= h1, h2r + 1).otherwise(h2r).alias("i2"),
+    )
+    picked = (
+        t.join(
+            indexed.select("src", F.col("dst").alias("u"), F.col("idx").alias("i1")),
+            ["src", "i1"],
+        )
+        .join(
+            indexed.select("src", F.col("dst").alias("w2"), F.col("idx").alias("i2")),
+            ["src", "i2"],
+        )
+        .select(
+            F.least("u", "w2").alias("a"), F.greatest("u", "w2").alias("b")
+        )
+    )
+    canon = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("closed")
+    )
+    agg = picked.join(canon, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("closed", F.lit(0))).alias("tri")
+    ).collect()[0]
+    return float(agg["tri"]) / float(agg["n"]) if agg["n"] else 0.0

@@ -132,3 +132,43 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dupes(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-duplicate pairs
+    (id_a < id_b, cosine ≥ threshold).
+
+    Without ``bucket_col`` this is the exact all-pairs verifier —
+    quadratic, CI-scale / candidate-verification only. At 100 TB pass a
+    blocking column (an IVF centroid id from ``ivf_topk``'s quantizer, a
+    random-hyperplane LSH signature, or an upstream MinHash band): the
+    self-join is then keyed on the bucket and only intra-bucket pairs are
+    scored — the same bounded-blowup shape as the MinHash-LSH dedup path.
+    """
+    a = corpus.select(
+        *( [F.col(bucket_col)] if bucket_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = corpus.select(
+        *( [F.col(bucket_col)] if bucket_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    joined = (
+        a.join(b, on=bucket_col) if bucket_col else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

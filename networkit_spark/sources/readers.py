@@ -92,3 +92,28 @@ def write_edge_list(g: Graph, path: str, separator: str = "\t") -> None:
     e.select(
         F.concat_ws(separator, F.col("src"), F.col("dst")).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def write_partition(labels, path: str) -> None:
+    """PartitionWriter analogue: persist a (node, label) partition as
+    Parquet — the engine's native partition format (the reference's text
+    format at ``io/PartitionWriter.cpp`` is line-ordered and therefore
+    inherently sequential; Parquet keeps it distributed + schema'd)."""
+    labels.select("node", "label").write.mode("overwrite").parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str):
+    """Read a Parquet partition written by ``write_partition``."""
+    return spark.read.parquet(path).select("node", "label")
+
+
+def read_partition_text(spark: SparkSession, path: str):
+    """Legacy PartitionReader (``io/PartitionReader.cpp``): text file where
+    LINE i holds the subset id of node i. The format itself is
+    line-ordered, so this is a small-file compatibility path: a single
+    file's lines are zipped with their index (deterministic for one
+    file — splits follow byte order). Use Parquet partitions at scale."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    return spark.createDataFrame(
+        rdd.map(lambda t: (int(t[1]), int(t[0].strip()))), "node long, label long"
+    )

@@ -280,3 +280,50 @@ class DynConnectedComponents:
                 break
         self.labels = labels
         return self.labels
+
+
+def run_event_stream(
+    stream_events: DataFrame,
+    base: Graph,
+    checkpoint_dir: str,
+    query_name: str = "graph-event-stream",
+) -> Graph:
+    """Consume a STREAMING event DataFrame (schema = EVENT_SCHEMA, any
+    streaming source: files, Kafka, rate) through ``foreachBatch``,
+    folding each micro-batch into the graph with ``apply_events`` in
+    micro-batch order — the Structured Streaming face of GraphUpdater.
+
+    Each batch's resulting edge/node state is eagerly materialized
+    (localCheckpoint) so the fold never re-reads consumed micro-batches;
+    Structured Streaming's own checkpoint (``checkpoint_dir``) makes the
+    source offsets resumable, which together give exactly-once folding
+    for replayable sources. Runs with ``trigger(availableNow=True)`` and
+    blocks until the backlog is drained; returns the final Graph.
+
+    At scale the same function runs unbounded (drop availableNow): state
+    lives in executor storage, micro-batch cost is O(batch + touched
+    edges), and a durable SuperstepRunner checkpoint of ``g.edges`` per N
+    batches bounds replay on driver failover.
+    """
+    holder = {"g": base}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # order within the batch is the event seq; order across batches
+        # is guaranteed by micro-batch serialization
+        g2 = apply_events(holder["g"], batch_df)
+        holder["g"] = Graph(
+            nodes=g2.nodes.localCheckpoint(eager=True),
+            edges=g2.edges.localCheckpoint(eager=True),
+            directed=g2.directed,
+            weighted=g2.weighted,
+        )
+
+    q = (
+        stream_events.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+    return holder["g"]

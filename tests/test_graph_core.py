@@ -103,3 +103,24 @@ def test_compact_labels_two_phase(spark):
     exp_map = {2: 0, 5: 1, 17: 2, 900: 3}
     for node, old in rows:
         assert got[node] == exp_map[old]
+
+
+def test_partition_roundtrip_and_text_reader(spark, tmp_path):
+    from networkit_spark.sources.readers import (
+        read_partition,
+        read_partition_text,
+        write_partition,
+    )
+
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "node long, label long"
+    )
+    p = str(tmp_path / "part.parquet")
+    write_partition(labels, p)
+    got = {r["node"]: r["label"] for r in read_partition(spark, p).collect()}
+    assert got == {i: i % 3 for i in range(9)}
+
+    txt = tmp_path / "part.txt"
+    txt.write_text("\n".join(str(i % 2) for i in range(6)) + "\n")
+    got2 = {r["node"]: r["label"] for r in read_partition_text(spark, str(txt)).collect()}
+    assert got2 == {i: i % 2 for i in range(6)}

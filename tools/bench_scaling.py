@@ -33,6 +33,12 @@ EDGE_FACTOR = int(os.environ.get("SCALING_RMAT_EF", "16"))
 SUPERSTEPS = int(os.environ.get("SCALING_SUPERSTEPS", "8"))
 SHUFFLE_PARTS = int(os.environ.get("SCALING_SHUFFLE_PARTS", "64"))
 INPUT_DIR = os.environ.get("SCALING_INPUT_DIR", "/tmp/nk_scaling_input")
+# N and 4N task slots. On a single shared-memory box the honest pair is
+# one where the DRAM bandwidth can actually be provisioned 4x — 2→8 on a
+# 32-core host; 8→32 additionally measures the box's bandwidth ceiling.
+CPU_PAIR = tuple(
+    int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+)
 
 
 def gen(path: str, scale: int, edge_factor: int) -> None:
@@ -110,7 +116,7 @@ def orchestrate() -> None:
             env=env,
         )
     results = {}
-    for cpus in (8, 32):
+    for cpus in CPU_PAIR:
         # pin to N physical cores: without this, local[8]'s JVM helper
         # threads (GC, shuffle IO, parquet decode) spill onto all 32
         # cores and the "N-core" baseline is silently faster than a real
@@ -128,21 +134,24 @@ def orchestrate() -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line)
-    t8 = results[8]["edges_per_sec_per_superstep"]
-    t32 = results[32]["edges_per_sec_per_superstep"]
-    s8 = results[8]["steady_edges_per_sec_per_superstep"]
-    s32 = results[32]["steady_edges_per_sec_per_superstep"]
+    lo, hi = CPU_PAIR
+    factor = hi / lo
+    t_lo = results[lo]["edges_per_sec_per_superstep"]
+    t_hi = results[hi]["edges_per_sec_per_superstep"]
+    s_lo = results[lo]["steady_edges_per_sec_per_superstep"]
+    s_hi = results[hi]["steady_edges_per_sec_per_superstep"]
     summary = {
         "input": f"RMAT scale={SCALE} edge_factor={EDGE_FACTOR} seed=42 (directed)",
-        "edges": results[32]["edges"],
+        "edges": results[hi]["edges"],
         "supersteps": SUPERSTEPS,
-        "throughput_local8": t8,
-        "throughput_local32": t32,
-        "whole_job_efficiency_8_to_32": round(t32 / (4.0 * t8), 3),
-        "steady_throughput_local8": s8,
-        "steady_throughput_local32": s32,
-        "steady_efficiency_8_to_32": round(s32 / (4.0 * s8), 3),
-        "meets_0.8_target": s32 / (4.0 * s8) >= 0.8,
+        "cpu_pair": [lo, hi],
+        f"throughput_local{lo}": t_lo,
+        f"throughput_local{hi}": t_hi,
+        "whole_job_efficiency": round(t_hi / (factor * t_lo), 3),
+        f"steady_throughput_local{lo}": s_lo,
+        f"steady_throughput_local{hi}": s_hi,
+        "steady_efficiency": round(s_hi / (factor * s_lo), 3),
+        "meets_0.8_target": s_hi / (factor * s_lo) >= 0.8,
     }
     print(json.dumps(summary))
 
