@@ -482,6 +482,40 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalar_df(spark, "conductance", round(conductance(g, labels), 6))
 
 
+def q_graph_local_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalDegree sparsifier scores (LocalDegreeScore.cpp) — per-edge max
+    of 1 − log(rank)/log(deg) over the two ego rankings by neighbor degree."""
+    from networkit_spark.operators.sparsification import local_degree_scores
+
+    out = local_degree_scores(_co_graph(spark, sf_dir))
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def q_graph_local_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalSimilarity sparsifier scores (LocalSimilarityScore.cpp) —
+    ego rankings by per-edge Jaccard tri/(du+dv−tri)."""
+    from networkit_spark.operators.sparsification import local_similarity_scores
+
+    out = local_similarity_scores(_co_graph(spark, sf_dir))
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def q_graph_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRankNibble community around seed node 0 on the <200 subgraph
+    (scd/PageRankNibble.cpp) — iterative PPR + sweep; rows-only."""
+    from networkit_spark.operators.scd import pagerank_nibble
+
+    sub = _co_subgraph200(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = pagerank_nibble(sub, seed=0, alpha=0.5, tol=1e-6)
+        out = res.community.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
 def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest (Borůvka) of the <200-node subgraph with
     deterministic weights (KruskalMSF semantics) — iterative contraction,
@@ -772,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nmi": q_graph_nmi,
         "graph_ari": q_graph_ari,
         "graph_conductance": q_graph_conductance,
+        "graph_local_degree": q_graph_local_degree,
+        "graph_local_similarity": q_graph_local_similarity,
+        "graph_nibble": q_graph_nibble,
         "graph_msf": q_graph_msf,
         "graph_suitor": q_graph_suitor,
         "graph_luby": q_graph_luby,
@@ -1142,6 +1179,69 @@ SELECT round(CAST(1.0 AS DOUBLE)
              - (ri - sa * sb / denom) / (0.5 * (sa + sb) - sa * sb / denom),
              6) AS ari_distance
 FROM parts
+""",
+        "graph_local_degree": f"""
+WITH {GRAPH_PRELUDE_SQL},
+nbr AS (
+  SELECT e.src AS ego, e.dst AS nbr, d1.deg AS ego_deg, d2.deg AS nbr_deg
+  FROM edges e JOIN deg d1 ON e.src = d1.id JOIN deg d2 ON e.dst = d2.id
+),
+ranked AS (
+  SELECT ego, nbr, ego_deg,
+         rank() OVER (PARTITION BY ego ORDER BY nbr_deg DESC) AS rk
+  FROM nbr
+),
+scored AS (
+  SELECT least(ego, nbr) AS src, greatest(ego, nbr) AS dst,
+         CASE WHEN ego_deg > 1
+              THEN CAST(1.0 AS DOUBLE) - ln(rk) / ln(ego_deg)
+              ELSE CAST(1.0 AS DOUBLE) END AS e
+  FROM ranked
+)
+SELECT src, dst, round(max(e), 6) AS score FROM scored GROUP BY src, dst
+""",
+        "graph_local_similarity": f"""
+WITH {GRAPH_PRELUDE_SQL},
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+  JOIN e0 c ON c.src = a.dst AND c.dst = b.dst
+),
+pairs AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri UNION ALL SELECT b, c FROM tri
+),
+etri AS (
+  SELECT e0.src, e0.dst, coalesce(t.n, 0) AS tri
+  FROM e0 LEFT JOIN (
+    SELECT least(x, y) AS src, greatest(x, y) AS dst, count(*) AS n
+    FROM pairs GROUP BY 1, 2
+  ) t USING (src, dst)
+),
+sim AS (
+  SELECT e.src, e.dst,
+         e.tri::DOUBLE / (du.deg + dv.deg - e.tri) AS sim
+  FROM etri e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
+),
+egoviews AS (
+  SELECT src AS ego, dst AS nbr, src, dst, sim FROM sim
+  UNION ALL
+  SELECT dst AS ego, src AS nbr, src, dst, sim FROM sim
+),
+ranked AS (
+  SELECT ego, src, dst,
+         count(*) OVER (PARTITION BY ego) AS ego_deg,
+         row_number() OVER (PARTITION BY ego ORDER BY sim DESC, nbr ASC) AS rk
+  FROM egoviews
+),
+scored AS (
+  SELECT src, dst,
+         CASE WHEN ego_deg > 1
+              THEN CAST(1.0 AS DOUBLE) - ln(rk) / ln(ego_deg)
+              ELSE CAST(1.0 AS DOUBLE) END AS e
+  FROM ranked
+)
+SELECT src, dst, round(max(e), 6) AS score FROM scored GROUP BY src, dst
 """,
         "graph_conductance": f"""
 WITH {GRAPH_PRELUDE_SQL},

@@ -1,0 +1,178 @@
+"""Selective community detection — PageRankNibble.
+
+Reference: ``scd/PageRankNibble.cpp`` (seeded community via personalized
+PageRank + best-conductance sweep cut; the PPR there is the
+Andersen-Chung-Lang push, an inherently sequential priority loop).
+
+Spark-first rephrasing with identical semantics at the fixed point:
+
+1. PERSONALIZED PageRank by power iteration —
+   ``pr = (1-α)·e_seed + α·Pᵀ·pr`` — the same superstep plan as global
+   PageRank, only the teleport vector is the seed indicator. Converges
+   to the same PPR vector the push method approximates.
+2. SWEEP CUT over the PPR support, ordered by pr/deg: for every prefix
+   S_k, conductance φ(S_k) = (vol_k − 2·E_k) / min(vol_k, vol(V)−vol_k)
+   where E_k = #edges internal to the prefix. Both terms are cumulative
+   window sums over the rank order: vol_k = cumsum(deg); E_k =
+   cumsum over edges bucketed at max(rank_u, rank_v). One sort over the
+   SUPPORT (not the graph) — PPR support is local to the seed, so the
+   single-partition window is bounded by the community scale, not |V|.
+
+Returns the argmin-conductance prefix as the community.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+@dataclass
+class NibbleResult:
+    community: DataFrame  # (id LONG)
+    conductance: float
+    ppr: DataFrame  # (id, score) over the support
+
+
+def personalized_pagerank(
+    g: Graph,
+    seed_nodes: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_iterations: int = 100,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """(id, score): pr = (1-α)·e_S + α·Pᵀ·pr, power iteration."""
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    seeds = seed_nodes.select(F.col(seed_nodes.columns[0]).cast("long").alias("id"))
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    restart = seeds.select("id", F.lit((1.0 - alpha) / n_seeds).alias("restart"))
+    restart = restart.localCheckpoint(eager=True)
+
+    out_deg = g.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    edges_deg = (
+        g.edges.join(out_deg.hint("shuffle_hash"), "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+        .cache()
+    )
+    edges_deg.count()
+
+    scores = restart.select("id", F.col("restart").alias("score")).localCheckpoint(
+        eager=True
+    )
+    for it in range(1, max_iterations + 1):
+        gathered = (
+            edges_deg.join(
+                scores.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("frac") * F.col("score")).alias("gather"))
+        )
+        new = (
+            gathered.join(restart, "id", "full")
+            .select(
+                "id",
+                (
+                    F.coalesce("restart", F.lit(0.0))
+                    + F.lit(alpha) * F.coalesce("gather", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+        new = runner.persist_step(new, it)
+        delta = (
+            new.join(scores.withColumnRenamed("score", "old"), "id", "full")
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("score"), F.lit(0.0))
+                        - F.coalesce(F.col("old"), F.lit(0.0))
+                    )
+                )
+            )
+            .collect()[0][0]
+            or 0.0
+        )
+        scores = new
+        runner.record(it, delta=delta)
+        if delta <= tol:
+            break
+    return scores
+
+
+def pagerank_nibble(
+    g: Graph,
+    seed: int,
+    alpha: float = 0.85,
+    tol: float = 1e-8,
+    support_floor: float = 1e-9,
+) -> NibbleResult:
+    """PageRankNibble: best-conductance sweep over the PPR support."""
+    spark = g.edges.sparkSession
+    seeds = spark.createDataFrame([(int(seed),)], "id long")
+    ppr = personalized_pagerank(g, seeds, alpha=alpha, tol=tol)
+    support = ppr.filter(F.col("score") > support_floor)
+
+    deg = g.degrees().select("id", "deg", "wdeg")
+    total_vol = float(
+        deg.agg(F.sum("wdeg")).collect()[0][0] or 0.0
+    )
+    ranked = (
+        support.join(deg, "id")
+        .filter(F.col("wdeg") > 0)
+        .select("id", "wdeg", (F.col("score") / F.col("wdeg")).alias("key"))
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("id"))
+    ranked = ranked.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+
+    # internal-edge mass per prefix: an edge (u,v) becomes internal when
+    # the LATER endpoint enters, i.e. at max(rank_u, rank_v)
+    r = ranked.select("id", "rank")
+    internal_at = (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .join(r.withColumnRenamed("id", "src").withColumnRenamed("rank", "ru"), "src")
+        .join(r.withColumnRenamed("id", "dst").withColumnRenamed("rank", "rv"), "dst")
+        .select(
+            F.greatest("ru", "rv").alias("rank"), F.col("weight").alias("iw")
+        )
+        .groupBy("rank")
+        .agg(F.sum("iw").alias("internal_w"))
+    )
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        ranked.join(internal_at, "rank", "left")
+        .select(
+            "id",
+            "rank",
+            F.sum("wdeg").over(wcum).alias("vol"),
+            (2.0 * F.sum(F.coalesce("internal_w", F.lit(0.0))).over(wcum)).alias(
+                "int2"
+            ),
+        )
+        .select(
+            "id",
+            "rank",
+            F.when(
+                F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")) > 0,
+                (F.col("vol") - F.col("int2"))
+                / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+            )
+            .otherwise(F.lit(float("inf")))
+            .alias("phi"),
+        )
+    ).localCheckpoint(eager=True)
+    best = sweep.orderBy(F.asc("phi"), F.asc("rank")).limit(1).collect()
+    if not best:
+        return NibbleResult(community=seeds, conductance=0.0, ppr=ppr)
+    k, phi = int(best[0]["rank"]), float(best[0]["phi"])
+    community = sweep.filter(F.col("rank") <= k).select("id")
+    return NibbleResult(community=community, conductance=phi, ppr=ppr)

@@ -57,3 +57,89 @@ def global_threshold_filter(
     return Graph.from_edges(
         kept_edges, directed=False, weighted=False, nodes=g.nodes
     )
+
+
+def _per_ego_exponent(ranked: DataFrame) -> DataFrame:
+    """Shared tail of the Local* scores: e = 1 − log(rank)/log(deg)
+    (1.0 when deg ≤ 1), then max over the edge's two ego views.
+    ``ranked``: (ego, src, dst, deg, rank) with canonical (src, dst)."""
+    e = F.when(F.col("deg") > 1, 1.0 - F.log("rank") / F.log("deg")).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        ranked.select("src", "dst", e.alias("e"))
+        .groupBy("src", "dst")
+        .agg(F.max("e").alias("score"))
+    )
+
+
+def local_degree_scores(g: Graph) -> DataFrame:
+    """LocalDegreeScore (``sparsification/LocalDegreeScore.cpp:33-90``):
+    per node, rank neighbors by THEIR degree descending with
+    competition ranking (SQL rank(): ties share the smallest rank), then
+    e = 1 − log(rank)/log(deg(ego)); an edge keeps the max of its two
+    endpoint exponents. Keeps hub-ward edges — the backbone that
+    preserves shortest-path skeletons on power-law graphs."""
+    from pyspark.sql import Window
+
+    adj = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select(F.col("src").alias("ego"), F.col("dst").alias("nbr"))
+    deg = adj.groupBy("ego").agg(F.count(F.lit(1)).alias("deg"))
+    nbr_deg = deg.select(F.col("ego").alias("nbr"), F.col("deg").alias("nbr_deg"))
+    # rank on the VALUE only: adding a tie-break column to the ordering
+    # would make rank() split ties, but the reference's competition
+    # ranking gives every tied neighbor the same (smallest) rank
+    w = Window.partitionBy("ego").orderBy(F.desc("nbr_deg"))
+    ranked = (
+        adj.join(nbr_deg, "nbr")
+        .join(deg, "ego")
+        .withColumn("rank", F.rank().over(w))
+        .select(
+            "ego",
+            F.least("ego", "nbr").alias("src"),
+            F.greatest("ego", "nbr").alias("dst"),
+            "deg",
+            "rank",
+        )
+    )
+    return _per_ego_exponent(ranked)
+
+
+def local_similarity_scores(g: Graph) -> DataFrame:
+    """LocalSimilarityScore (``sparsification/LocalSimilarityScore.cpp:
+    30-67``): per node, rank neighbors by edge Jaccard
+    tri/(deg(i)+deg(j)−tri) descending (row_number — the reference
+    increments rank per element), e = 1 − log(rank)/log(deg), max over
+    endpoints."""
+    from pyspark.sql import Window
+
+    tri = triangle_count_per_edge(g)  # canonical (src, dst, triangles)
+    deg = _simple_degrees(g)
+    sim = (
+        tri.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dv"), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.col("triangles")
+                / (F.col("du") + F.col("dv") - F.col("triangles"))
+            ).alias("sim"),
+        )
+    )
+    both = sim.select(
+        F.col("src").alias("ego"), F.col("dst").alias("nbr"), "src", "dst", "sim"
+    ).unionByName(
+        sim.select(
+            F.col("dst").alias("ego"), F.col("src").alias("nbr"), "src", "dst", "sim"
+        )
+    )
+    degs = both.groupBy("ego").agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.partitionBy("ego").orderBy(F.desc("sim"), F.asc("nbr"))
+    ranked = (
+        both.join(degs, "ego")
+        .withColumn("rank", F.row_number().over(w))
+        .select("ego", "src", "dst", "deg", "rank")
+    )
+    return _per_ego_exponent(ranked)

@@ -117,3 +117,92 @@ def read_partition_text(spark: SparkSession, path: str):
     return spark.createDataFrame(
         rdd.map(lambda t: (int(t[1]), int(t[0].strip()))), "node long, label long"
     )
+
+
+def read_konect(spark: SparkSession, path: str) -> Graph:
+    """KONECTGraphReader (``io/KONECTGraphReader.cpp``): '%' header gives
+    sym/asym (undirected/directed); data lines are ``src dst [weight]``;
+    node ids are remapped densely like the reference (remapNodes)."""
+    lines = spark.read.text(path)
+    header = [
+        r["value"]
+        for r in lines.filter(F.col("value").startswith("%")).limit(1).collect()
+    ]
+    directed = True
+    if header:
+        toks = header[0].lstrip("%").split()
+        if toks and toks[0] in ("sym", "bip"):
+            directed = False
+    data = (
+        lines.filter(~F.col("value").startswith("%"))
+        .select(F.split(F.trim(F.col("value")), r"\s+").alias("p"))
+        .filter(F.size("p") >= 2)
+        .select(
+            F.col("p")[0].alias("src_key"),
+            F.col("p")[1].alias("dst_key"),
+            F.when(F.size("p") >= 3, F.col("p")[2].cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("weight"),
+        )
+    )
+    remapped, _ = remap_edges(data, "src_key", "dst_key")
+    # KONECT 'multiple' handling: default discard duplicates
+    return Graph.from_edges(remapped, directed=directed, dedupe=True)
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """GMLGraphReader (``io/GMLGraphReader.cpp``) for machine-written GML
+    (the GMLGraphWriter layout: one key per line, ``source`` immediately
+    followed by ``target``). Lines are indexed and source/target paired
+    by adjacent index — distributed, no driver-side parser."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(
+        rdd.map(lambda t: (t[1], t[0].strip())), "ln long, value string"
+    ).cache()
+    directed = (
+        lines.filter(F.col("value").rlike(r"^directed\s+1$")).limit(1).count() > 0
+    )
+    nodes = lines.filter(F.col("value").rlike(r"^id\s+\d+$")).select(
+        F.regexp_extract("value", r"^id\s+(\d+)$", 1).cast("long").alias("id")
+    )
+    src = lines.filter(F.col("value").rlike(r"^source\s+\d+$")).select(
+        "ln",
+        F.regexp_extract("value", r"^source\s+(\d+)$", 1).cast("long").alias("src"),
+    )
+    dst = lines.filter(F.col("value").rlike(r"^target\s+\d+$")).select(
+        (F.col("ln") - 1).alias("ln"),
+        F.regexp_extract("value", r"^target\s+(\d+)$", 1).cast("long").alias("dst"),
+    )
+    edges = src.join(dst, "ln").select("src", "dst")
+    return Graph.from_edges(edges, directed=directed, nodes=nodes)
+
+
+def write_gml(g: Graph, path: str) -> None:
+    """GMLGraphWriter (``io/GMLGraphWriter.cpp``) — node blocks then edge
+    blocks, one canonical edge each. Written as a single text partition
+    (GML is a line-ordered legacy format; use Parquet at scale)."""
+    n_lines = g.nodes.select(
+        F.concat(F.lit("  node [\n    id "), F.col("id"), F.lit("\n  ]")).alias("value"),
+        F.lit(1).alias("ord"),
+        F.col("id").alias("k1"),
+        F.lit(0).alias("k2"),
+    )
+    e = g.edges if g.directed else g.canonical_undirected_edges()
+    e_lines = e.select(
+        F.concat(
+            F.lit("  edge [\n    source "),
+            F.col("src"),
+            F.lit("\n    target "),
+            F.col("dst"),
+            F.lit("\n  ]"),
+        ).alias("value"),
+        F.lit(2).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+    )
+    header = "graph [" + ("\n  directed 1" if g.directed else "")
+    body = [r["value"] for r in n_lines.unionByName(e_lines).orderBy("ord", "k1", "k2").collect()]
+    spark = g.edges.sparkSession
+    spark.createDataFrame(
+        [(header,)] + [(v,) for v in body] + [("]",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)

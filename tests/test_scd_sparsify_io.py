@@ -1,0 +1,104 @@
+"""PageRankNibble, Local* sparsifier scores, KONECT/GML IO."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.scd import pagerank_nibble, personalized_pagerank
+from networkit_spark.operators.sparsification import (
+    local_degree_scores,
+    local_similarity_scores,
+)
+
+
+def _two_cliques(spark, k=6):
+    """Two k-cliques joined by one bridge edge; communities are obvious."""
+    edges = []
+    for base in (0, k):
+        for a in range(base, base + k):
+            for b in range(a + 1, base + k):
+                edges.append((a, b))
+    edges.append((k - 1, k))
+    return Graph.of(spark, edges, n=2 * k)
+
+
+def test_pagerank_nibble_recovers_clique(spark):
+    g = _two_cliques(spark, k=6)
+    res = pagerank_nibble(g, seed=0, alpha=0.85)
+    comm = {r["id"] for r in res.community.collect()}
+    assert comm == set(range(6)), comm
+    # conductance of one clique: cut=1, vol = 6*5+1 = 31 -> 1/31
+    assert res.conductance == pytest.approx(1.0 / 31.0, abs=1e-9)
+
+
+def test_personalized_pagerank_mass(spark):
+    g = _two_cliques(spark, k=4)
+    ppr = personalized_pagerank(g, spark.createDataFrame([(0,)], "id long"))
+    total = ppr.agg(F.sum("score")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)  # stochastic fixed point
+    scores = {r["id"]: r["score"] for r in ppr.collect()}
+    assert scores[0] == max(scores.values())
+    assert scores[1] > scores.get(7, 0.0)
+
+
+def test_local_degree_scores_star_keeps_hub(spark):
+    # star + pendant chain: every leaf's #1-ranked neighbor is the hub
+    edges = [(0, i) for i in range(1, 6)] + [(5, 6)]
+    g = Graph.of(spark, edges, n=7)
+    s = {(r["src"], r["dst"]): r["score"] for r in local_degree_scores(g).collect()}
+    # leaf->hub edges: from the leaf side rank 1 of d=1 -> e=1.0
+    assert all(s[(0, i)] == pytest.approx(1.0) for i in range(1, 5))
+    # ranking math: from node 5 (deg 2), hub has rank 1 (e=1.0), node 6 rank 2
+    # -> e = 1 - log(2)/log(2) = 0; from 6's side (deg 1) e=1.0; max = 1.0
+    assert s[(5, 6)] == pytest.approx(1.0)
+
+
+def test_local_degree_rank_semantics(spark):
+    # ego 0 with neighbors of degrees 3,3,1: competition ranks 1,1,3
+    edges = [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 6), (2, 7)]
+    g = Graph.of(spark, edges, n=8)
+    s = {(r["src"], r["dst"]): r["score"] for r in local_degree_scores(g).collect()}
+    d0 = 3
+    # deg(1)=deg(2)=3 -> rank 1 from ego 0 -> e=1; deg(3)=1 -> rank 3
+    assert s[(0, 1)] == pytest.approx(1.0)
+    assert s[(0, 2)] == pytest.approx(1.0)
+    # (0,3): ego-0 view e = 1 - log(3)/log(3) = 0; ego-3 view deg=1 -> 1.0
+    assert s[(0, 3)] == pytest.approx(1.0)
+    # (1,4): ego-1 has neighbors deg {3,1,1} -> 4 ranks 2 (ties with 5)
+    e14_ego1 = 1 - math.log(2) / math.log(3)
+    assert s[(1, 4)] == pytest.approx(max(e14_ego1, 1.0))  # leaf side wins
+
+
+def test_local_similarity_triangle_edge_ranks_high(spark):
+    # triangle 0-1-2 plus pendant 2-3
+    g = Graph.of(spark, [(0, 1), (1, 2), (0, 2), (2, 3)], n=4)
+    s = {(r["src"], r["dst"]): r["score"] for r in local_similarity_scores(g).collect()}
+    # triangle edges carry similarity > 0 -> rank 1 at ego deg 2 -> 1.0
+    assert s[(0, 1)] == pytest.approx(1.0)
+    assert s[(2, 3)] == pytest.approx(1.0)  # pendant side deg 1 -> kept
+
+
+def test_konect_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import read_konect
+
+    p = tmp_path / "net.konect"
+    p.write_text("% sym unweighted\n% 4 3\n1 2\n2 3\n3 4\n2 3\n")
+    g = read_konect(spark, str(p))
+    assert not g.directed
+    assert g.num_nodes() == 4
+    assert g.num_edges() == 3  # duplicate dropped
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import read_gml, write_gml
+
+    g = Graph.of(spark, [(0, 1), (1, 2), (0, 3)], n=4, directed=True)
+    path = str(tmp_path / "out.gml")
+    write_gml(g, path)
+    g2 = read_gml(spark, path)
+    assert g2.directed
+    assert g2.num_nodes() == 4
+    e = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e == {(0, 1), (1, 2), (0, 3)}
