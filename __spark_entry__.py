@@ -438,6 +438,44 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("dist", 6).alias("dist"))
 
 
+def _sub200_weighted(spark: SparkSession, sf_dir: str) -> Graph:
+    """<200 subgraph with deterministic integer weights (u+v)%3+1 —
+    shared by the weighted-distance entries; integer weights keep the
+    DuckDB walk-CTE state space finite."""
+    sub = _co_subgraph200(spark, sf_dir)
+    return Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 3 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+
+
+def q_graph_closeness_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED closeness on the <200 subgraph (Closeness.cpp dijkstra
+    variant semantics; multi-source Bellman-Ford distances)."""
+    from networkit_spark.operators.distance import closeness_centrality_weighted
+
+    g = _sub200_weighted(spark, sf_dir)
+    out = closeness_centrality_weighted(g)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_betweenness_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Brandes betweenness on the <200 subgraph (Betweenness.cpp
+    with Dijkstra SSSP; σ/δ DAG fixed points) — rows-only, pinned to a
+    numpy Dijkstra-Brandes oracle in pytest."""
+    from networkit_spark.operators.distance import betweenness_weighted
+
+    g = _sub200_weighted(spark, sf_dir)
+    out = betweenness_weighted(g)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
 def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the directed part-sequence graph
     (StronglyConnectedComponents.cpp semantics; coloring/FW-BW kernel).
@@ -480,6 +518,38 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _co_graph(spark, sf_dir)
     labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 2).alias("label"))
     return _scalar_df(spark, "conductance", round(conductance(g, labels), 6))
+
+
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity on the <200 subgraph (distance/Eccentricity.cpp)
+    — max BFS distance to any reached node; isolated nodes get 0."""
+    from networkit_spark.operators.distance import eccentricities
+
+    sub = _co_subgraph200(spark, sf_dir)
+    return eccentricities(sub).select("id", "ecc")
+
+
+def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic distance per edge (distance/AlgebraicDistance.cpp):
+    4 systems, 5 Jacobi iterations, ω=0.5, L2 norm. The portable-md5
+    uniform init makes the whole computation reproducible in DuckDB."""
+    from networkit_spark.operators.algebraic import algebraic_distances
+
+    g = _co_graph(spark, sf_dir)
+    out = algebraic_distances(g, num_systems=4, num_iters=5, omega=0.5, norm=2)
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF hop plot (neighborhood function per hop, Flajolet-Martin
+    sketches — distance/HopPlotApproximation.cpp family); rows-only."""
+    from networkit_spark.operators.sketches import neighborhood_function
+
+    g = _co_graph(spark, sf_dir)
+    nf = neighborhood_function(g, k=16, seed=42)
+    return spark.createDataFrame(
+        [(h + 1, float(v)) for h, v in enumerate(nf)], "hop int, reachable_pairs double"
+    )
 
 
 def q_graph_local_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,10 +872,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness_est": q_graph_betweenness_est,
         "graph_diameter": q_graph_diameter,
         "graph_sssp": q_graph_sssp,
+        "graph_closeness_w": q_graph_closeness_w,
+        "graph_betweenness_w": q_graph_betweenness_w,
         "graph_scc": q_graph_scc,
         "graph_nmi": q_graph_nmi,
         "graph_ari": q_graph_ari,
         "graph_conductance": q_graph_conductance,
+        "graph_eccentricity": q_graph_eccentricity,
+        "graph_algebraic": q_graph_algebraic,
+        "graph_hopplot": q_graph_hopplot,
         "graph_local_degree": q_graph_local_degree,
         "graph_local_similarity": q_graph_local_similarity,
         "graph_nibble": q_graph_nibble,
@@ -1134,6 +1209,29 @@ wk(node, dist) AS (
 )
 SELECT node, round(CAST(min(dist) AS DOUBLE), 6) AS dist FROM wk GROUP BY node
 """,
+        "graph_closeness_w": f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+wedges AS (SELECT src, dst, (src + dst) % 3 + 1 AS w FROM edges),
+nodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i)),
+wk(root, node, dist) AS (
+  SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+  UNION
+  SELECT wk.root, e.dst, wk.dist + e.w
+  FROM wk JOIN wedges e ON wk.node = e.src WHERE wk.dist < 32
+),
+sp AS (SELECT root, node, min(dist) AS dist FROM wk GROUP BY root, node),
+agg AS (SELECT root AS id, sum(dist) AS s FROM sp WHERE dist > 0 GROUP BY root)
+SELECT n.id,
+       round(CASE WHEN coalesce(a.s, 0) > 0
+                  THEN CAST(1.0 AS DOUBLE) / a.s ELSE 0.0 END, 6) AS score
+FROM nodes n LEFT JOIN agg a ON n.id = a.id
+""",
         "graph_scc": f"""
 WITH RECURSIVE de AS ({CHAIN_EDGES_SQL}),
 reach(s, d) AS (
@@ -1179,6 +1277,39 @@ SELECT round(CAST(1.0 AS DOUBLE)
              - (ri - sa * sb / denom) / (0.5 * (sa + sb) - sa * sb / denom),
              6) AS ari_distance
 FROM parts
+""",
+        "graph_eccentricity": f"""
+WITH RECURSIVE {SUB200_PRELUDE_SQL}
+SELECT root AS id, max(dist) AS ecc FROM sp GROUP BY root
+""",
+        "graph_algebraic": f"""
+WITH RECURSIVE {GRAPH_PRELUDE_SQL},
+step AS (
+  SELECT src, dst, FALSE AS selfrow FROM edges
+  UNION ALL
+  SELECT id, id, TRUE FROM nodes
+),
+ad(iter, node, l0, l1, l2, l3) AS (
+  SELECT 0, id,
+         {", ".join(f"CAST({md5_mod_sql('id', salt=f'ad{i}:')} AS DOUBLE) / 2147483629" for i in range(4))}
+  FROM nodes
+  UNION ALL
+  SELECT iter + 1, s.dst,
+         {", ".join(f"sum(CASE WHEN s.selfrow THEN 0.5 * l{i} ELSE 0.5 * l{i} / d.deg END)" for i in range(4))}
+  FROM ad JOIN step s ON ad.node = s.src JOIN deg d ON s.dst = d.id
+  WHERE iter < 5
+  GROUP BY iter + 1, s.dst
+),
+fin AS (SELECT node, l0, l1, l2, l3 FROM ad WHERE iter = 5),
+mm AS (SELECT {", ".join(f"min(l{i}) AS mn{i}, max(l{i}) AS mx{i}" for i in range(4))} FROM fin),
+nrm AS (
+  SELECT node,
+         {", ".join(f"(mm.mn{i} - l{i}) / (mm.mn{i} - mm.mx{i}) AS l{i}" for i in range(4))}
+  FROM fin, mm
+)
+SELECT e.src, e.dst,
+       round(sqrt({" + ".join(f"pow(a.l{i} - b.l{i}, 2)" for i in range(4))}), 6) AS score
+FROM e0 e JOIN nrm a ON e.src = a.node JOIN nrm b ON e.dst = b.node
 """,
         "graph_local_degree": f"""
 WITH {GRAPH_PRELUDE_SQL},

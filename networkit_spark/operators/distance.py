@@ -403,3 +403,232 @@ def sssp(
     raise RuntimeError(
         f"sssp did not converge in {max_rounds} rounds (negative cycle?)"
     )
+
+
+def multi_source_sssp(
+    g: Graph,
+    sources: DataFrame,
+    runner: SuperstepRunner | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Weighted distances from every source at once: (root, node, dist).
+
+    The (root, node)-keyed Bellman-Ford relax loop — the batched weighted
+    analogue of ``multi_source_bfs`` (Dijkstra semantics at the fixed
+    point for non-negative weights). Only improved (root, node) states
+    re-relax each round.
+    """
+    spark = g.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    max_rounds = max_rounds or (g.num_nodes() + 1)
+
+    edges = g.edges.select("src", "dst", "weight").cache()
+    edges.count()
+    roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
+    dist = roots.select(
+        "root", F.col("root").alias("node"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+
+    for rnd in range(1, max_rounds + 1):
+        relax = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            dist.join(relax, ["root", "node"], "full")
+            .select(
+                "root",
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias(
+                    "improved"
+                ),
+            )
+        )
+        merged = runner.persist_step(merged, rnd)
+        n_improved = merged.filter("improved").count()
+        runner.record(rnd, improved=n_improved)
+        frontier = merged.filter("improved").select("root", "node", "dist")
+        dist = merged.select("root", "node", "dist")
+        if n_improved == 0:
+            return dist
+    raise RuntimeError(f"multi_source_sssp did not converge in {max_rounds} rounds")
+
+
+def closeness_centrality_weighted(
+    g: Graph,
+    variant: str = "standard",
+    normalized: bool = False,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted closeness (``Closeness.cpp`` dijkstra path, same
+    updateScoreData math over weighted distances)."""
+    n = g.num_nodes()
+    src = sources if sources is not None else g.nodes
+    vis = multi_source_sssp(g, src)
+    agg = (
+        vis.filter(F.col("dist") > 0)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum("dist").alias("sum_dist"), F.count(F.lit(1)).alias("reached"))
+    )
+    if variant == "standard":
+        score = F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist")).otherwise(0.0)
+        if normalized:
+            score = score * F.lit(float(n - 1))
+    else:
+        score = F.when(
+            F.col("sum_dist") > 0,
+            F.col("reached") / F.col("sum_dist") / F.lit(float(max(n - 1, 1))),
+        ).otherwise(0.0)
+        if normalized:
+            score = score * F.col("reached")
+    base = src.select(F.col(src.columns[0]).cast("long").alias("id"))
+    return base.join(agg.select("id", score.alias("score")), "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def betweenness_weighted(
+    g: Graph,
+    sources: DataFrame | None = None,
+    normalized: bool = False,
+    n_samples: int | None = None,
+    seed: int = 42,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Weighted Brandes betweenness (``Betweenness.cpp`` with Dijkstra
+    SSSP): multi-source Bellman-Ford distances, then σ and δ as DAG
+    fixed points.
+
+    The shortest-path DAG has edge p→t iff dist(p) + w(p,t) = dist(t)
+    (tolerance ``eps``). σ propagates forward (σ_t = Σ_preds σ_p),
+    δ backward (δ_p = Σ_succs (σ_p/σ_t)(1+δ_t)); both iterate to their
+    fixed point in ≤ DAG-depth rounds — the weighted analogue of the
+    hop-level sweep, O(depth) shuffles for ALL roots at once.
+    """
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    if sources is None:
+        if n_samples is not None:
+            k = min(n_samples, n)
+            sources = (
+                g.nodes.orderBy(F.xxhash64("id", F.lit(seed)))
+                .limit(k)
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            sources = g.nodes
+    dist = multi_source_sssp(g, sources).localCheckpoint(eager=True)
+
+    # shortest-path DAG edges per root
+    e = g.edges.select("src", "dst", "weight")
+    dag = (
+        e.join(dist.select("root", F.col("node").alias("src"), F.col("dist").alias("dp")), "src")
+        .join(
+            dist.select("root", F.col("node").alias("dst"), F.col("dist").alias("dt")),
+            ["root", "dst"],
+        )
+        .filter(F.abs(F.col("dp") + F.col("weight") - F.col("dt")) <= eps)
+        .select("root", "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+    # sigma forward fixed point (roots pinned at 1 via an explicit flag —
+    # a value-based test would freeze any node whose sigma reaches 1)
+    sigma = dist.select(
+        "root",
+        "node",
+        (F.col("dist") == 0.0).alias("is_root"),
+        F.when(F.col("dist") == 0.0, 1.0).otherwise(0.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    while True:
+        prop = (
+            dag.join(
+                sigma.select("root", F.col("node").alias("src"), "sigma").hint(
+                    "shuffle_hash"
+                ),
+                ["root", "src"],
+            )
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("s_in"))
+        )
+        new_sigma = (
+            sigma.join(prop, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                "is_root",
+                F.col("sigma").alias("old"),
+                F.when(F.col("is_root"), F.lit(1.0))
+                .otherwise(F.coalesce("s_in", F.lit(0.0)))
+                .alias("sigma"),
+            )
+        )
+        new_sigma = new_sigma.localCheckpoint(eager=True)
+        changed = new_sigma.filter(
+            F.abs(F.col("sigma") - F.col("old")) > 1e-12
+        ).count()
+        sigma = new_sigma.select("root", "node", "is_root", "sigma")
+        if changed == 0:
+            break
+    sigma = sigma.select("root", "node", "sigma")
+
+    # delta backward fixed point
+    delta = sigma.select("root", "node", F.lit(0.0).alias("delta")).localCheckpoint(
+        eager=True
+    )
+    sig_t = sigma.select("root", F.col("node").alias("dst"), F.col("sigma").alias("st"))
+    sig_p = sigma.select("root", F.col("node").alias("src"), F.col("sigma").alias("sp"))
+    while True:
+        back = (
+            dag.join(
+                delta.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+                ["root", "dst"],
+            )
+            .join(sig_t, ["root", "dst"])
+            .join(sig_p, ["root", "src"])
+            .groupBy("root", F.col("src").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sp") / F.col("st")) * (F.lit(1.0) + F.col("delta"))
+                ).alias("d_new")
+            )
+        )
+        new_delta = (
+            delta.join(back, ["root", "node"], "left")
+            .select(
+                "root",
+                "node",
+                F.col("delta").alias("old"),
+                F.coalesce("d_new", F.lit(0.0)).alias("delta"),
+            )
+        )
+        new_delta = new_delta.localCheckpoint(eager=True)
+        changed = new_delta.filter(F.abs(F.col("delta") - F.col("old")) > 1e-12).count()
+        delta = new_delta.select("root", "node", "delta")
+        if changed == 0:
+            break
+
+    scores = (
+        delta.join(dist, ["root", "node"])
+        .filter(F.col("dist") > 0)  # t != s
+        .groupBy(F.col("node").alias("id"))
+        .agg(F.sum("delta").alias("score"))
+    )
+    out = g.nodes.join(scores, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    if normalized:
+        pairs = max((n - 1) * (n - 2), 1)
+        out = out.select("id", (F.col("score") / F.lit(float(pairs))).alias("score"))
+    if n_samples is not None and sources is not None:
+        pass
+    return out

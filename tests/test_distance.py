@@ -222,3 +222,83 @@ def test_scc_single_cycle(spark):
     g = Graph.of(spark, cyc, n=6, directed=True)
     got = {r["node"]: r["label"] for r in strongly_connected_components(g).collect()}
     assert set(got.values()) == {0}
+
+
+def numpy_brandes_weighted(n, edges, directed=False):
+    """Weighted Brandes oracle via Dijkstra per source."""
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for e in edges:
+        u, v, w = int(e[0]), int(e[1]), float(e[2])
+        adj[u].append((v, w))
+        if not directed:
+            adj[v].append((u, w))
+    bc = np.zeros(n)
+    for s in range(n):
+        dist = [float("inf")] * n
+        dist[s] = 0.0
+        sigma = np.zeros(n)
+        sigma[s] = 1
+        order = []
+        pq = [(0.0, s)]
+        done = [False] * n
+        while pq:
+            d, u = heapq.heappop(pq)
+            if done[u]:
+                continue
+            done[u] = True
+            order.append(u)
+            for v, w in adj[u]:
+                nd = d + w
+                if nd < dist[v] - 1e-12:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        # sigma over DAG in dist order
+        for u in order:
+            for v, w in adj[u]:
+                if abs(dist[u] + w - dist[v]) <= 1e-9:
+                    sigma[v] += sigma[u]
+        delta = np.zeros(n)
+        for u in reversed(order):
+            for v, w in adj[u]:
+                if abs(dist[u] + w - dist[v]) <= 1e-9 and sigma[v] > 0:
+                    delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+            if u != s:
+                bc[u] += delta[u]
+    return bc
+
+
+WG = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 4.0), (2, 3, 1.0), (3, 4, 2.0), (4, 0, 9.0), (1, 4, 6.0)]
+
+
+def test_weighted_betweenness_vs_numpy(spark):
+    from networkit_spark.operators.distance import betweenness_weighted
+
+    g = Graph.of(spark, WG, n=5, weighted=True)
+    got = {r["id"]: r["score"] for r in betweenness_weighted(g).collect()}
+    exp = numpy_brandes_weighted(5, WG)
+    for i in range(5):
+        assert got[i] == pytest.approx(exp[i], abs=1e-9), (i, got, exp)
+
+
+def test_weighted_closeness(spark):
+    from networkit_spark.operators.distance import closeness_centrality_weighted
+
+    g = Graph.of(spark, WG, n=5, weighted=True)
+    D = _floyd(_adj(5, WG, weighted=True))
+    got = {r["id"]: r["score"] for r in closeness_centrality_weighted(g).collect()}
+    for i in range(5):
+        assert got[i] == pytest.approx(1.0 / D[i].sum(), abs=1e-12)
+
+
+def test_multi_source_sssp_matches_single(spark):
+    from networkit_spark.operators.distance import multi_source_sssp
+
+    g = Graph.of(spark, WG, n=5, weighted=True)
+    vis = multi_source_sssp(g, spark.range(5).select("id"))
+    got = {(r["root"], r["node"]): r["dist"] for r in vis.collect()}
+    D = _floyd(_adj(5, WG, weighted=True))
+    for i in range(5):
+        for j in range(5):
+            assert got[(i, j)] == pytest.approx(D[i, j], abs=1e-9)
