@@ -586,6 +586,28 @@ def q_graph_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_graph_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-preserving edge-switching randomization on the <200
+    subgraph (randomization/EdgeSwitching* semantics, parallel double
+    swaps) — rows-only; pytest asserts the degree sequence is preserved."""
+    from networkit_spark.operators.randomization import edge_switching
+
+    sub = _co_subgraph200(spark, sf_dir)
+    g2 = edge_switching(sub, rounds=3, seed=42)
+    return g2.canonical_undirected_edges()
+
+
+def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cliques (size ≥ 3) on the <200 subgraph — ego-net
+    Bron-Kerbosch over applyInPandas (clique/MaximalCliques.cpp);
+    rows-only, pinned to a python BK oracle in pytest."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    sub = _co_subgraph200(spark, sf_dir)
+    out = maximal_cliques(sub, min_size=3)
+    return out.select(F.col("clique").cast("string").alias("clique"), "size")
+
+
 def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest (Borůvka) of the <200-node subgraph with
     deterministic weights (KruskalMSF semantics) — iterative contraction,
@@ -884,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_degree": q_graph_local_degree,
         "graph_local_similarity": q_graph_local_similarity,
         "graph_nibble": q_graph_nibble,
+        "graph_randomize": q_graph_randomize,
+        "graph_cliques": q_graph_cliques,
         "graph_msf": q_graph_msf,
         "graph_suitor": q_graph_suitor,
         "graph_luby": q_graph_luby,

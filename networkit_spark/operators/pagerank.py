@@ -55,6 +55,7 @@ def pagerank(
     norm: str = "l2",
     max_iterations: int | None = None,
     runner: SuperstepRunner | None = None,
+    initial_scores: DataFrame | None = None,
 ) -> PageRankResult:
     """Run NetworKit-semantics PageRank over ``g``; see module docstring."""
     spark = g.edges.sparkSession
@@ -82,12 +83,20 @@ def pagerank(
 
     nodes = g.nodes.cache()
 
-    # resume support: pick up the latest durably-checkpointed superstep
+    # resume support: pick up the latest durably-checkpointed superstep.
+    # initial_scores is the DYNAMIC warm start (DynPageRank-style
+    # recompute-after-events): seed with the previous run's vector — new
+    # nodes fall back to 1/n — and convergence takes O(change) supersteps
+    # instead of from-scratch.
     start = 0
     resumed = runner.latest_complete()
     if resumed is not None:
         start, scores = resumed
         scores = scores.select("id", "score")
+    elif initial_scores is not None:
+        scores = nodes.join(
+            initial_scores.select("id", F.col("score").alias("warm")), "id", "left"
+        ).select("id", F.coalesce("warm", F.lit(1.0 / n)).alias("score"))
     else:
         scores = nodes.withColumn("score", F.lit(1.0 / n))
     scores = scores.localCheckpoint(eager=True)

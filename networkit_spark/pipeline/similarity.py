@@ -172,3 +172,48 @@ def cosine_near_dupes(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hyperplane_lsh_buckets(
+    corpus: DataFrame,
+    planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket LONG): random-hyperplane (SimHash-for-vectors) LSH.
+
+    Bucket bit p = sign(v · h_p) with hyperplane components drawn from a
+    seeded hash (deterministic at any parallelism; no driver-side RNG
+    state). Vectors with high cosine land in the same bucket with
+    probability 1 − θ/π per bit. Use as the ``bucket_col`` feed for
+    ``cosine_near_dupes`` — the shuffle is then keyed on the bucket and
+    the pairwise blowup is bounded per bucket, the same LSH shape as the
+    MinHash dedup path.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_row:
+        return corpus.select(F.col(id_col).alias("id")).withColumn(
+            "bucket", F.lit(0).cast("long")
+        )
+    dim = int(dim_row[0]["d"])
+
+    import hashlib
+
+    def plane_component(p: int, d: int) -> float:
+        h = hashlib.md5(f"hp:{seed}:{p}:{d}".encode()).digest()
+        u = int.from_bytes(h[:8], "little") / float(1 << 64)
+        return u - 0.5
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return corpus.select(F.col(id_col).alias("id"), bucket.alias("bucket"))

@@ -1,0 +1,34 @@
+"""Edge-switching randomization: degree sequence preserved, graph simple."""
+
+from pyspark.sql import functions as F
+
+from networkit_spark.generators import clustered_random
+from networkit_spark.graph import Graph
+from networkit_spark.operators.randomization import edge_switching
+
+
+def test_edge_switching_preserves_degrees(spark):
+    g, _ = clustered_random(spark, n=60, k=3, p_intra=0.5, p_inter=0.05, seed=4)
+    before = {r["id"]: r["deg"] for r in g.degrees().collect()}
+    m_before = g.num_edges()
+    g2 = edge_switching(g, rounds=6, seed=11)
+    after = {r["id"]: r["deg"] for r in g2.degrees().collect()}
+    assert after == before
+    assert g2.num_edges() == m_before
+    # still simple: canonical edges unique, no self-loops
+    e = g2.canonical_undirected_edges()
+    assert e.count() == e.distinct().count()
+    assert g2.num_self_loops() == 0
+    # and the chain actually moved
+    e1 = {(r["src"], r["dst"]) for r in g.canonical_undirected_edges().collect()}
+    e2 = {(r["src"], r["dst"]) for r in e.collect()}
+    assert e1 != e2
+
+
+def test_edge_switching_deterministic(spark):
+    g, _ = clustered_random(spark, n=40, k=2, p_intra=0.5, p_inter=0.1, seed=5)
+    a = edge_switching(g, rounds=3, seed=7)
+    b = edge_switching(g, rounds=3, seed=7)
+    ea = sorted((r["src"], r["dst"]) for r in a.canonical_undirected_edges().collect())
+    eb = sorted((r["src"], r["dst"]) for r in b.canonical_undirected_edges().collect())
+    assert ea == eb
