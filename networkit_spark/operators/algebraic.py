@@ -46,7 +46,7 @@ def algebraic_distances(
     k = num_systems
     edges = (g.symmetrized_edges() if g.directed else g.edges).select(
         "src", "dst", "weight"
-    ).cache()
+    ).repartition("src").cache()
     edges.count()
 
     loads = _init_loads(g.nodes, k).localCheckpoint(eager=True)

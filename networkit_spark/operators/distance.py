@@ -66,7 +66,10 @@ def multi_source_bfs(
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
 
-    edges = g.edges.select("src", "dst").cache()
+    # repartition by src BEFORE caching: the cached InMemoryRelation then
+    # carries hashpartitioning(src), so every per-level frontier join
+    # reuses the layout instead of re-shuffling the edge table per hop
+    edges = g.edges.select("src", "dst").repartition("src").cache()
     edges.count()
 
     roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
@@ -361,7 +364,7 @@ def sssp(
     runner = runner or SuperstepRunner(spark)
     max_rounds = max_rounds or (g.num_nodes() + 1)
 
-    edges = g.edges.select("src", "dst", "weight").cache()
+    edges = g.edges.select("src", "dst", "weight").repartition("src").cache()
     edges.count()
 
     dist = spark.createDataFrame(
@@ -422,7 +425,7 @@ def multi_source_sssp(
     runner = runner or SuperstepRunner(spark)
     max_rounds = max_rounds or (g.num_nodes() + 1)
 
-    edges = g.edges.select("src", "dst", "weight").cache()
+    edges = g.edges.select("src", "dst", "weight").repartition("src").cache()
     edges.count()
     roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
     dist = roots.select(

@@ -63,7 +63,8 @@ def random_walks(
     every node. walk_id = node · walks_per_node + replica."""
     # walks follow OUT-edges as stored (undirected storage already holds
     # both orientations; directed walks respect direction)
-    edges = g.edges.select("src", "dst", "weight").localCheckpoint(eager=True)
+    edges = g.edges.select("src", "dst", "weight").repartition("src").cache()
+    edges.count()
     edge_keys = edges.select(
         F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("adj")
     ).dropDuplicates(["prev", "cand"])

@@ -85,6 +85,7 @@ def strongly_connected_components(
         g.edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
+        .repartition("src")
         .cache()
     )
     edges_all.count()

@@ -43,7 +43,8 @@ def bfs(
     edges = g.edges
     if reverse and g.directed:
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = edges.select("src", "dst").cache()
+    # src-partitioned cache: frontier joins reuse the layout every hop
+    edges = edges.select("src", "dst").repartition("src").cache()
     edges.count()
 
     visited = spark.createDataFrame(
