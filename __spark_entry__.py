@@ -407,6 +407,16 @@ def q_graph_betweenness_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 4).alias("score"))
 
 
+def q_graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-edge betweenness on the <200 subgraph
+    (Betweenness.cpp computeEdgeCentrality) — rows-only, pytest-pinned."""
+    from networkit_spark.operators.distance import edge_betweenness
+
+    sub = _co_subgraph200(spark, sf_dir)
+    out = edge_betweenness(sub)
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
 def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hop diameter of the <200-node subgraph (max eccentricity,
     Diameter.cpp exact path)."""
@@ -892,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "graph_betweenness": q_graph_betweenness,
         "graph_betweenness_est": q_graph_betweenness_est,
+        "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_diameter": q_graph_diameter,
         "graph_sssp": q_graph_sssp,
         "graph_closeness_w": q_graph_closeness_w,

@@ -125,12 +125,16 @@ def _brandes(
     sources: DataFrame,
     linear_scaling: bool,
     runner: SuperstepRunner | None = None,
-) -> DataFrame:
+    edge_scores: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Sum of Brandes dependencies over ``sources``: (id, score).
 
     Backward phase walks the BFS DAG level by level from the deepest
     frontier; δ for level d-1 is one join-agg over level-d deltas
     (predecessor p of t satisfies dist(p) = dist(t) - 1 and (p,t) ∈ E).
+    With ``edge_scores`` the per-DAG-edge term σp/σt·(1+δt) — which the
+    reference adds to edgeScoreData before folding it into δp
+    (``Betweenness.cpp:60-70``) — is also accumulated per edge.
     """
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
@@ -138,6 +142,7 @@ def _brandes(
     edges = g.edges.select("src", "dst")
 
     acc: DataFrame | None = None  # (node, dep) summed over roots, per level
+    eacc: DataFrame | None = None  # (src, dst, es) per level, summed over roots
     delta: DataFrame | None = None  # (root, node, delta) at current level
     for d in range(res.depth, 0, -1):
         lvl = res.levels[d]  # (root, node, sigma) at dist d
@@ -162,28 +167,51 @@ def _brandes(
         prev = res.levels[d - 1].select(
             "root", F.col("node").alias("src"), F.col("sigma").alias("sigma_p")
         )
-        delta = (
+        terms = (
             edges.join(
                 cur.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
             )
             .join(prev, ["root", "src"])  # keeps only true DAG predecessors
-            .groupBy("root", F.col("src").alias("node"))
-            .agg(
-                F.sum(
+            .select(
+                "root",
+                "src",
+                "dst",
+                (
                     (F.col("sigma_p") / F.col("sigma"))
                     * factor
                     * (F.lit(1.0) + F.col("delta"))
-                ).alias("delta")
+                ).alias("term"),
             )
+        )
+        if edge_scores:
+            ec = terms.groupBy("src", "dst").agg(F.sum("term").alias("es"))
+            eacc = ec if eacc is None else eacc.unionByName(ec)
+        delta = (
+            terms.groupBy("root", F.col("src").alias("node"))
+            .agg(F.sum("term").alias("delta"))
         )
         delta = delta.localCheckpoint(eager=True)
 
     if acc is None:
-        return g.nodes.select("id", F.lit(0.0).alias("score"))
+        nodes = g.nodes.select("id", F.lit(0.0).alias("score"))
+        empty_e = spark.createDataFrame([], "src long, dst long, score double")
+        return (nodes, empty_e) if edge_scores else nodes
     dep = acc.groupBy("id").agg(F.sum("dep").alias("score"))
-    return g.nodes.join(dep, "id", "left").select(
+    node_scores = g.nodes.join(dep, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+    if not edge_scores:
+        return node_scores
+    es = eacc.groupBy("src", "dst").agg(F.sum("es").alias("score"))
+    if not g.directed:
+        # both orientations carry the same reference edge id — fold them
+        es = (
+            es.groupBy(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .agg(F.sum("score").alias("score"))
+        )
+    return node_scores, es
 
 
 def betweenness(
@@ -635,3 +663,115 @@ def betweenness_weighted(
     if n_samples is not None and sources is not None:
         pass
     return out
+
+
+def edge_betweenness(
+    g: Graph,
+    normalized: bool = False,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """(src, dst, score) — exact per-edge Brandes betweenness
+    (``Betweenness.cpp`` computeEdgeCentrality; normalized divides by
+    n·(n−1)). Undirected edges are canonical (src < dst) with both
+    orientations folded, matching the shared edge id in the reference."""
+    _, es = _brandes(g, g.nodes, linear_scaling=False, runner=runner, edge_scores=True)
+    if normalized:
+        n = g.num_nodes()
+        pairs = max(n * (n - 1), 1)
+        es = es.select("src", "dst", (F.col("score") / F.lit(float(pairs))).alias("score"))
+    return es
+
+
+def sssp_update_additions(
+    g_new: Graph,
+    old_dist: DataFrame,
+    added_edges: DataFrame,
+    runner: SuperstepRunner | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """DynDijkstra/DynBFS edge-ADDITION path (``distance/DynDijkstra.cpp``
+    semantics): additions only ever IMPROVE distances, so instead of a
+    from-scratch run the relax loop is seeded with just the endpoints
+    whose distance the new edges improved — O(affected region) work,
+    like the reference's priority-queue repair. Removals invalidate this
+    monotonicity; recompute via ``sssp`` (the reference's removal path
+    is likewise the expensive one).
+
+    ``old_dist``: (node, dist) from the pre-update run (reached only).
+    ``added_edges``: (src, dst, weight) NEW edges (one orientation for
+    undirected graphs is fine — both directions are seeded).
+    """
+    spark = g_new.edges.sparkSession
+    runner = runner or SuperstepRunner(spark)
+    max_rounds = max_rounds or (g_new.num_nodes() + 1)
+
+    add = added_edges.select("src", "dst", "weight")
+    if not g_new.directed:
+        add = add.unionByName(
+            add.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+    seed_cand = (
+        add.join(old_dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+    )
+    merged = (
+        old_dist.join(seed_cand, "node", "full")
+        .select(
+            "node",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("cand", F.lit(float("inf"))),
+            ).alias("dist"),
+            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = merged.select("node", "dist")
+    frontier = merged.filter("improved").select("node", "dist")
+    if frontier.limit(1).count() == 0:
+        return dist
+
+    edges = g_new.edges.select("src", "dst", "weight").repartition("src").cache()
+    edges.count()
+    for rnd in range(1, max_rounds + 1):
+        relax = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias(
+                    "improved"
+                ),
+            )
+        )
+        merged = runner.persist_step(merged, rnd)
+        n_improved = merged.filter("improved").count()
+        runner.record(rnd, improved=n_improved)
+        frontier = merged.filter("improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if n_improved == 0:
+            return dist
+    raise RuntimeError("sssp_update_additions did not converge")
+
+
+def top_closeness(g: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
+    """TopCloseness / TopHarmonicCloseness (``centrality/TopCloseness.cpp``
+    result contract): top-k nodes by (harmonic) closeness, ties by id.
+    The reference prunes BFS work with upper bounds; at DataFrame scale
+    the batched multi-source BFS already shares all sources' work, so
+    top-k is a sort-limit over the scores."""
+    scores = harmonic_closeness(g) if harmonic else closeness_centrality(g)
+    return scores.orderBy(F.desc("score"), F.asc("id")).limit(k)

@@ -206,3 +206,51 @@ def write_gml(g: Graph, path: str) -> None:
     spark.createDataFrame(
         [(header,)] + [(v,) for v in body] + [("]",)], "value string"
     ).coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphML reader for machine-written files with one <node>/<edge>
+    element per line (the common writer layout, incl. our own
+    ``write_graphml``): ids are extracted by regex, edge elements carry
+    source/target on one line — a distributed line parse, no XML DOM.
+    (networkit's GraphMLIO is likewise a minimal non-validating parser.)"""
+    lines = spark.read.text(path)
+    directed = (
+        lines.filter(F.col("value").rlike('edgedefault="directed"')).limit(1).count() > 0
+    )
+    nodes = lines.filter(F.col("value").rlike(r'<node[^>]*id="n?\d+"')).select(
+        F.regexp_extract("value", r'id="n?(\d+)"', 1).cast("long").alias("id")
+    )
+    e = lines.filter(F.col("value").rlike(r"<edge[^>]*source=")).select(
+        F.regexp_extract("value", r'source="n?(\d+)"', 1).cast("long").alias("src"),
+        F.regexp_extract("value", r'target="n?(\d+)"', 1).cast("long").alias("dst"),
+    )
+    return Graph.from_edges(e, directed=directed, nodes=nodes)
+
+
+def write_graphml(g: Graph, path: str) -> None:
+    """Minimal GraphML writer (one element per line; node ids n<i>)."""
+    spark = g.edges.sparkSession
+    default = "directed" if g.directed else "undirected"
+    head = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        f'  <graph id="G" edgedefault="{default}">',
+    ]
+    n_lines = g.nodes.select(
+        F.concat(F.lit('    <node id="n'), F.col("id"), F.lit('"/>')).alias("value"),
+        F.lit(1).alias("ord"), F.col("id").alias("k1"), F.lit(0).alias("k2"),
+    )
+    e = g.edges if g.directed else g.canonical_undirected_edges()
+    e_lines = e.select(
+        F.concat(
+            F.lit('    <edge source="n'), F.col("src"),
+            F.lit('" target="n'), F.col("dst"), F.lit('"/>'),
+        ).alias("value"),
+        F.lit(2).alias("ord"), F.col("src").alias("k1"), F.col("dst").alias("k2"),
+    )
+    body = [r["value"] for r in n_lines.unionByName(e_lines).orderBy("ord", "k1", "k2").collect()]
+    tail = ["  </graph>", "</graphml>"]
+    spark.createDataFrame(
+        [(v,) for v in head + body + tail], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)

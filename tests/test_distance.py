@@ -302,3 +302,67 @@ def test_multi_source_sssp_matches_single(spark):
     for i in range(5):
         for j in range(5):
             assert got[(i, j)] == pytest.approx(D[i, j], abs=1e-9)
+
+
+def numpy_edge_betweenness(n, edges, directed=False):
+    adj = [[] for _ in range(n)]
+    for e in edges:
+        u, v = int(e[0]), int(e[1])
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    eb = {}
+    for s in range(n):
+        sigma = np.zeros(n)
+        sigma[s] = 1
+        dist = np.full(n, -1)
+        dist[s] = 0
+        order = [s]
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if dist[w] < 0:
+                        dist[w] = dist[u] + 1
+                        nq.append(w)
+                        order.append(w)
+            for u in q:
+                for w in adj[u]:
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            q = nq
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] + 1:
+                    c = sigma[w] / sigma[v] * (1 + delta[v])
+                    key = (min(w, v), max(w, v))
+                    eb[key] = eb.get(key, 0.0) + c
+                    delta[w] += c
+    return eb
+
+
+def test_edge_betweenness_vs_numpy(spark):
+    from networkit_spark.operators.distance import edge_betweenness
+
+    g = Graph.of(spark, G10, n=10)
+    got = {(r["src"], r["dst"]): r["score"] for r in edge_betweenness(g).collect()}
+    exp = numpy_edge_betweenness(10, G10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9), k
+
+
+def test_sssp_update_additions_matches_recompute(spark):
+    from networkit_spark.operators.distance import sssp, sssp_update_additions
+
+    base = [(0, 1, 2.0), (1, 2, 3.0), (2, 3, 1.0), (3, 4, 4.0)]
+    g = Graph.of(spark, base, n=6, weighted=True)
+    d0 = sssp(g, 0)
+    added = [(0, 3, 1.5), (4, 5, 1.0)]
+    g2 = Graph.of(spark, base + added, n=6, weighted=True)
+    add_df = spark.createDataFrame(added, "src long, dst long, weight double")
+    upd = {r["node"]: r["dist"] for r in sssp_update_additions(g2, d0, add_df).collect()}
+    fresh = {r["node"]: r["dist"] for r in sssp(g2, 0).collect()}
+    assert upd == fresh, (upd, fresh)

@@ -102,3 +102,24 @@ def test_gml_roundtrip(spark, tmp_path):
     assert g2.num_nodes() == 4
     e = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert e == {(0, 1), (1, 2), (0, 3)}
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import read_graphml, write_graphml
+
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3), (0, 3)], n=4)
+    p = str(tmp_path / "g.graphml")
+    write_graphml(g, p)
+    g2 = read_graphml(spark, p)
+    assert not g2.directed
+    assert g2.num_nodes() == 4 and g2.num_edges() == 4
+
+
+def test_top_closeness(spark):
+    from networkit_spark.operators.distance import top_closeness
+
+    star = Graph.of(spark, [(0, i) for i in range(1, 8)], n=8)
+    top = top_closeness(star, k=1).collect()
+    assert top[0]["id"] == 0
+    toph = top_closeness(star, k=3, harmonic=True).collect()
+    assert toph[0]["id"] == 0 and len(toph) == 3
