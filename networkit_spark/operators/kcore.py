@@ -48,10 +48,13 @@ def core_decomposition(
     runner = runner or SuperstepRunner(spark)
 
     sym = g.symmetrized_edges() if g.directed else g.edges
+    # dst-partitioned cache: every round's h-gather joins on dst and
+    # reuses the layout (the cached InMemoryRelation advertises it)
     edges = (
         sym.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
+        .repartition("dst")
         .cache()
     )
     edges.count()
@@ -66,8 +69,11 @@ def core_decomposition(
         .localCheckpoint(eager=True)
     )
 
+    n = g.num_nodes()
     w = Window.partitionBy("node").orderBy(F.desc("hv"), F.asc("nbr"))
     rounds = 0
+    changed_nodes: DataFrame | None = None  # None ⇒ everyone recomputes
+    last_changed = n
     while rounds < max_rounds:
         rounds += 1
         nbh = (
@@ -78,6 +84,20 @@ def core_decomposition(
                 F.col("h").alias("hv"),
             )
         )
+        # active set: h only ever DECREASES, so a node's H-index can only
+        # change when one of its neighbors decreased last round — once the
+        # frontier is small, recompute only those (same gating as PLP:
+        # the extra semi-join is worth one edge-table pass only after the
+        # frontier has collapsed below ~40% of |V|)
+        if changed_nodes is not None and last_changed < 0.4 * n:
+            targets = (
+                edges.join(
+                    changed_nodes.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                )
+                .select(F.col("src").alias("node"))
+                .distinct()
+            )
+            nbh = nbh.join(targets, "node", "left_semi")
         hidx = (
             nbh.withColumn("rn", F.row_number().over(w))
             .groupBy("node")
@@ -88,12 +108,14 @@ def core_decomposition(
             .join(hidx.withColumnRenamed("node", "id").hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
-                F.coalesce(F.col("h_new"), F.lit(0)).cast("long").alias("h"),
+                F.coalesce(F.col("h_new"), F.col("h_old")).cast("long").alias("h"),
                 "h_old",
             )
         )
         new_h = new_h.localCheckpoint(eager=True)
         changed = new_h.filter(F.col("h") != F.col("h_old")).count()
+        changed_nodes = new_h.filter(F.col("h") != F.col("h_old")).select("id")
+        last_changed = changed
         h = new_h.select("id", "h")
         runner.record(rounds, changed=changed)
         if changed == 0:

@@ -217,3 +217,93 @@ def hyperplane_lsh_buckets(
             F.lit(0).cast("long")
         )
     return corpus.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 32,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, cent_v ARRAY<DOUBLE>) — MLlib k-means coarse quantizer
+    for IVF (replaces the deterministic stride stub at real scale; the
+    round-1 plan-shape note "swap in k-means" lands here). Seeded, so the
+    codebook is reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    # carry centers through a small broadcast-able frame
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "cent_id": list(range(len(model.clusterCenters()))),
+            "cent_v": [c.tolist() for c in model.clusterCenters()],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a k-means codebook: identical plan shape to
+    ``ivf_topk`` (assign once, probe nprobe buckets), learned centroids."""
+    cent = kmeans_centroids(
+        corpus, k=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    assign_w = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "cv",
+            "cent_id",
+            _cosine(F.col("cv"), F.col("cent_v")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "cent_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cent_id",
+            _cosine(F.col("qv"), F.col("cent_v")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

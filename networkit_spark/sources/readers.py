@@ -14,7 +14,7 @@ plain ``df.write`` — our native format is Parquet adjacency (SURVEY §2.1).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -64,9 +64,13 @@ def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
 def read_metis(spark: SparkSession, path: str) -> Graph:
     """METISGraphReader: line i (1-based, after header) lists neighbors of
     node i-1 as 1-based ids (``io/METISGraphReader.cpp``)."""
-    raw = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    numbered = raw.withColumn("ln", F.row_number().over(w))
+    # zipWithIndex is distributed (per-partition counts + offsets) —
+    # unlike a global row_number window, which funnels the whole file
+    # through a single task; line order follows file byte order.
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    numbered = spark.createDataFrame(
+        rdd.map(lambda t: (t[0], t[1] + 1)), "value string, ln long"
+    )
     body = numbered.filter(
         (F.col("ln") > 1) & (~F.col("value").startswith("%"))
     )

@@ -80,3 +80,26 @@ def test_hyperplane_lsh_groups_similar(spark):
     pairs = cosine_near_dupes(withb, threshold=0.99, bucket_col="bucket")
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 4) in got and (1, 5) in got
+
+
+def test_ivf_topk_kmeans_recall(spark):
+    """K-means IVF must recover most exact top-1 neighbors on clustered data."""
+    from networkit_spark.pipeline.similarity import cosine_topk, ivf_topk_kmeans
+
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [(1.0 if d // 10 == c else 0.0) + 0.01 * ((i * 7 + d) % 5) for d in range(30)]
+        rows.append((i, [float(x) for x in vec]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = embs.filter(F.col("vec_id") < 6)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(embs, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk_kmeans(embs, queries, k=1, n_centroids=3, nprobe=1, seed=9).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits >= 5, (hits, exact, approx)
