@@ -530,6 +530,39 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalar_df(spark, "conductance", round(conductance(g, labels), 6))
 
 
+def q_graph_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sfigality: fraction of neighbors with strictly higher degree
+    (Sfigality.cpp)."""
+    from networkit_spark.operators.degrees import sfigality
+
+    out = sfigality(_co_graph(spark, sf_dir))
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_hub_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartitionHubDominance unweighted average for the id%10 partition
+    (PartitionHubDominance.cpp)."""
+    from networkit_spark.operators.community_quality import hub_dominance
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    return _scalar_df(spark, "hub_dominance", round(hub_dominance(g, labels), 6))
+
+
+def q_graph_ipd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntrapartitionDensity (unweighted avg + global) for id%10
+    (IntrapartitionDensity.cpp)."""
+    from networkit_spark.operators.community_quality import intrapartition_density
+
+    g = _co_graph(spark, sf_dir)
+    labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    d = intrapartition_density(g, labels)
+    return spark.createDataFrame(
+        [(round(d["unweighted_avg"], 6), round(d["global"], 6))],
+        "unweighted_avg double, global_density double",
+    )
+
+
 def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node eccentricity on the <200 subgraph (distance/Eccentricity.cpp)
     — max BFS distance to any reached node; isolated nodes get 0."""
@@ -911,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nmi": q_graph_nmi,
         "graph_ari": q_graph_ari,
         "graph_conductance": q_graph_conductance,
+        "graph_sfigality": q_graph_sfigality,
+        "graph_hub_dominance": q_graph_hub_dominance,
+        "graph_ipd": q_graph_ipd,
         "graph_eccentricity": q_graph_eccentricity,
         "graph_algebraic": q_graph_algebraic,
         "graph_hopplot": q_graph_hopplot,
@@ -1312,6 +1348,45 @@ SELECT round(CAST(1.0 AS DOUBLE)
              - (ri - sa * sb / denom) / (0.5 * (sa + sb) - sa * sb / denom),
              6) AS ari_distance
 FROM parts
+""",
+        "graph_sfigality": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT n.id,
+       round(coalesce(s.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN (
+  SELECT e.src AS id,
+         sum(CASE WHEN du.deg < dv.deg THEN 1 ELSE 0 END)::DOUBLE / count(*) AS score
+  FROM edges e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
+  GROUP BY e.src
+) s ON n.id = s.id
+""",
+        "graph_hub_dominance": f"""
+WITH {GRAPH_PRELUDE_SQL},
+sizes AS (SELECT id % 10 AS label, count(*) AS sz FROM nodes GROUP BY 1),
+ideg AS (
+  SELECT src % 10 AS label, src, count(*) AS d
+  FROM edges WHERE src % 10 = dst % 10 GROUP BY 1, 2
+),
+mx AS (SELECT label, max(d) AS max_ideg FROM ideg GROUP BY label)
+SELECT round(avg(CASE WHEN s.sz > 1
+                      THEN coalesce(m.max_ideg, 0)::DOUBLE / (s.sz - 1)
+                      ELSE 1.0 END), 6) AS hub_dominance
+FROM sizes s LEFT JOIN mx m ON s.label = m.label
+""",
+        "graph_ipd": f"""
+WITH {GRAPH_PRELUDE_SQL},
+sizes AS (SELECT id % 10 AS label, count(*) AS sz FROM nodes GROUP BY 1),
+intra AS (
+  SELECT src % 10 AS label, count(*) AS i
+  FROM e0 WHERE src % 10 = dst % 10 GROUP BY 1
+),
+per AS (
+  SELECT s.sz, coalesce(i.i, 0) AS i, s.sz * (s.sz - 1) / 2 AS possible
+  FROM sizes s LEFT JOIN intra i ON s.label = i.label
+)
+SELECT round(avg(CASE WHEN possible > 0 THEN i::DOUBLE / possible ELSE 1.0 END), 6) AS unweighted_avg,
+       round(sum(i)::DOUBLE / sum(possible), 6) AS global_density
+FROM per
 """,
         "graph_eccentricity": f"""
 WITH RECURSIVE {SUB200_PRELUDE_SQL}

@@ -303,3 +303,59 @@ def coarsen(g: Graph, labels: DataFrame) -> Graph:
     )
     nodes = labels.select(F.col("label").alias("id")).distinct()
     return Graph(nodes=nodes, edges=e, directed=g.directed, weighted=True)
+
+
+def hub_dominance(g: Graph, labels: DataFrame) -> float:
+    """PartitionHubDominance unweighted average
+    (``community/PartitionHubDominance.cpp``): per non-empty cluster,
+    maxInternalDegree/(size−1) (1 for singletons), averaged."""
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    e = _labeled_edges(g.remove_self_loops(), labels)
+    internal = (
+        e.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"), F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("ideg"))
+        .groupBy("label")
+        .agg(F.max("ideg").alias("max_ideg"))
+    )
+    per = sizes.join(internal, "label", "left").select(
+        F.when(
+            F.col("sz") > 1,
+            F.coalesce("max_ideg", F.lit(0)) / (F.col("sz") - 1),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("dom")
+    )
+    row = per.agg(F.avg("dom")).collect()[0]
+    return float(row[0] or 0.0)
+
+
+def intrapartition_density(g: Graph, labels: DataFrame) -> dict:
+    """IntrapartitionDensity (``community/IntrapartitionDensity.cpp``):
+    per-cluster internal density intra/(s(s−1)/2) (1 when no pair),
+    returns {'unweighted_avg', 'global'}."""
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    e = _labeled_edges(g.remove_self_loops(), labels)
+    intra = (
+        e.filter((F.col("lu") == F.col("lv")) & (F.col("src") < F.col("dst")))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+    )
+    per = sizes.join(intra, "label", "left").select(
+        "sz",
+        F.coalesce("intra", F.lit(0)).alias("intra"),
+        (F.col("sz") * (F.col("sz") - 1) / 2).alias("possible"),
+    )
+    row = per.agg(
+        F.avg(
+            F.when(F.col("possible") > 0, F.col("intra") / F.col("possible")).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("unweighted"),
+        F.sum("intra").alias("isum"),
+        F.sum("possible").alias("psum"),
+    ).collect()[0]
+    return {
+        "unweighted_avg": float(row["unweighted"] or 0.0),
+        "global": float(row["isum"] / row["psum"]) if row["psum"] else 0.0,
+    }

@@ -38,3 +38,25 @@ def degree_centrality(
         if max_deg > 0:
             out = out.select("id", (F.col("score") / F.lit(max_deg)).alias("score"))
     return out
+
+
+def sfigality(g):
+    """(id, score): fraction of neighbors with strictly higher degree
+    (``centrality/Sfigality.cpp:15-30``). Nodes with degree 0 score 0."""
+    from pyspark.sql import functions as F
+
+    adj = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst")
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        adj.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dv"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            (F.sum(F.when(F.col("du") < F.col("dv"), 1).otherwise(0)) / F.count(F.lit(1))).alias("score")
+        )
+    )
+    return g.nodes.join(j, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

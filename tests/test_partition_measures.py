@@ -107,3 +107,29 @@ def test_conductance_requires_2_partition(spark):
     labels = _labels_df(spark, [0, 1, 2])
     with pytest.raises(ValueError):
         conductance(g, labels)
+
+
+def test_hub_dominance_and_ipd(spark):
+    from networkit_spark.operators.community_quality import (
+        hub_dominance,
+        intrapartition_density,
+    )
+
+    # two clusters: triangle {0,1,2} (dominance 1.0, density 1.0) and
+    # path {3,4,5} (max internal deg 2 -> dominance 1.0, density 2/3)
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5)]
+    g = Graph.of(spark, edges, n=6)
+    labels = _labels_df(spark, [0, 0, 0, 1, 1, 1])
+    assert hub_dominance(g, labels) == pytest.approx(1.0)
+    d = intrapartition_density(g, labels)
+    assert d["unweighted_avg"] == pytest.approx((1.0 + 2.0 / 3.0) / 2)
+    assert d["global"] == pytest.approx(5.0 / 6.0)
+
+
+def test_sfigality_star(spark):
+    from networkit_spark.operators.degrees import sfigality
+
+    star = Graph.of(spark, [(0, i) for i in range(1, 5)], n=5)
+    s = {r["id"]: r["score"] for r in sfigality(star).collect()}
+    assert s[0] == 0.0
+    assert all(s[i] == 1.0 for i in range(1, 5))
