@@ -520,6 +520,32 @@ def q_graph_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalar_df(spark, "ari_distance", round(adjusted_rand_dissimilarity(a, b), 6))
 
 
+def q_graph_jaccard_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard partition dissimilarity between id%10 and id%7
+    (JaccardMeasure.cpp closed form)."""
+    from networkit_spark.operators.community_quality import jaccard_dissimilarity
+
+    g = _co_graph(spark, sf_dir)
+    a = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    b = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 7).alias("label"))
+    return _scalar_df(spark, "jaccard_distance", round(jaccard_dissimilarity(a, b), 6))
+
+
+def q_graph_gs_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-structural Rand dissimilarity over the co-graph's edges
+    (GraphStructuralRandMeasure.cpp)."""
+    from networkit_spark.operators.community_quality import (
+        graph_structural_rand_dissimilarity,
+    )
+
+    g = _co_graph(spark, sf_dir)
+    a = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    b = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 7).alias("label"))
+    return _scalar_df(
+        spark, "gs_rand_distance", round(graph_structural_rand_dissimilarity(g, a, b), 6)
+    )
+
+
 def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conductance of the id%2 bipartition of the co-graph
     (Conductance.cpp: cut / min volume)."""
@@ -943,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_nmi": q_graph_nmi,
         "graph_ari": q_graph_ari,
+        "graph_jaccard_measure": q_graph_jaccard_measure,
+        "graph_gs_rand": q_graph_gs_rand,
         "graph_conductance": q_graph_conductance,
         "graph_sfigality": q_graph_sfigality,
         "graph_hub_dominance": q_graph_hub_dominance,
@@ -1483,6 +1511,31 @@ scored AS (
   FROM ranked
 )
 SELECT src, dst, round(max(e), 6) AS score FROM scored GROUP BY src, dst
+""",
+        "graph_jaccard_measure": f"""
+WITH {GRAPH_PRELUDE_SQL},
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pa AS (SELECT id % 10 AS la, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+pb AS (SELECT id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1),
+cells AS (SELECT id % 10 AS la, id % 7 AS lb, count(*)::DOUBLE AS s FROM nodes GROUP BY 1, 2),
+parts AS (
+  SELECT (SELECT sum(s * (s - 1) / 2) FROM cells) AS s11,
+         (SELECT sum(s * (s - 1) / 2) FROM pa) AS sza,
+         (SELECT sum(s * (s - 1) / 2) FROM pb) AS szb,
+         (SELECT n FROM nn) AS n
+)
+SELECT round(CAST(1.0 AS DOUBLE)
+             - 2.0 * s11 / (n * (n - 1) - 2.0 * (n * (n - 1) / 2 + s11 - sza - szb)),
+             6) AS jaccard_distance
+FROM parts
+""",
+        "graph_gs_rand": f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT round(CAST(1.0 AS DOUBLE)
+             - sum(CASE WHEN (src % 10 = dst % 10) = (src % 7 = dst % 7)
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             6) AS gs_rand_distance
+FROM e0
 """,
         "graph_conductance": f"""
 WITH {GRAPH_PRELUDE_SQL},

@@ -359,3 +359,51 @@ def intrapartition_density(g: Graph, labels: DataFrame) -> dict:
         "unweighted_avg": float(row["unweighted"] or 0.0),
         "global": float(row["isum"] / row["psum"]) if row["psum"] else 0.0,
     }
+
+
+def jaccard_dissimilarity(a: DataFrame, b: DataFrame) -> float:
+    """JaccardMeasure (``community/JaccardMeasure.cpp``):
+    1 − 2·s11 / (n(n−1) − 2·s00) over node pairs (0 when the divisor
+    vanishes), from the shared contingency table."""
+    cells, sa, sb, n = _contingency(a, b)
+    if n < 2:
+        return 0.0
+
+    def pairs(df: DataFrame) -> float:
+        v = df.agg(F.sum(F.col("s") * (F.col("s") - 1) / 2)).collect()[0][0]
+        return float(v or 0)
+
+    s11 = pairs(cells)
+    s00 = n * (n - 1) / 2 + s11 - (pairs(sa) + pairs(sb))
+    divisor = n * (n - 1) - 2.0 * s00
+    if divisor <= 0:
+        return 0.0
+    return 1.0 - (2.0 * s11) / divisor
+
+
+def graph_structural_rand_dissimilarity(g: Graph, a: DataFrame, b: DataFrame) -> float:
+    """GraphStructuralRandMeasure (``community/GraphStructuralRandMeasure.cpp``):
+    1 − (e11 + e00)/m over EDGES (agree = together in both, or apart in
+    both); each undirected edge counted once."""
+    la = a.withColumnRenamed("label", "la")
+    lb = b.withColumnRenamed("label", "lb")
+    e = (
+        g.canonical_undirected_edges()
+        .join(la.withColumnRenamed("node", "src").withColumnRenamed("la", "la_u"), "src")
+        .join(la.withColumnRenamed("node", "dst").withColumnRenamed("la", "la_v"), "dst")
+        .join(lb.withColumnRenamed("node", "src").withColumnRenamed("lb", "lb_u"), "src")
+        .join(lb.withColumnRenamed("node", "dst").withColumnRenamed("lb", "lb_v"), "dst")
+    )
+    row = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(
+                ((F.col("la_u") == F.col("la_v")) & (F.col("lb_u") == F.col("lb_v")))
+                | ((F.col("la_u") != F.col("la_v")) & (F.col("lb_u") != F.col("lb_v"))),
+                1,
+            ).otherwise(0)
+        ).alias("agree"),
+    ).collect()[0]
+    if not row["m"]:
+        raise ValueError("graph-structural rand is undefined for edgeless graphs")
+    return 1.0 - float(row["agree"]) / float(row["m"])

@@ -133,3 +133,36 @@ def test_sfigality_star(spark):
     s = {r["id"]: r["score"] for r in sfigality(star).collect()}
     assert s[0] == 0.0
     assert all(s[i] == 1.0 for i in range(1, 5))
+
+
+def test_jaccard_and_graph_structural_rand(spark):
+    from networkit_spark.operators.community_quality import (
+        graph_structural_rand_dissimilarity,
+        jaccard_dissimilarity,
+    )
+
+    a = _labels_df(spark, LAB_A)
+    b = _labels_df(spark, LAB_B)
+    # python oracle for jaccard
+    cells, sa, sb, n = _py_contingency(LAB_A, LAB_B)
+    s11 = sum(s * (s - 1) / 2 for s in cells.values())
+    s00 = n * (n - 1) / 2 + s11 - (
+        sum(s * (s - 1) / 2 for s in sa.values())
+        + sum(s * (s - 1) / 2 for s in sb.values())
+    )
+    exp = 1.0 - 2.0 * s11 / (n * (n - 1) - 2.0 * s00)
+    assert jaccard_dissimilarity(a, b) == pytest.approx(exp, abs=1e-12)
+    assert jaccard_dissimilarity(a, a) == pytest.approx(0.0, abs=1e-12)
+
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    g = Graph.of(spark, edges, n=10)
+    agree = sum(
+        1
+        for u, v in edges
+        if ((LAB_A[u] == LAB_A[v]) and (LAB_B[u] == LAB_B[v]))
+        or ((LAB_A[u] != LAB_A[v]) and (LAB_B[u] != LAB_B[v]))
+    )
+    assert graph_structural_rand_dissimilarity(g, a, b) == pytest.approx(
+        1.0 - agree / 10.0, abs=1e-12
+    )
+    assert graph_structural_rand_dissimilarity(g, a, a) == 0.0
