@@ -369,11 +369,14 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact standard closeness on the <200-node subgraph
-    (Closeness.hpp:78-93; all-pairs BFS — subgraph-sized on purpose)."""
+    (Closeness.hpp:78-93; all-pairs BFS — subgraph-sized on purpose).
+    The subgraph is disconnected (isolated ids), where the reference
+    throws; check_connected=False opts into the documented deviation
+    (reachable-set closeness) that the oracle mirrors."""
     from networkit_spark.operators.distance import closeness_centrality
 
     sub = _co_subgraph200(spark, sf_dir)
-    out = closeness_centrality(sub, variant="standard")
+    out = closeness_centrality(sub, variant="standard", check_connected=False)
     return out.select("id", F.round("score", 6).alias("score"))
 
 
@@ -832,19 +835,23 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact verifier tier; the
-    bucketed tier reuses the IVF quantizer — see cosine_near_dupes)."""
+    """Embedding-cosine near-duplicate pairs (exact verifier tier,
+    explicit all_pairs=True opt-in — the bucketed tier is the library
+    default; see cosine_near_dupes / hyperplane_lsh_buckets)."""
     from networkit_spark.pipeline.similarity import cosine_near_dupes
 
-    return cosine_near_dupes(_embs(spark, sf_dir), threshold=0.4)
+    return cosine_near_dupes(_embs(spark, sf_dir), threshold=0.4, all_pairs=True)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from networkit_spark.pipeline.similarity import ivf_topk
+    """Deterministic-stride IVF tier (ivf_topk_stride) — chosen here
+    BECAUSE its codebook is hash-free and replayable in the DuckDB
+    oracle; the library default ivf_topk is the k-means codebook."""
+    from networkit_spark.pipeline.similarity import ivf_topk_stride
 
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
-    return ivf_topk(embs, queries, k=5, stride=20, nprobe=3)
+    return ivf_topk_stride(embs, queries, k=5, stride=20, nprobe=3)
 
 
 # --------------------------------------------------------------------------
@@ -1012,6 +1019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # shared subgraph-<200 prelude (nodes are ALL ids 0..199, matching the
 # Spark subgraph_from_nodes node set, isolated ids included)
+# Walk-CTE caps: every recursive walk below is bounded at dist < 96.
+# Measured true maxima on this data: hop distance ≤ weighted distance,
+# max weighted shortest distance = 7 (sf0.01) / 48 (sf0.1) — ≥2×
+# headroom, so the cap can never silently truncate a shortest path at
+# the scale factors the driver runs (the old 32-cap WOULD have at sf0.1).
 SUB200_PRELUDE_SQL = """
   e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          FROM lineitem a JOIN lineitem b
@@ -1023,7 +1035,7 @@ SUB200_PRELUDE_SQL = """
     SELECT id, id, CAST(0 AS BIGINT) FROM nodes
     UNION
     SELECT w.root, e.dst, w.dist + 1
-    FROM walk w JOIN edges e ON w.node = e.src WHERE w.dist < 64
+    FROM walk w JOIN edges e ON w.node = e.src WHERE w.dist < 96
   ),
   sp AS (SELECT root, node, min(dist) AS dist FROM walk GROUP BY root, node)
 """
@@ -1209,7 +1221,7 @@ walk(node, dist) AS (
   UNION
   SELECT e.dst, w.dist + 1
   FROM walk w JOIN edges e ON w.node = e.src
-  WHERE w.dist < 64
+  WHERE w.dist < 96
 )
 SELECT node, min(dist) AS dist FROM walk GROUP BY node
 """,
@@ -1304,7 +1316,7 @@ wk(node, dist) AS (
   SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
   UNION
   SELECT e.dst, wk.dist + e.w FROM wk JOIN wedges e ON wk.node = e.src
-  WHERE wk.dist < 64
+  WHERE wk.dist < 96
 )
 SELECT node, round(CAST(min(dist) AS DOUBLE), 6) AS dist FROM wk GROUP BY node
 """,
@@ -1322,7 +1334,7 @@ wk(root, node, dist) AS (
   SELECT id, id, CAST(0 AS BIGINT) FROM nodes
   UNION
   SELECT wk.root, e.dst, wk.dist + e.w
-  FROM wk JOIN wedges e ON wk.node = e.src WHERE wk.dist < 32
+  FROM wk JOIN wedges e ON wk.node = e.src WHERE wk.dist < 96
 ),
 sp AS (SELECT root, node, min(dist) AS dist FROM wk GROUP BY root, node),
 agg AS (SELECT root AS id, sum(dist) AS s FROM sp WHERE dist > 0 GROUP BY root)

@@ -269,6 +269,7 @@ def closeness_centrality(
     normalized: bool = False,
     sources: DataFrame | None = None,
     runner: SuperstepRunner | None = None,
+    check_connected: bool = True,
 ) -> DataFrame:
     """Closeness (``Closeness.hpp:78-93``): (id, score).
 
@@ -276,6 +277,17 @@ def closeness_centrality(
     default — O(n·m); pass a sample or run on a subgraph at scale).
     Distances are measured FROM the node along out-edges, matching the
     reference's BFS direction.
+
+    Standard closeness is undefined on disconnected graphs; the
+    reference (``Closeness.cpp`` checkConnectedComponents) throws there.
+    We mirror that: with ``variant="standard"`` and ``check_connected``
+    (the default) a root that cannot reach all n-1 other nodes raises
+    ``ValueError``. Pass ``check_connected=False`` to deviate knowingly
+    (each unreachable node then simply contributes nothing — a node in a
+    tiny component can outrank the giant component), or use
+    ``variant="generalized"`` which is well-defined on disconnected
+    input. The check is one aggregate over the already-computed BFS
+    frontier table — no extra connectivity job.
     """
     n = g.num_nodes()
     src = sources if sources is not None else g.nodes
@@ -285,6 +297,16 @@ def closeness_centrality(
         .groupBy(F.col("root").alias("id"))
         .agg(F.sum("dist").alias("sum_dist"), F.count(F.lit(1)).alias("reached"))
     )
+    if variant == "standard" and check_connected:
+        n_src = src.count()
+        full = agg.filter(F.col("reached") == F.lit(n - 1)).count()
+        if full != n_src:
+            raise ValueError(
+                "standard closeness is undefined on disconnected graphs "
+                f"({n_src - full} of {n_src} roots do not reach all {n - 1} "
+                "other nodes); use variant='generalized' or pass "
+                "check_connected=False (documented deviation)"
+            )
     if variant == "standard":
         score = F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist")).otherwise(0.0)
         if normalized:
@@ -559,6 +581,17 @@ def betweenness_weighted(
             sources = g.nodes
     dist = multi_source_sssp(g, sources).localCheckpoint(eager=True)
 
+    # Zero-weight edges between equal-distance nodes would put BOTH
+    # orientations into the "DAG", creating a cycle that the σ/δ fixed
+    # points never escape (σ→inf, then inf-inf = NaN silently passes the
+    # convergence test). Require strictly positive weights up front.
+    min_w = g.edges.agg(F.min("weight")).collect()[0][0]
+    if min_w is not None and min_w <= eps:
+        raise ValueError(
+            f"betweenness_weighted requires strictly positive edge weights "
+            f"(> eps={eps}); found min weight {min_w}"
+        )
+
     # shortest-path DAG edges per root
     e = g.edges.select("src", "dst", "weight")
     dag = (
@@ -580,7 +613,16 @@ def betweenness_weighted(
         (F.col("dist") == 0.0).alias("is_root"),
         F.when(F.col("dist") == 0.0, 1.0).otherwise(0.0).alias("sigma"),
     ).localCheckpoint(eager=True)
+    # DAG depth ≤ n on positive weights; a non-terminating loop here means
+    # the "DAG" had a cycle — raise like sssp does instead of spinning.
+    sigma_rounds = 0
     while True:
+        sigma_rounds += 1
+        if sigma_rounds > n + 1:
+            raise RuntimeError(
+                "betweenness_weighted sigma loop did not converge in "
+                f"{n + 1} rounds (cycle in shortest-path DAG?)"
+            )
         prop = (
             dag.join(
                 sigma.select("root", F.col("node").alias("src"), "sigma").hint(
@@ -618,7 +660,14 @@ def betweenness_weighted(
     )
     sig_t = sigma.select("root", F.col("node").alias("dst"), F.col("sigma").alias("st"))
     sig_p = sigma.select("root", F.col("node").alias("src"), F.col("sigma").alias("sp"))
+    delta_rounds = 0
     while True:
+        delta_rounds += 1
+        if delta_rounds > n + 1:
+            raise RuntimeError(
+                "betweenness_weighted delta loop did not converge in "
+                f"{n + 1} rounds (cycle in shortest-path DAG?)"
+            )
         back = (
             dag.join(
                 delta.withColumnRenamed("node", "dst").hint("shuffle_hash"),
@@ -773,5 +822,9 @@ def top_closeness(g: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
     The reference prunes BFS work with upper bounds; at DataFrame scale
     the batched multi-source BFS already shares all sources' work, so
     top-k is a sort-limit over the scores."""
-    scores = harmonic_closeness(g) if harmonic else closeness_centrality(g)
+    scores = (
+        harmonic_closeness(g)
+        if harmonic
+        else closeness_centrality(g, check_connected=False)
+    )
     return scores.orderBy(F.desc("score"), F.asc("id")).limit(k)

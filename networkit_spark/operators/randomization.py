@@ -37,9 +37,14 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
         raise ValueError("edge_switching expects an undirected graph")
     edges = g.canonical_undirected_edges().localCheckpoint(eager=True)
 
+    # Bucket count scales with |E| so the per-bucket row_number window
+    # stays bounded (~TARGET_BUCKET_SIZE edges per single-task window)
+    # instead of m/constant — the global-window bottleneck at scale.
+    m = edges.count()
+    TARGET_BUCKET_SIZE = 4096
     for rnd in range(rounds):
         h = F.xxhash64("src", "dst", F.lit(seed), F.lit(rnd))
-        buckets = max(2, 32)
+        buckets = max(32, m // TARGET_BUCKET_SIZE)
         w = Window.partitionBy("bucket").orderBy("h")
         paired = (
             edges.select("src", "dst", h.alias("h"), F.pmod(h, F.lit(buckets)).alias("bucket"))

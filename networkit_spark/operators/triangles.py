@@ -205,18 +205,20 @@ def approx_global_clustering(g: Graph, trials: int = 10000, seed: int = 42) -> f
     if tot == 0:
         return 0.0
 
+    # Trials strictly proportional to the d(d-1) wedge share — no min-1
+    # floor (a floor over-weights low-degree apexes on skewed graphs and
+    # can blow the requested trial budget); nodes whose share rounds to
+    # zero simply get no trials, keeping the estimator unbiased.
     alloc = (
         deg.filter(F.col("deg") >= 2)
         .select(
             "src",
             "deg",
-            F.greatest(
-                F.round(
-                    F.lit(float(trials)) * F.col("deg") * (F.col("deg") - 1) / F.lit(float(tot))
-                ).cast("long"),
-                F.lit(1),
-            ).alias("k"),
+            F.round(
+                F.lit(float(trials)) * F.col("deg") * (F.col("deg") - 1) / F.lit(float(tot))
+            ).cast("long").alias("k"),
         )
+        .filter(F.col("k") >= 1)
     )
     t = alloc.select(
         "src",

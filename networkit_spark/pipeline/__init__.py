@@ -10,7 +10,14 @@ from networkit_spark.pipeline.text import (
     quality_scores,
     token_counts,
 )
-from networkit_spark.pipeline.similarity import cosine_topk, ivf_topk
+from networkit_spark.pipeline.similarity import (
+    cosine_near_dupes,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    ivf_topk,
+    ivf_topk_kmeans,
+    ivf_topk_stride,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -22,5 +29,9 @@ __all__ = [
     "quality_scores",
     "token_counts",
     "cosine_topk",
+    "cosine_near_dupes",
+    "hyperplane_lsh_buckets",
     "ivf_topk",
+    "ivf_topk_kmeans",
+    "ivf_topk_stride",
 ]

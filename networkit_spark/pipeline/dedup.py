@@ -80,7 +80,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = 1000,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
 
@@ -91,10 +92,17 @@ def ngram_jaccard_pairs(
     is dropped from BOTH the pair index and the per-doc sizes, i.e. the
     Jaccard is computed over the filtered shingle universe. Without it
     the self-join is quadratic per shared shingle — one shingle present
-    in a million docs yields 5·10¹¹ candidate rows. At 100 TB always set
-    it (df-capped inverted indexes are standard for near-dup mining);
-    leave None only for verifier runs on pre-blocked candidate pairs.
+    in a million docs yields 5·10¹¹ candidate rows, so the df cap is ON
+    by default (1000). The unguarded quadratic path (``max_df=None``)
+    requires an explicit ``all_pairs=True`` opt-in and is meant only for
+    verifier runs on pre-blocked candidate sets.
     """
+    if max_df is None and not all_pairs:
+        raise ValueError(
+            "max_df=None makes the shingle self-join quadratic per shared "
+            "shingle; pass all_pairs=True to opt into the unguarded path "
+            "(verifier runs on pre-blocked candidates only)"
+        )
     sh = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s")
     )

@@ -74,16 +74,47 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — k-means codebook by default.
+
+    The default implementation IS ``ivf_topk_kmeans`` (fixed-k seeded
+    MLlib codebook, broadcast-safe at any corpus size). The old stride
+    quantizer lives on as ``ivf_topk_stride``, a deterministic test shim
+    whose codebook grows O(corpus) — never the shipped default.
+    """
+    return ivf_topk_kmeans(
+        corpus,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_topk_stride(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
     stride: int = 20,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k (same output schema as cosine_topk).
+    """Deterministic-stride IVF (TEST SHIM — oracle-replayable, but the
+    id%stride codebook grows O(corpus) and its broadcast dies at scale;
+    use ``ivf_topk`` / ``ivf_topk_kmeans`` for real workloads).
 
-    Centroids: vectors with id % stride == 0 (deterministic coarse
-    quantizer — at scale, swap in k-means centroids; the plan shape is
-    identical). Assignment + probing both reuse the exact-cosine ranking.
+    Centroids: vectors with id % stride == 0. Assignment + probing both
+    reuse the exact-cosine ranking, so the plan SHAPE matches the k-means
+    variant — only the codebook source differs.
     """
     cent = corpus.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
@@ -140,17 +171,25 @@ def cosine_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) — embedding-cosine near-duplicate pairs
     (id_a < id_b, cosine ≥ threshold).
 
-    Without ``bucket_col`` this is the exact all-pairs verifier —
-    quadratic, CI-scale / candidate-verification only. At 100 TB pass a
-    blocking column (an IVF centroid id from ``ivf_topk``'s quantizer, a
-    random-hyperplane LSH signature, or an upstream MinHash band): the
-    self-join is then keyed on the bucket and only intra-bucket pairs are
-    scored — the same bounded-blowup shape as the MinHash-LSH dedup path.
+    The scale path is ``bucket_col``: pass a blocking column (an IVF
+    centroid id from the quantizer, a ``hyperplane_lsh_buckets``
+    signature, or an upstream MinHash band) and the self-join is keyed on
+    the bucket so only intra-bucket pairs are scored — the same
+    bounded-blowup shape as the MinHash-LSH dedup path. The quadratic
+    all-pairs verifier (no bucket) requires an explicit
+    ``all_pairs=True`` opt-in — CI-scale / candidate-verification only.
     """
+    if bucket_col is None and not all_pairs:
+        raise ValueError(
+            "cosine_near_dupes without bucket_col is an all-pairs crossJoin "
+            "(quadratic); pass a blocking column, or all_pairs=True to opt "
+            "into the unguarded verifier path at CI scale"
+        )
     a = corpus.select(
         *( [F.col(bucket_col)] if bucket_col else [] ),
         F.col(id_col).alias("id_a"),
@@ -183,36 +222,37 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """(id, bucket LONG): random-hyperplane (SimHash-for-vectors) LSH.
 
-    Bucket bit p = sign(v · h_p) with hyperplane components drawn from a
-    seeded hash (deterministic at any parallelism; no driver-side RNG
-    state). Vectors with high cosine land in the same bucket with
-    probability 1 − θ/π per bit. Use as the ``bucket_col`` feed for
-    ``cosine_near_dupes`` — the shuffle is then keyed on the bucket and
-    the pairwise blowup is bounded per bucket, the same LSH shape as the
-    MinHash dedup path.
+    Bucket bit p = sign(v · h_p). Hyperplane component h_p[d] is computed
+    COLUMNAR-side from a seeded hash of (plane, element index) — the plan
+    carries O(planes) expressions, not planes×dim driver literals (the
+    literal-array form plan-exploded at dim 1024 × 16 planes). Vectors
+    with high cosine land in the same bucket with probability 1 − θ/π per
+    bit. Use as the ``bucket_col`` feed for ``cosine_near_dupes`` — the
+    shuffle is then keyed on the bucket and the pairwise blowup is
+    bounded per bucket, the same LSH shape as the MinHash dedup path.
     """
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not dim_row:
-        return corpus.select(F.col(id_col).alias("id")).withColumn(
-            "bucket", F.lit(0).cast("long")
+    # h_p[d] = uniform(-0.5, 0.5) from xxhash64(seed, p, d): deterministic
+    # at any parallelism, evaluated inside whole-stage codegen per element.
+    def dot_with_plane(p: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["x"]
+            * (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), s["i"]), F.lit(1_000_003))
+                / F.lit(1_000_003.0)
+                - F.lit(0.5)
+            ),
         )
-    dim = int(dim_row[0]["d"])
-
-    import hashlib
-
-    def plane_component(p: int, d: int) -> float:
-        h = hashlib.md5(f"hp:{seed}:{p}:{d}".encode()).digest()
-        u = int.from_bytes(h[:8], "little") / float(1 << 64)
-        return u - 0.5
 
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dot = dot_with_plane(p)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

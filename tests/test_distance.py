@@ -366,3 +366,35 @@ def test_sssp_update_additions_matches_recompute(spark):
     upd = {r["node"]: r["dist"] for r in sssp_update_additions(g2, d0, add_df).collect()}
     fresh = {r["node"]: r["dist"] for r in sssp(g2, 0).collect()}
     assert upd == fresh, (upd, fresh)
+
+
+def test_closeness_standard_raises_on_disconnected(spark):
+    """Reference parity: Closeness.cpp checkConnectedComponents throws on
+    disconnected input for the standard variant (ADVICE r2 #1)."""
+    edges = [(0, 1), (1, 2), (3, 4)]
+    g = Graph.of(spark, edges, n=6)
+    with pytest.raises(ValueError, match="disconnected"):
+        closeness_centrality(g, variant="standard").collect()
+    # explicit opt-out computes reachable-set closeness (documented deviation)
+    got = {
+        r["id"]: r["score"]
+        for r in closeness_centrality(g, check_connected=False).collect()
+    }
+    assert got[3] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_betweenness_weighted_rejects_nonpositive_weights(spark):
+    """Zero-weight edges create a cycle in the 'DAG' (ADVICE r2 #2)."""
+    from networkit_spark.operators.distance import betweenness_weighted
+
+    edges = [(0, 1, 0.0), (1, 2, 1.0), (2, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(
+        nodes=spark.range(3).toDF("id"),
+        edges=sym,
+        directed=False,
+        weighted=True,
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        betweenness_weighted(g).collect()
