@@ -119,6 +119,18 @@ def connected_components(
     return out
 
 
+def weakly_connected_components(
+    g: Graph,
+    runner: SuperstepRunner | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """WeaklyConnectedComponents (``components/WeaklyConnectedComponents.cpp``):
+    identical kernel — ``connected_components`` already symmetrizes directed
+    input, so WCC is the same alternating large-star/small-star run. Named
+    wrapper for API parity with the reference."""
+    return connected_components(g, runner=runner, max_rounds=max_rounds)
+
+
 def number_of_components(labels: DataFrame) -> int:
     return labels.select(F.countDistinct("label")).collect()[0][0]
 

@@ -46,9 +46,18 @@ def read_edge_list(
     return Graph.from_edges(e, directed=directed, weighted=weighted)
 
 
-def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
+def read_snap(
+    spark: SparkSession,
+    path: str,
+    directed: bool = False,
+    return_mapping: bool = False,
+) -> Graph | tuple[Graph, "DataFrame"]:
     """SNAPGraphReader: whitespace pairs, # comments, dedupe, dense remap
-    (``io/SNAPGraphReader.cpp:18-111``)."""
+    (``io/SNAPGraphReader.cpp:18-111``). The remap is deterministic
+    sort-order, not the reference's single-threaded first-seen order (see
+    ``ids.py`` module docstring); ``return_mapping=True`` additionally
+    returns the (key, id) frame so callers can translate back to external
+    ids for relabel-invariant parity checks."""
     lines = spark.read.text(path).filter(
         ~F.col("value").startswith("#") & (F.trim("value") != "")
     )
@@ -57,8 +66,11 @@ def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
         parts.getItem(0).cast("long").alias("src"),
         parts.getItem(1).cast("long").alias("dst"),
     )
-    e, _ = remap_edges(e)
-    return Graph.from_edges(e, directed=directed, dedupe=True)
+    e, mapping = remap_edges(e)
+    g = Graph.from_edges(e, directed=directed, dedupe=True)
+    if return_mapping:
+        return g, mapping
+    return g
 
 
 def read_metis(spark: SparkSession, path: str) -> Graph:
