@@ -407,3 +407,156 @@ def graph_structural_rand_dissimilarity(g: Graph, a: DataFrame, b: DataFrame) ->
     if not row["m"]:
         raise ValueError("graph-structural rand is undefined for edgeless graphs")
     return 1.0 - float(row["agree"]) / float(row["m"])
+
+
+def isolated_interpartition_conductance(g: Graph, labels: DataFrame) -> dict:
+    """IsolatedInterpartitionConductance
+    (``community/IsolatedInterpartitionConductance.cpp:16-62``): per
+    cluster c, cut(c) / min(vol(c), totalVol − vol(c)); returns the
+    reference's summary statistics. One labeled-edge join + two aggs —
+    broadcast label map when small, sort-merge otherwise; nothing here
+    scales worse than the edge scan."""
+    e = _labeled_edges(g, labels)
+    # our undirected storage holds both orientations, so grouping by lu
+    # alone already credits each inter-cluster edge to BOTH clusters and
+    # sums each endpoint's incident weight into its cluster volume —
+    # exactly the reference's forEdges double-accounting.
+    per = e.groupBy("lu").agg(
+        F.sum(F.when(F.col("lu") != F.col("lv"), F.col("weight")).otherwise(0.0)).alias(
+            "cut"
+        ),
+        F.sum("weight").alias("vol"),
+    )
+    total_vol = float(g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    vals = (
+        per.join(sizes.withColumnRenamed("label", "lu"), "lu")
+        .select(
+            F.col("lu").alias("cluster"),
+            "sz",
+            F.when(
+                F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")) > 0,
+                F.col("cut") / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+            )
+            .otherwise(0.0)
+            .alias("value"),
+        )
+    )
+    return _measure_summary(vals, labels)
+
+
+def isolated_interpartition_expansion(g: Graph, labels: DataFrame) -> dict:
+    """IsolatedInterpartitionExpansion
+    (``community/IsolatedInterpartitionExpansion.cpp:16-55``): per
+    cluster c, cut(c) / min(|c|, n − |c|)."""
+    n = labels.count()
+    e = _labeled_edges(g, labels)
+    per = e.groupBy("lu").agg(
+        F.sum(F.when(F.col("lu") != F.col("lv"), F.col("weight")).otherwise(0.0)).alias(
+            "cut"
+        )
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    vals = (
+        sizes.join(per.withColumnRenamed("lu", "label"), "label", "left")
+        .select(
+            F.col("label").alias("cluster"),
+            "sz",
+            (
+                F.coalesce("cut", F.lit(0.0))
+                / F.least(F.col("sz"), F.lit(n) - F.col("sz"))
+            ).alias("value"),
+        )
+    )
+    return _measure_summary(vals, labels)
+
+
+def partition_fragmentation(g: Graph, labels: DataFrame) -> dict:
+    """PartitionFragmentation (``community/PartitionFragmentation.cpp``):
+    per cluster, 1 − (largest connected piece of the cluster) / |cluster|
+    where pieces come from intersecting the partition with the graph's
+    connected components. Reuses the large-star/small-star CC kernel."""
+    from networkit_spark.operators.components import connected_components
+
+    cc = connected_components(g).withColumnRenamed("label", "cc")
+    ints = labels.join(cc, "node")
+    piece_sizes = ints.groupBy("label", "cc").agg(F.count(F.lit(1)).alias("psz"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    vals = (
+        piece_sizes.groupBy("label")
+        .agg(F.max("psz").alias("maxp"))
+        .join(sizes, "label")
+        .select(
+            F.col("label").alias("cluster"),
+            "sz",
+            (F.lit(1.0) - F.col("maxp") / F.col("sz")).alias("value"),
+        )
+    )
+    return _measure_summary(vals, labels)
+
+
+def stable_partition_nodes(g: Graph, labels: DataFrame) -> dict:
+    """StablePartitionNodes (``community/StablePartitionNodes.cpp:18-55``):
+    a node is stable iff it is isolated, or its own-label neighbor weight
+    is positive and strictly exceeds every other label's neighbor weight.
+    Returns the summary dict plus ``stable_fraction`` (global share of
+    stable nodes). One neighbor-label aggregation — no iteration."""
+    nbr = (
+        g.symmetrized_edges() if g.directed else g.edges
+    ).join(
+        labels.select(F.col("node").alias("dst"), F.col("label").alias("lv")), "dst"
+    )
+    per_label_w = nbr.groupBy(F.col("src").alias("node"), "lv").agg(
+        F.sum("weight").alias("w")
+    )
+    own = labels.withColumnRenamed("label", "own")
+    joined = per_label_w.join(own, "node")
+    stat = joined.groupBy("node").agg(
+        F.max(F.when(F.col("lv") == F.col("own"), F.col("w")).otherwise(0.0)).alias(
+            "own_w"
+        ),
+        F.max(F.when(F.col("lv") != F.col("own"), F.col("w")).otherwise(0.0)).alias(
+            "other_max"
+        ),
+    )
+    marked = (
+        labels.join(stat, "node", "left")
+        .select(
+            "node",
+            "label",
+            F.when(F.col("own_w").isNull(), F.lit(True))  # isolated: stable
+            .otherwise(
+                (F.col("own_w") > 0) & (F.col("other_max") < F.col("own_w"))
+            )
+            .alias("stable"),
+        )
+    )
+    per_cluster = marked.groupBy(F.col("label").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.avg(F.col("stable").cast("double")).alias("value"),
+    )
+    out = _measure_summary(per_cluster, labels)
+    total = marked.agg(
+        F.avg(F.col("stable").cast("double")).alias("f")
+    ).collect()[0]["f"]
+    out["stable_fraction"] = float(total or 0.0)
+    return out
+
+
+def _measure_summary(vals: DataFrame, labels: DataFrame) -> dict:
+    """The reference's shared LocalPartitionEvaluation summary: unweighted
+    average over non-empty clusters, size-weighted average over nodes,
+    min, max (``community/LocalPartitionEvaluation.hpp`` contract)."""
+    n = labels.count()
+    row = vals.agg(
+        F.avg("value").alias("unweighted_avg"),
+        (F.sum(F.col("value") * F.col("sz")) / F.lit(float(n))).alias("weighted_avg"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    ).collect()[0]
+    return {
+        "unweighted_avg": float(row["unweighted_avg"] or 0.0),
+        "weighted_avg": float(row["weighted_avg"] or 0.0),
+        "min": float(row["min"] or 0.0),
+        "max": float(row["max"] or 0.0),
+    }

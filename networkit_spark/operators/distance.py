@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -828,3 +828,153 @@ def top_closeness(g: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
         else closeness_centrality(g, check_connected=False)
     )
     return scores.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def approx_betweenness(
+    g: Graph,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    universal_constant: float = 1.0,
+    seed: int = 42,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """ApproxBetweenness (``centrality/ApproxBetweenness.cpp:30-95``,
+    Riondato-Kornaropoulos): (id, score) with the ε-δ guarantee
+    P(|score(v) − b(v)/(n(n−1))| > ε) < δ.
+
+    Sample size r = ⌈(c/ε²)(⌊log₂(vd−2)⌋ + 1 + ln(1/δ))⌉ from the
+    VC-dimension bound, vd = estimated vertex diameter (two-sweep upper
+    bound, the analogue of the reference's estimatedPedantic). r seeded
+    hash-sampled (u, v) pairs; ONE batched multi-source BFS shares every
+    hop-level shuffle across the distinct sources; then each sample walks
+    one predecessor step per round (σ-weighted choice drawn from a seeded
+    hash — deterministic at any parallelism), ≤ vd rounds over an
+    ≤ r-row state. Every contribution adds 1/r to the node it lands on.
+
+    Scale shape: the only O(m)-sized shuffles are the BFS levels (shared,
+    dst-keyed); the path-sampling rounds shuffle O(r) rows. No driver
+    loop over samples, no per-row Python.
+    """
+    from networkit_spark.ids import assign_dense_ids
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    out_cols = ["id", "score"]
+    zeros = g.nodes.select("id", F.lit(0.0).alias("score"))
+    if n < 2:
+        return zeros
+    _, vd = diameter_range(g, seed=seed)
+    if vd <= 2:
+        return zeros
+
+    import math as _math
+
+    r = int(
+        _math.ceil(
+            (universal_constant / (epsilon * epsilon))
+            * (_math.floor(_math.log2(vd - 2)) + 1 + _math.log(1.0 / delta))
+        )
+    )
+
+    mapping = assign_dense_ids(
+        g.nodes.select(F.col("id").alias("key")), ["key"]
+    ).localCheckpoint(eager=True)  # (key=node id, id=dense rank)
+
+    samp = spark.range(r).select(F.col("id").alias("pair"))
+    iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+    iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+    iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
+    pairs = (
+        samp.select("pair", iu.alias("iu"), iv.alias("iv"))
+        .join(
+            F.broadcast(
+                mapping.select(F.col("id").alias("iu"), F.col("key").alias("u"))
+            ),
+            "iu",
+        )
+        .join(
+            F.broadcast(
+                mapping.select(F.col("id").alias("iv"), F.col("key").alias("v"))
+            ),
+            "iv",
+        )
+        .select("pair", "u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    res = multi_source_bfs(g, pairs.select("u").distinct(), runner=runner)
+    vis = res.visited.select("root", "node", "dist", "sigma").localCheckpoint(
+        eager=True
+    )
+
+    # drop pairs with no u→v path (reference: numberOfPaths(v) == 0)
+    active = pairs.join(
+        vis.filter(F.col("dist") > 0).select(
+            F.col("root").alias("u"), F.col("node").alias("v")
+        ),
+        ["u", "v"],
+        "left_semi",
+    ).select("pair", "u", F.col("v").alias("cur"))
+    active = active.localCheckpoint(eager=True)
+
+    edges = g.edges.select(F.col("src").alias("z"), F.col("dst").alias("cur"))
+    contribs = []
+    M = 1_000_003
+    for step in range(1, vd + 2):
+        if active.isEmpty():
+            break
+        cand = (
+            active.join(edges, "cur")
+            .join(
+                vis.select(
+                    F.col("root").alias("u"),
+                    F.col("node").alias("z"),
+                    F.col("dist").alias("dz"),
+                    F.col("sigma").alias("sz"),
+                ),
+                ["u", "z"],
+            )
+            .join(
+                vis.select(
+                    F.col("root").alias("u"),
+                    F.col("node").alias("cur"),
+                    F.col("dist").alias("dc"),
+                ),
+                ["u", "cur"],
+            )
+            .filter(F.col("dz") == F.col("dc") - 1)
+        )
+        w_cum = Window.partitionBy("pair").orderBy("z")
+        w_tot = Window.partitionBy("pair")
+        x = (
+            F.pmod(
+                F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
+                F.lit(M),
+            )
+            / F.lit(float(M))
+        )
+        chosen = (
+            cand.withColumn("cum", F.sum("sz").over(w_cum))
+            .withColumn("tot", F.sum("sz").over(w_tot))
+            .filter(F.col("cum") / F.col("tot") > x)
+            .withColumn("rn", F.row_number().over(w_cum))
+            .filter(F.col("rn") == 1)
+            .select("pair", "u", F.col("z").alias("cur"))
+        )
+        chosen = chosen.localCheckpoint(eager=True)
+        contribs.append(
+            chosen.filter(F.col("cur") != F.col("u")).select(
+                F.col("cur").alias("id")
+            )
+        )
+        active = chosen.filter(F.col("cur") != F.col("u"))
+
+    if not contribs:
+        return zeros
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    scores = allc.groupBy("id").agg((F.count(F.lit(1)) / F.lit(float(r))).alias("s"))
+    return g.nodes.join(scores, "id", "left").select(
+        "id", F.coalesce("s", F.lit(0.0)).alias("score")
+    )

@@ -1,0 +1,222 @@
+"""Group centralities: greedy submodular selection.
+
+- ``group_degree``: greedy max-coverage group degree
+  (``centrality/GroupDegree.cpp:42-66`` greedy with lazy PQ; we compute
+  EXACT marginal gains each round instead of lazy bounds — same greedy
+  choice sequence, tie broken by smallest node id).
+- ``group_closeness``: greedy farness minimization
+  (``centrality/GroupCloseness.cpp`` greedy; reference gtest golden
+  ``CentralityGTest.cpp:1584-1608``: k=3 on the 8-node fixture selects
+  {0, 2, 5} — reproduced by this implementation).
+
+Scale shape: ``group_degree`` is k rounds × (one semi-join + one
+aggregation) over the edge table — each round shuffles only (node,
+covered-flag) pairs. ``group_closeness`` materializes the batched
+multi-source BFS distance table ONCE (the same O(n·m) the reference
+pays), then each greedy round is a single join-agg over it; run it on a
+subgraph or a sampled target set at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def group_degree(
+    g: Graph, k: int = 5, count_group_nodes: bool = False
+) -> tuple[list[int], int]:
+    """Greedy group-degree maximization. Returns (group, score).
+
+    Score semantics (``GroupDegree.cpp computeScore``): number of
+    non-group nodes with at least one in-group (in-)neighbor; with
+    ``count_group_nodes`` the group's own k nodes count too.
+    """
+    n = g.num_nodes()
+    if k <= 0 or k > n:
+        raise ValueError("k must be between 1 and n")
+    out_e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # coverage direction: a node is covered when an IN-neighbor is in the
+    # group, so marginal gain counts OUT-neighbors (undirected: both).
+    spark = out_e.sparkSession
+    group: list[int] = []
+    covered = spark.createDataFrame([], "id long")  # non-group covered nodes
+
+    for _ in range(k):
+        group_df = spark.createDataFrame([(i,) for i in group], "id long") if group else None
+        cand_e = out_e
+        if group_df is not None:
+            cand_e = cand_e.join(
+                F.broadcast(group_df.withColumnRenamed("id", "src")), "src", "left_anti"
+            )
+        # neighbors that would be NEWLY covered: dst not in group, not covered
+        new_cover = cand_e.join(
+            F.broadcast(covered.withColumnRenamed("id", "dst")), "dst", "left_anti"
+        )
+        if group_df is not None:
+            new_cover = new_cover.join(
+                F.broadcast(group_df.withColumnRenamed("id", "dst")), "dst", "left_anti"
+            )
+        counts = new_cover.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # every non-group node is a candidate even at gain <= 0 — the
+        # reference's greedy always fills the group to k members
+        cand = g.nodes
+        if group_df is not None:
+            cand = cand.join(F.broadcast(group_df), "id", "left_anti")
+        gains = cand.join(counts, "id", "left").select(
+            "id", F.coalesce("cnt", F.lit(0)).alias("gain")
+        )
+        if not count_group_nodes:
+            # joining the group removes u itself from the covered-outsider set
+            gains = gains.join(
+                F.broadcast(covered.withColumn("penalty", F.lit(1))), "id", "left"
+            ).select(
+                "id",
+                (F.col("gain") - F.coalesce("penalty", F.lit(0))).alias("gain"),
+            )
+        else:
+            gains = gains.select("id", (F.col("gain") + F.lit(1)).alias("gain"))
+        best = gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
+        if not best:
+            break
+        u = int(best[0]["id"])
+        group.append(u)
+        group_df = spark.createDataFrame([(i,) for i in group], "id long")
+        nbrs = (
+            out_e.join(
+                F.broadcast(group_df.withColumnRenamed("id", "src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(F.broadcast(group_df), "id", "left_anti")
+        )
+        covered = nbrs.localCheckpoint(eager=True)
+
+    score = covered.count() + (len(group) if count_group_nodes else 0)
+    return group, int(score)
+
+
+def group_closeness(
+    g: Graph, k: int = 3, sources: DataFrame | None = None
+) -> tuple[list[int], float]:
+    """Greedy group-closeness (farness minimization). Returns
+    (group, farness) with farness = Σ_v min_{s∈S} d(s → v) over reachable
+    (v, group) pairs; ties broken by smallest node id.
+
+    The all-pairs hop-distance table is computed once with the batched
+    multi-source BFS and reused across all k greedy rounds.
+    """
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    spark = g.edges.sparkSession
+    src = sources if sources is not None else g.nodes
+    dist = (
+        multi_source_bfs(g, src, with_sigma=False)
+        .visited.select("root", "node", "dist")
+        .localCheckpoint(eager=True)
+    )
+    # Candidate pruning mirrors the reference's dominance filters
+    # (GroupCloseness.cpp:183-186): degree-1 nodes and degree-2 nodes at
+    # distance 1 from the group are dominated and never evaluated; when
+    # every candidate is pruned the reference falls back to its
+    # initialized maxNode — we make that fallback explicit as "smallest
+    # node id not yet in the group" (matches the gtest golden {0,2,5}).
+    deg = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    ).localCheckpoint(eager=True)
+    group: list[int] = []
+    # best(v): current min distance from the group to v (absent = ∞)
+    best: DataFrame | None = None
+
+    for _ in range(k):
+        if best is None:
+            fitness = dist.groupBy(F.col("root").alias("id")).agg(
+                F.sum("dist").alias("farness")
+            )
+        else:
+            joined = dist.join(best, "node", "left")
+            fitness = joined.groupBy(F.col("root").alias("id")).agg(
+                F.sum(F.least(F.col("dist"), F.coalesce("bd", F.col("dist")))).alias(
+                    "covered_sum"
+                )
+            )
+            # nodes never reached by this candidate keep their current best
+            rest = best.agg(F.sum("bd").alias("rest")).collect()[0]["rest"] or 0.0
+            reached_by_cand = dist.join(best, "node").groupBy(
+                F.col("root").alias("id")
+            ).agg(F.sum("bd").alias("overlap"))
+            fitness = (
+                fitness.join(reached_by_cand, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("covered_sum")
+                        + F.lit(float(rest))
+                        - F.coalesce("overlap", F.lit(0.0))
+                    ).alias("farness"),
+                )
+            )
+        if group:
+            gdf = spark.createDataFrame([(i,) for i in group], "id long")
+            fitness = fitness.join(F.broadcast(gdf), "id", "left_anti")
+        if best is not None:
+            # dominance pruning (reference GroupCloseness.cpp:183-186)
+            fitness = (
+                fitness.join(deg, "id", "left")
+                .join(best.withColumnRenamed("node", "id"), "id", "left")
+                .filter(
+                    (F.coalesce("deg", F.lit(0)) > 1)
+                    & ~((F.col("bd") == 1) & (F.col("deg") == 2))
+                    & (F.coalesce("bd", F.lit(1)) > 0)
+                )
+                .select("id", "farness")
+            )
+        bestrow = fitness.orderBy(F.asc("farness"), F.asc("id")).limit(1).collect()
+        if not bestrow:
+            # all candidates pruned: reference falls back to its default
+            # maxNode — deterministically the smallest id outside the group
+            fallback = (
+                g.nodes.join(
+                    F.broadcast(
+                        spark.createDataFrame([(i,) for i in group], "id long")
+                    ),
+                    "id",
+                    "left_anti",
+                )
+                .orderBy("id")
+                .limit(1)
+                .collect()
+            )
+            if not fallback:
+                break
+            u = int(fallback[0]["id"])
+        else:
+            u = int(bestrow[0]["id"])
+        group.append(u)
+        sel = dist.filter(F.col("root") == u).select(
+            "node", F.col("dist").alias("nd")
+        )
+        if best is None:
+            best = sel.withColumnRenamed("nd", "bd")
+        else:
+            best = (
+                best.join(sel, "node", "full")
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce("bd", F.col("nd")), F.coalesce("nd", F.col("bd"))
+                    ).alias("bd"),
+                )
+            )
+        best = best.localCheckpoint(eager=True)
+
+    farness = float(best.agg(F.sum("bd")).collect()[0][0] or 0.0) if best is not None else 0.0
+    return group, farness

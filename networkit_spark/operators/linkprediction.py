@@ -29,7 +29,7 @@ such guard because it never enumerates all pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -133,3 +133,100 @@ def degree_assortativity(g: Graph) -> float:
     )
     row = pairs.agg(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double"))).collect()[0]
     return row[0] if row[0] is not None else 0.0
+
+
+def katz_index(
+    g: Graph,
+    pairs: DataFrame,
+    max_path_length: int = 5,
+    damping: float = 0.005,
+) -> DataFrame:
+    """KatzIndex (``linkprediction/KatzIndex.cpp:34-90``): score(u, v) =
+    Σ_{l=1..L} damping^l · (#walks of length l between u and v), for each
+    candidate pair (u, v).
+
+    The reference BFS-expands per query node with an L-hop frontier; here
+    ONE batched walk-count table serves every distinct source in
+    ``pairs``: state (u, w, cnt) starts as u's adjacency row and each of
+    the L-1 rounds is a single (w=src)-keyed join-agg — the same shared
+    shuffle shape as multi-source BFS. State size is bounded by
+    (reached pairs), not walks (counts aggregate per round).
+    """
+    adj = _adjacency(g).localCheckpoint(eager=True)
+    srcs = pairs.select(F.col(pairs.columns[0]).alias("u")).distinct()
+    state = adj.join(srcs.withColumnRenamed("u", "node"), "node", "left_semi").select(
+        F.col("node").alias("u"), F.col("nbr").alias("w"), F.lit(1.0).alias("cnt")
+    )
+    state = state.localCheckpoint(eager=True)
+    total = state.select(
+        "u", F.col("w").alias("v"), (F.lit(damping) * F.col("cnt")).alias("s")
+    )
+    for l in range(2, max_path_length + 1):
+        state = (
+            state.join(adj.withColumnRenamed("node", "w"), "w")
+            .groupBy("u", F.col("nbr").alias("w"))
+            .agg(F.sum("cnt").alias("cnt"))
+        ).localCheckpoint(eager=True)
+        total = total.unionByName(
+            state.select(
+                "u",
+                F.col("w").alias("v"),
+                (F.lit(float(damping**l)) * F.col("cnt")).alias("s"),
+            )
+        )
+    scores = total.groupBy("u", "v").agg(F.sum("s").alias("katz"))
+    pu, pv = pairs.columns[0], pairs.columns[1]
+    return (
+        pairs.select(F.col(pu).alias("u"), F.col(pv).alias("v"))
+        .join(scores, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("katz", F.lit(0.0)).alias("katz"))
+    )
+
+
+def roc_auc(scored: DataFrame, score_col: str = "score", label_col: str = "label") -> float:
+    """Area under the ROC curve (``linkprediction/ROCMetric.cpp`` +
+    ``EvaluationMetric.cpp areaUnderCurve``), ties handled by the
+    standard mid-rank convention.
+
+    Scale shape: one groupBy(score) aggregation first, so the only
+    ordered window runs over DISTINCT scores (usually ≪ rows); the raw
+    pair table is never globally sorted.
+    """
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("double")).alias("p"),
+        F.sum(F.lit(1.0) - F.col(label_col).cast("double")).alias("n"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    row = (
+        by_score.withColumn("n_below", F.coalesce(F.sum("n").over(w), F.lit(0.0)))
+        .agg(
+            F.sum(F.col("p") * (F.col("n_below") + F.col("n") / 2)).alias("num"),
+            F.sum("p").alias("P"),
+            F.sum("n").alias("N"),
+        )
+        .collect()[0]
+    )
+    if not row["P"] or not row["N"]:
+        raise ValueError("roc_auc needs at least one positive and one negative")
+    return float(row["num"]) / (row["P"] * row["N"])
+
+
+def roc_points(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """(fpr, tpr) ROC points, one per distinct score threshold
+    (descending), plus the (0,0) origin implicitly at threshold=+inf."""
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("double")).alias("p"),
+        F.sum(F.lit(1.0) - F.col(label_col).cast("double")).alias("n"),
+    )
+    totals = by_score.agg(F.sum("p").alias("P"), F.sum("n").alias("N")).collect()[0]
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        by_score.withColumn("ctp", F.sum("p").over(w))
+        .withColumn("cfp", F.sum("n").over(w))
+        .select(
+            (F.col("cfp") / F.lit(float(totals["N"] or 1))).alias("fpr"),
+            (F.col("ctp") / F.lit(float(totals["P"] or 1))).alias("tpr"),
+        )
+    )

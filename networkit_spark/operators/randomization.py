@@ -124,3 +124,146 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
 
     out = edges.withColumn("weight", F.lit(1.0))
     return Graph.from_edges(out, directed=False, nodes=g.nodes)
+
+
+def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
+    """GlobalCurveball (``randomization/GlobalCurveball.cpp``) —
+    synchronous distributed variant of the curveball trade chain.
+
+    Each round pairs every node with one partner (seeded hash-bucket
+    pairing, no global ordering); each pair (u, v) trades its DISJOINT
+    neighbor sets: neighbors adjacent to the other node (or equal to it)
+    stay put, the remaining assigned neighbors are pooled and
+    redistributed by a seeded per-trade hash — u draws |A| of the pool,
+    v the rest, preserving both degrees and simplicity (a node only
+    receives vertices not already adjacent to it).
+
+    DEVIATION (documented): the reference executes trades sequentially;
+    here every trade in a round sees the PRE-round adjacency, and each
+    edge participates in at most one trade per round (it is assigned to
+    the endpoint whose trade-pair hashes smaller; edges with an unpaired
+    or same-pair endpoint rest this round). Degree sequence and
+    simplicity are preserved exactly — verified in pytest — and the
+    chain remains degree-preserving-uniform in the curveball family;
+    only the mixing schedule differs.
+
+    Scale shape: per round one node-pairing shuffle (bucketed
+    row_number, bounded window), one edge→pair assignment join, and one
+    per-trade redistribution window bounded by deg(u)+deg(v).
+    """
+    if g.directed:
+        raise ValueError("global_curveball expects an undirected graph")
+    edges = g.canonical_undirected_edges().select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    n = g.num_nodes()
+    TARGET_BUCKET = 4096
+    nbuckets = max(32, n // TARGET_BUCKET)
+
+    for rnd in range(rounds):
+        h = F.xxhash64("id", F.lit(seed), F.lit(rnd))
+        wb = Window.partitionBy("bucket").orderBy("h")
+        paired = (
+            g.nodes.select("id", h.alias("h"), F.pmod(h, F.lit(nbuckets)).alias("bucket"))
+            .withColumn("rn", F.row_number().over(wb))
+            .withColumn(
+                "pair",
+                F.concat_ws("_", F.lit(rnd), "bucket", (F.col("rn") / 2).cast("long")),
+            )
+            .withColumn("side", F.pmod("rn", F.lit(2)))
+        )
+        # drop pairs with only one member (odd bucket tail)
+        sizes = paired.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
+        paired = (
+            paired.join(sizes.filter("c = 2").select("pair"), "pair", "left_semi")
+            .select("id", "pair", "side", F.xxhash64("pair").alias("ph"))
+        ).localCheckpoint(eager=True)
+
+        pa = paired.select(
+            F.col("id").alias("src"),
+            F.col("pair").alias("pair_a"),
+            F.col("side").alias("side_a"),
+            F.col("ph").alias("ph_a"),
+        )
+        pb = paired.select(
+            F.col("id").alias("dst"),
+            F.col("pair").alias("pair_b"),
+            F.col("side").alias("side_b"),
+            F.col("ph").alias("ph_b"),
+        )
+        e = edges.join(pa, "src", "left").join(pb, "dst", "left")
+        # owner: endpoint whose pair hashes smaller (ties: src side); edges
+        # inside one pair or touching an unpaired node rest this round
+        both = e.filter(
+            F.col("pair_a").isNotNull()
+            & F.col("pair_b").isNotNull()
+            & (F.col("pair_a") != F.col("pair_b"))
+        )
+        rest = e.join(
+            both.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).select("src", "dst")
+
+        owner_is_src = (F.col("ph_a") < F.col("ph_b")) | (
+            (F.col("ph_a") == F.col("ph_b")) & (F.col("pair_a") <= F.col("pair_b"))
+        )
+        assigned = both.select(
+            F.when(owner_is_src, F.col("src")).otherwise(F.col("dst")).alias("owner"),
+            F.when(owner_is_src, F.col("dst")).otherwise(F.col("src")).alias("w"),
+            F.when(owner_is_src, F.col("pair_a")).otherwise(F.col("pair_b")).alias(
+                "pair"
+            ),
+            F.when(owner_is_src, F.col("side_a")).otherwise(F.col("side_b")).alias(
+                "side"
+            ),
+        )
+        # other member of the trade + adjacency test against it
+        other = paired.select(
+            "pair", (1 - F.col("side")).alias("side"), F.col("id").alias("other")
+        )
+        assigned = assigned.join(other, ["pair", "side"])
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).select(F.col("src").alias("other"), F.col("dst").alias("w"))
+        adj_other = assigned.join(sym, ["other", "w"], "left_semi").withColumn(
+            "tradeable", F.lit(False)
+        )
+        pool = assigned.join(sym, ["other", "w"], "left_anti").filter(
+            F.col("w") != F.col("other")
+        )
+        stay = adj_other.select("owner", "w").unionByName(
+            assigned.join(pool.select("pair", "w"), ["pair", "w"], "left_anti")
+            .join(adj_other.select("pair", "w"), ["pair", "w"], "left_anti")
+            .select("owner", "w")
+        )
+        # redistribute the pool: per pair, |A| = side-0-owned rows go to
+        # the side-0 member, the rest to side-1; selection by seeded hash
+        wp = Window.partitionBy("pair").orderBy(
+            F.xxhash64("w", F.lit(seed), F.lit(rnd + 777))
+        )
+        counts = pool.groupBy("pair").agg(
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_first")
+        )
+        members = paired.groupBy("pair").agg(
+            F.max(F.when(F.col("side") == 1, F.col("id"))).alias("m_first"),
+            F.max(F.when(F.col("side") == 0, F.col("id"))).alias("m_second"),
+        )
+        redis = (
+            pool.withColumn("prn", F.row_number().over(wp))
+            .join(counts, "pair")
+            .join(members, "pair")
+            .select(
+                F.when(F.col("prn") <= F.col("n_first"), F.col("m_first"))
+                .otherwise(F.col("m_second"))
+                .alias("owner"),
+                "w",
+            )
+        )
+        new_assigned = stay.unionByName(redis).select(
+            F.least("owner", "w").alias("src"), F.greatest("owner", "w").alias("dst")
+        )
+        edges = rest.unionByName(new_assigned).localCheckpoint(eager=True)
+
+    sym_out = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(nodes=g.nodes, edges=sym_out, directed=False, weighted=g.weighted)

@@ -398,3 +398,33 @@ def test_betweenness_weighted_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(ValueError, match="strictly positive"):
         betweenness_weighted(g).collect()
+
+
+def test_approx_betweenness_epsilon_guarantee(spark):
+    """RK ε-δ bound (ApproxBetweenness.cpp:30-95): every node's sampled
+    score within ε of exact betweenness / (n(n-1)), across seeds."""
+    from networkit_spark.operators.distance import approx_betweenness
+
+    g = Graph.of(spark, G10, n=10)
+    exact = numpy_brandes(10, G10)
+    n = 10
+    eps = 0.15
+    for seed in (1, 42, 99):
+        got = {
+            r["id"]: r["score"]
+            for r in approx_betweenness(g, epsilon=eps, delta=0.1, seed=seed).collect()
+        }
+        for v in range(n):
+            assert abs(got[v] - exact[v] / (n * (n - 1))) <= eps, (seed, v, got[v])
+
+
+def test_approx_betweenness_deterministic_and_small_graphs(spark):
+    from networkit_spark.operators.distance import approx_betweenness
+
+    g = Graph.of(spark, G10, n=10)
+    a = sorted(approx_betweenness(g, seed=7).collect())
+    b = sorted(approx_betweenness(g, seed=7).collect())
+    assert a == b
+    # vd <= 2 -> all zeros (reference early-exit)
+    tri = Graph.of(spark, [(0, 1), (1, 2), (0, 2)], n=3)
+    assert all(r["score"] == 0.0 for r in approx_betweenness(tri).collect())

@@ -1,0 +1,67 @@
+"""Group centralities vs the reference gtest golden and brute force."""
+
+import itertools
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.group_centrality import group_closeness, group_degree
+
+# CentralityGTest.cpp:1584-1608 fixture
+GC8_EDGES = [(0, 2), (1, 2), (2, 3), (2, 4), (3, 5), (4, 5), (5, 6), (5, 7), (0, 5)]
+
+
+def test_group_closeness_reference_golden(spark):
+    g = Graph.of(spark, GC8_EDGES, n=8)
+    group, farness = group_closeness(g, k=3)
+    assert sorted(group) == [0, 2, 5]
+    # farness of {0,2,5}: remaining nodes 1,3,4,6,7 all at distance 1
+    assert farness == pytest.approx(5.0, abs=1e-12)
+
+
+def _py_group_degree_score(adj, group, n, count_group=False):
+    covered = 0
+    for u in range(n):
+        if u in group:
+            continue
+        if any(v in group for v in adj[u]):
+            covered += 1
+    return covered + (len(group) if count_group else 0)
+
+
+def test_group_degree_beats_half_of_optimum(spark):
+    """GroupDegree's greedy guarantee from the reference test
+    (CentralityGTest.cpp:1408-1460): score > 0.5 * brute-force optimum."""
+    import random
+
+    rnd = random.Random(42)
+    n, k = 12, 4
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n) if rnd.random() < 0.3]
+    adj = {u: set() for u in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    g = Graph.of(spark, edges, n=n)
+    group, score = group_degree(g, k=k)
+    assert len(group) == k
+    assert score == _py_group_degree_score(adj, set(group), n)
+
+    opt = max(
+        _py_group_degree_score(adj, set(c), n)
+        for c in itertools.combinations(range(n), k)
+    )
+    assert score > 0.5 * opt
+
+    # count_group_nodes variant: (1 - 1/e) * (opt + k) bound
+    group2, score2 = group_degree(g, k=k, count_group_nodes=True)
+    assert score2 == _py_group_degree_score(adj, set(group2), n, count_group=True)
+
+
+def test_group_degree_greedy_is_exact_marginal(spark):
+    """First pick must be the max-degree node (ties -> smallest id)."""
+    edges = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    g = Graph.of(spark, edges, n=6)
+    group, score = group_degree(g, k=1)
+    assert group == [0]
+    assert score == 3

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.linkprediction import (
     common_neighbor_scores,
@@ -89,3 +91,41 @@ def test_anf_monotone_and_deterministic(spark):
     b = neighborhood_function(g, k=64, bits=32, seed=3)
     assert a == b  # deterministic across runs
     assert all(a[i] <= a[i + 1] + 1e-9 for i in range(len(a) - 1))
+
+
+def test_katz_index_matches_walk_counts(spark):
+    """KatzIndex score = sum damping^l * walks_l (KatzIndex.cpp:34-90)."""
+    from networkit_spark.operators.linkprediction import katz_index
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    g = Graph.of(spark, edges, n=4)
+    import numpy as np
+
+    A = np.zeros((4, 4))
+    for u, v in edges:
+        A[u][v] = A[v][u] = 1
+    beta, L = 0.1, 4
+    M = sum((beta**l) * np.linalg.matrix_power(A, l) for l in range(1, L + 1))
+    pairs = spark.createDataFrame([(0, 3), (1, 3), (0, 2)], "u long, v long")
+    got = {
+        (r["u"], r["v"]): r["katz"]
+        for r in katz_index(g, pairs, max_path_length=L, damping=beta).collect()
+    }
+    for (u, v), s in got.items():
+        assert s == pytest.approx(M[u][v], rel=1e-9), (u, v)
+
+
+def test_roc_auc_and_points(spark):
+    """AUC vs hand-computed mid-rank value, incl. ties."""
+    from networkit_spark.operators.linkprediction import roc_auc, roc_points
+
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.4, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    # mid-rank AUC: P=3, N=3; pairs (pos,neg): (.9 beats all 3)
+    # (.8: beats .5,.2; ties .8-neg = .5) -> 2.5 ; (.4 beats .2) -> 1
+    # AUC = (3 + 2.5 + 1)/9
+    assert roc_auc(df) == pytest.approx(6.5 / 9, abs=1e-12)
+    pts = roc_points(df).collect()
+    assert any(abs(p["fpr"] - 1.0) < 1e-12 and abs(p["tpr"] - 1.0) < 1e-12 for p in pts)
+    with pytest.raises(ValueError):
+        roc_auc(spark.createDataFrame([(0.5, 1)], "score double, label int"))

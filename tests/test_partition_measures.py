@@ -166,3 +166,105 @@ def test_jaccard_and_graph_structural_rand(spark):
         1.0 - agree / 10.0, abs=1e-12
     )
     assert graph_structural_rand_dissimilarity(g, a, a) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Isolated interpartition conductance/expansion, fragmentation, stable nodes
+# (python oracles transcribe the reference .cpp definitions)
+# ---------------------------------------------------------------------------
+
+_PM_EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (6, 7)]
+_PM_N = 9  # node 8 isolated
+_PM_LABELS = [0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+def _py_iic(edges, labels, n):
+    cut, vol = {}, {}
+    total = 0.0
+    for u, v in edges:
+        lu, lv = labels[u], labels[v]
+        if lu != lv:
+            cut[lu] = cut.get(lu, 0) + 1
+            cut[lv] = cut.get(lv, 0) + 1
+        vol[lu] = vol.get(lu, 0) + 1
+        vol[lv] = vol.get(lv, 0) + 1
+        total += 2
+    vals = []
+    for c in sorted(set(labels)):
+        denom = min(vol.get(c, 0), total - vol.get(c, 0))
+        vals.append(cut.get(c, 0) / denom if denom > 0 else 0.0)
+    return sum(vals) / len(vals)
+
+
+def _py_iie(edges, labels, n):
+    cut = {}
+    for u, v in edges:
+        lu, lv = labels[u], labels[v]
+        if lu != lv:
+            cut[lu] = cut.get(lu, 0) + 1
+            cut[lv] = cut.get(lv, 0) + 1
+    vals = []
+    for c in sorted(set(labels)):
+        sz = labels.count(c)
+        vals.append(cut.get(c, 0) / min(sz, n - sz))
+    return sum(vals) / len(vals)
+
+
+def test_isolated_interpartition_measures(spark):
+    from networkit_spark.operators.community_quality import (
+        isolated_interpartition_conductance,
+        isolated_interpartition_expansion,
+    )
+
+    g = Graph.of(spark, _PM_EDGES, n=_PM_N)
+    labs = _labels_df(spark, _PM_LABELS)
+    got = isolated_interpartition_conductance(g, labs)
+    assert got["unweighted_avg"] == pytest.approx(
+        _py_iic(_PM_EDGES, _PM_LABELS, _PM_N), abs=1e-12
+    )
+    got = isolated_interpartition_expansion(g, labs)
+    assert got["unweighted_avg"] == pytest.approx(
+        _py_iie(_PM_EDGES, _PM_LABELS, _PM_N), abs=1e-12
+    )
+
+
+def test_partition_fragmentation(spark):
+    from networkit_spark.operators.community_quality import partition_fragmentation
+
+    g = Graph.of(spark, _PM_EDGES, n=_PM_N)
+    # cluster 0 = {0,1,2} one piece -> 0; cluster 1 = {3,4,5} one piece -> 0
+    # cluster 2 = {6,7,8}: pieces {6,7} and {8} -> 1 - 2/3 = 1/3
+    labs = _labels_df(spark, _PM_LABELS)
+    got = partition_fragmentation(g, labs)
+    assert got["unweighted_avg"] == pytest.approx((0 + 0 + 1 / 3) / 3, abs=1e-12)
+    assert got["max"] == pytest.approx(1 / 3, abs=1e-12)
+    # aligned partition == components -> fragmentation 0 everywhere
+    aligned = _labels_df(spark, [0, 0, 0, 0, 0, 0, 1, 1, 2])
+    # clusters {0..5} span two components {0,1,2}/{3,4,5}? no - edge (2,3)
+    # joins them, so {0..5} is ONE component: fragmentation 0
+    got2 = partition_fragmentation(g, aligned)
+    assert got2["unweighted_avg"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_stable_partition_nodes(spark):
+    from networkit_spark.operators.community_quality import stable_partition_nodes
+
+    g = Graph.of(spark, _PM_EDGES, n=_PM_N)
+    labs = _labels_df(spark, _PM_LABELS)
+    got = stable_partition_nodes(g, labs)
+    # oracle (reference semantics): stable iff isolated or own-label
+    # neighbor weight positive and strictly greater than every other label
+    # node 0: nbrs 1,2 own=2/other=0 -> stable; 1: same; 2: own 2 other 1 -> stable
+    # node 3: nbrs 2(l0),4,5 -> own 2 other 1 -> stable; 4,5 stable
+    # node 6: nbr 7 own -> stable; 7: nbr 6 own -> stable; 8 isolated -> stable
+    assert got["stable_fraction"] == pytest.approx(1.0, abs=1e-12)
+    # flip: give node 2 label 1 -> node 0,1 own_w 1 ... recompute oracle:
+    labs2 = _labels_df(spark, [0, 0, 1, 1, 1, 1, 2, 2, 2])
+    got2 = stable_partition_nodes(g, labs2)
+    # node 0: nbrs 1(l0), 2(l1): own 1, other 1 -> NOT stable (>= own)
+    # node 1: nbrs 0(l0), 2(l1): own 1 other 1 -> NOT stable
+    # node 2: nbrs 0,1(l0), 3(l1): own 1 other 2 -> NOT stable
+    # nodes 3,4,5: own >=2 other <=... node 3: nbrs 2(l1),4(l1),5(l1) own 3 -> stable
+    # node 4: nbrs 3,5 own 2 -> stable; node 5: nbrs 4,3 own 2 -> stable
+    # 6,7,8 stable
+    assert got2["stable_fraction"] == pytest.approx(6 / 9, abs=1e-12)

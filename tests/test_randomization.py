@@ -32,3 +32,42 @@ def test_edge_switching_deterministic(spark):
     ea = sorted((r["src"], r["dst"]) for r in a.canonical_undirected_edges().collect())
     eb = sorted((r["src"], r["dst"]) for r in b.canonical_undirected_edges().collect())
     assert ea == eb
+
+
+def test_global_curveball_preserves_degrees_and_simplicity(spark):
+    from networkit_spark.operators.randomization import global_curveball
+
+    rnd = __import__("random").Random(5)
+    n = 40
+    edges = sorted(
+        {tuple(sorted((rnd.randrange(n), rnd.randrange(n)))) for _ in range(120)}
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    g = Graph.of(spark, edges, n=n)
+    out = global_curveball(g, rounds=4, seed=11)
+
+    def degs(gr):
+        return sorted(
+            (r["src"], r["c"])
+            for r in gr.canonical_undirected_edges()
+            .selectExpr("src as a", "dst as b")
+            .selectExpr("stack(2, a, b) as (src)")
+            .groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+
+    assert degs(out) == degs(g)
+    ce = out.canonical_undirected_edges().select("src", "dst")
+    assert ce.count() == ce.distinct().count() == len(edges)
+    assert ce.filter("src = dst").count() == 0
+    # deterministic across invocations
+    a = sorted(map(tuple, global_curveball(g, rounds=2, seed=7)
+                   .canonical_undirected_edges().select("src", "dst").collect()))
+    b = sorted(map(tuple, global_curveball(g, rounds=2, seed=7)
+                   .canonical_undirected_edges().select("src", "dst").collect()))
+    assert a == b
+    # ... and actually shuffles edges
+    orig = set(map(tuple, edges))
+    got = set(a)
+    assert got != orig
