@@ -144,6 +144,12 @@ def _brandes(
     acc: DataFrame | None = None  # (node, dep) summed over roots, per level
     eacc: DataFrame | None = None  # (src, dst, es) per level, summed over roots
     delta: DataFrame | None = None  # (root, node, delta) at current level
+    # acc/eacc are per-level unions; without periodic folding the plan
+    # (and localCheckpoint-free lineage) grows O(depth) — fatal on deep
+    # graphs (weighted chains). Every FOLD_EVERY levels, collapse the
+    # union into its running aggregate and truncate lineage.
+    FOLD_EVERY = 8
+    levels_since_fold = 0
     for d in range(res.depth, 0, -1):
         lvl = res.levels[d]  # (root, node, sigma) at dist d
         cur = (
@@ -192,6 +198,21 @@ def _brandes(
         )
         delta = delta.localCheckpoint(eager=True)
 
+        levels_since_fold += 1
+        if levels_since_fold >= FOLD_EVERY:
+            acc = (
+                acc.groupBy("id")
+                .agg(F.sum("dep").alias("dep"))
+                .localCheckpoint(eager=True)
+            )
+            if eacc is not None:
+                eacc = (
+                    eacc.groupBy("src", "dst")
+                    .agg(F.sum("es").alias("es"))
+                    .localCheckpoint(eager=True)
+                )
+            levels_since_fold = 0
+
     if acc is None:
         nodes = g.nodes.select("id", F.lit(0.0).alias("score"))
         empty_e = spark.createDataFrame([], "src long, dst long, score double")
@@ -236,18 +257,28 @@ def estimate_betweenness(
     seed: int = 42,
     normalized: bool = False,
     runner: SuperstepRunner | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """EstimateBetweenness (``centrality/EstimateBetweenness.cpp``):
     sampled sources, linear-scaled dependencies, extrapolated ×2n/samples.
 
     Sampling is a seeded hash order over the node set (deterministic at
     any parallelism) rather than the reference's RNG — same estimator,
-    reproducible across cluster sizes.
+    reproducible across cluster sizes. ``portable_hash`` orders by the
+    md5-based cross-engine hash (ties by id) so a DuckDB oracle selects
+    the identical source set.
     """
+    from networkit_spark.functions.porthash import md5_mod
+
     n = g.num_nodes()
     k = min(n_samples, n)
+    order = (
+        [md5_mod(F.col("id"), salt=f"eb{seed}:").asc(), F.col("id").asc()]
+        if portable_hash
+        else [F.xxhash64("id", F.lit(seed)).asc()]
+    )
     sampled = (
-        g.nodes.orderBy(F.xxhash64("id", F.lit(seed)))
+        g.nodes.orderBy(*order)
         .limit(k)
         .select("id")
         .localCheckpoint(eager=True)

@@ -34,12 +34,20 @@ def _sym_edges(g: Graph) -> DataFrame:
     return e.filter(F.col("src") != F.col("dst"))
 
 
-def luby_independent_set(g: Graph, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+def luby_independent_set(
+    g: Graph, seed: int = 42, max_rounds: int = 64, portable_hash: bool = False
+) -> DataFrame:
     """(id LONG, in_set BOOLEAN): a maximal independent set.
 
-    Per round: priority(v) = xxhash64(v, round, seed); v enters the set iff
-    its priority beats every live neighbor's; winners' neighbors drop out.
+    Per round: priority(v) = hash(v, round, seed); v enters the set iff
+    its priority beats every live neighbor's (ties by id); winners'
+    neighbors drop out. ``portable_hash`` draws priorities from the
+    md5-based cross-engine hash (``functions/porthash.py``) so a DuckDB
+    oracle can replay the exact same rounds; the default ``xxhash64`` is
+    cheaper and stays the internal path.
     """
+    from networkit_spark.functions.porthash import md5_mod
+
     live = g.nodes
     edges = _sym_edges(g).select("src", "dst").localCheckpoint(eager=True)
     chosen = []
@@ -47,9 +55,12 @@ def luby_independent_set(g: Graph, seed: int = 42, max_rounds: int = 64) -> Data
         n_live = live.count()
         if n_live == 0:
             break
-        pri = live.select(
-            "id", F.xxhash64(F.col("id"), F.lit(rnd), F.lit(seed)).alias("p")
+        prio = (
+            md5_mod(F.col("id"), salt=f"luby{seed}:{rnd}:")
+            if portable_hash
+            else F.xxhash64(F.col("id"), F.lit(rnd), F.lit(seed))
         )
+        pri = live.select("id", prio.alias("p"))
         # max neighbor priority among live neighbors
         nbr = (
             edges.join(pri.withColumnRenamed("id", "src"), "src")

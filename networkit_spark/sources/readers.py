@@ -195,8 +195,12 @@ def read_gml(spark: SparkSession, path: str) -> Graph:
 
 def write_gml(g: Graph, path: str) -> None:
     """GMLGraphWriter (``io/GMLGraphWriter.cpp``) — node blocks then edge
-    blocks, one canonical edge each. Written as a single text partition
-    (GML is a line-ordered legacy format; use Parquet at scale)."""
+    blocks, one canonical edge each. DISTRIBUTED: the line DataFrame is
+    range-sorted by (section, keys) and written directly — no driver
+    collect (the round-2 writer collected the whole graph). Each block is
+    one text row (embedded newlines), so blocks never split across part
+    files; concatenating parts in name order yields the canonical
+    document, and ``read_gml`` round-trips the multi-file layout."""
     n_lines = g.nodes.select(
         F.concat(F.lit("  node [\n    id "), F.col("id"), F.lit("\n  ]")).alias("value"),
         F.lit(1).alias("ord"),
@@ -217,11 +221,18 @@ def write_gml(g: Graph, path: str) -> None:
         F.col("dst").alias("k2"),
     )
     header = "graph [" + ("\n  directed 1" if g.directed else "")
-    body = [r["value"] for r in n_lines.unionByName(e_lines).orderBy("ord", "k1", "k2").collect()]
     spark = g.edges.sparkSession
-    spark.createDataFrame(
-        [(header,)] + [(v,) for v in body] + [("]",)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(path)
+    wrap = spark.createDataFrame(
+        [(header, 0, 0, 0), ("]", 3, 0, 0)], "value string, ord int, k1 long, k2 long"
+    )
+    (
+        wrap.unionByName(n_lines)
+        .unionByName(e_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def read_graphml(spark: SparkSession, path: str) -> Graph:
@@ -245,7 +256,8 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
 
 
 def write_graphml(g: Graph, path: str) -> None:
-    """Minimal GraphML writer (one element per line; node ids n<i>)."""
+    """Minimal GraphML writer (one element per line; node ids n<i>).
+    DISTRIBUTED like ``write_gml`` — ordered write, no driver collect."""
     spark = g.edges.sparkSession
     default = "directed" if g.directed else "undirected"
     head = [
@@ -265,8 +277,17 @@ def write_graphml(g: Graph, path: str) -> None:
         ).alias("value"),
         F.lit(2).alias("ord"), F.col("src").alias("k1"), F.col("dst").alias("k2"),
     )
-    body = [r["value"] for r in n_lines.unionByName(e_lines).orderBy("ord", "k1", "k2").collect()]
     tail = ["  </graph>", "</graphml>"]
-    spark.createDataFrame(
-        [(v,) for v in head + body + tail], "value string"
-    ).coalesce(1).write.mode("overwrite").text(path)
+    wrap = spark.createDataFrame(
+        [(v, 0, i, 0) for i, v in enumerate(head)]
+        + [(v, 3, i, 0) for i, v in enumerate(tail)],
+        "value string, ord int, k1 long, k2 long",
+    )
+    (
+        wrap.unionByName(n_lines)
+        .unionByName(e_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )

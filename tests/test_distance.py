@@ -428,3 +428,15 @@ def test_approx_betweenness_deterministic_and_small_graphs(spark):
     # vd <= 2 -> all zeros (reference early-exit)
     tri = Graph.of(spark, [(0, 1), (1, 2), (0, 2)], n=3)
     assert all(r["score"] == 0.0 for r in approx_betweenness(tri).collect())
+
+
+def test_betweenness_deep_chain_no_plan_blowup(spark):
+    """Depth-50 path graph: the per-level dependency unions must fold
+    periodically (lineage truncation) and still match the closed form —
+    path betweenness of node i (0-indexed, n nodes) = 2·i·(n-1-i)."""
+    n = 51
+    chain = [(i, i + 1) for i in range(n - 1)]
+    g = Graph.of(spark, chain, n=n)
+    got = {r["id"]: r["score"] for r in betweenness(g).collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(2.0 * i * (n - 1 - i), abs=1e-9), i
