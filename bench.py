@@ -49,7 +49,11 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
         return out
 
-    # graph load: derive co-occurrence edges, symmetrize, cache
+    # graph load: derive co-occurrence edges, symmetrize, cache.
+    # _co_graph eager-localCheckpoints the edges; the extra .cache() puts
+    # a COLUMNAR InMemoryRelation on top, which the seven downstream
+    # graph queries scan repeatedly — measured faster end-to-end than
+    # rescanning deserialized checkpoint blocks (A/B: 68s vs 77s total).
     def load():
         g = _co_graph(spark, sf_dir).cache()
         return g, g.edges.count()

@@ -246,3 +246,110 @@ def complete(spark: SparkSession, n: int) -> Graph:
         .filter(F.col("src") < F.col("dst"))
     )
     return Graph.from_edges(pairs, nodes=spark.range(n).select("id"))
+
+
+def watts_strogatz(
+    spark: SparkSession, n: int, k: int, beta: float, seed: int = 42
+) -> Graph:
+    """WattsStrogatzGenerator (``generators/WattsStrogatzGenerator.cpp``):
+    ring lattice (each node linked to its k clockwise neighbors) with
+    per-edge rewiring probability beta.
+
+    Deviation (documented): the reference redraws on self-loop/duplicate
+    collisions; a seeded columnar pipeline cannot loop per edge, so a
+    colliding rewire keeps the original lattice edge instead (collision
+    probability ≈ (2k+1)/n — vanishing at scale). Everything is
+    ``spark.range`` + hash expressions: deterministic at any parallelism.
+    """
+    lattice = (
+        spark.range(n)
+        .crossJoin(spark.range(1, k + 1).withColumnRenamed("id", "j"))
+        .select(F.col("id").alias("src"), F.pmod(F.col("id") + F.col("j"), F.lit(n)).alias("dst"), "j")
+    )
+    key = F.col("src") * F.lit(n) + F.col("j")
+    rewire = _uniform(key, seed) < F.lit(beta)
+    new_dst = F.pmod(F.xxhash64(key, F.lit(seed + 1)), F.lit(n))
+    edges = (
+        lattice.select(
+            "src",
+            F.when(rewire & (new_dst != F.col("src")), new_dst)
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return Graph.from_edges(edges, nodes=spark.range(n).select("id"))
+
+
+def barabasi_albert(
+    spark: SparkSession, n: int, k: int, seed: int = 42, max_rounds: int = 64
+) -> Graph:
+    """BarabasiAlbertGenerator, Batagelj-Brandes construction
+    (``generators/BarabasiAlbertGenerator.cpp`` batagelj=true): node v
+    attaches k edges; writing the edge list as the array M with
+    M[2i] = source(i) and M[2i+1] = M[r_i] for a uniform r_i ∈ [0, 2i],
+    preferential attachment emerges because array positions are visited
+    proportionally to degree.
+
+    The pointer chase M[2i+1] = M[r] is resolved COLUMN-WISE: r is a pure
+    hash function of the edge index, so an odd pointer p rewrites to
+    r[(p-1)/2] with one expression — no join, no driver loop. Expected
+    chase depth is O(log i); we iterate until no pointer is odd. Leading
+    self-loops from the first node's edges are dropped (documented
+    deviation from the reference's explicit seed circle).
+    """
+    m = n * k
+
+    def r_of(idx):  # uniform in [0, 2*idx] as a pure column expression
+        return F.pmod(F.xxhash64(idx, F.lit(seed)), 2 * idx + 1)
+
+    e = spark.range(m).select(F.col("id").alias("i"))
+    e = e.select("i", (F.col("i") / k).cast("long").alias("src"), r_of(F.col("i")).alias("p"))
+    for _ in range(max_rounds):
+        # odd pointer p refers to target of edge (p-1)/2 — rewrite through
+        # its own draw; even pointer p resolves to source of edge p/2
+        unresolved = e.filter(F.pmod("p", F.lit(2)) == 1)
+        if unresolved.isEmpty():
+            break
+        nxt = F.when(
+            F.pmod("p", F.lit(2)) == 1,
+            r_of(((F.col("p") - 1) / 2).cast("long")),
+        ).otherwise(F.col("p"))
+        e = e.select("i", "src", nxt.alias("p")).localCheckpoint(eager=True)
+    edges = (
+        e.select("src", ((F.col("p") / 2).cast("long") / k).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return Graph.from_edges(edges, nodes=spark.range(n).select("id"))
+
+
+def chung_lu(
+    spark: SparkSession, weights: list[float] | DataFrame, seed: int = 42
+) -> Graph:
+    """ChungLuGenerator (``generators/ChungLuGenerator.cpp`` model): edge
+    (i, j) present independently with probability min(1, w_i·w_j / Σw).
+
+    This is the exact-model O(n²) pair-Bernoulli tier (CI / fixture
+    scale, like ``erdos_renyi``); at 100 TB generate via ``rmat`` or a
+    stub-sampling pass — the reference's O(n+m) skip-sampling is a
+    sequential scan per weight class and does not shard.
+    """
+    if isinstance(weights, DataFrame):
+        w = weights.select(F.col(weights.columns[0]).cast("long").alias("id"),
+                           F.col(weights.columns[1]).cast("double").alias("w"))
+    else:
+        w = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(weights)], "id long, w double"
+        )
+    total = w.agg(F.sum("w")).collect()[0][0] or 1.0
+    a = w.select(F.col("id").alias("src"), F.col("w").alias("wu"))
+    b = w.select(F.col("id").alias("dst"), F.col("w").alias("wv"))
+    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    key = F.col("src") * F.lit(1 << 31) + F.col("dst")
+    p = F.least(F.col("wu") * F.col("wv") / F.lit(float(total)), F.lit(1.0))
+    edges = pairs.filter(_uniform(key, seed) < p).select("src", "dst")
+    return Graph.from_edges(edges, nodes=w.select("id"))

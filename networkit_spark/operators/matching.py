@@ -209,3 +209,74 @@ def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
     if forest is None:
         return g.nodes.sparkSession.createDataFrame([], "src long, dst long, weight double")
     return forest
+
+
+def local_max_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
+    """(u, v) matched pairs (u < v) — LocalMaxMatcher
+    (``matching/LocalMaxMatcher.cpp``): repeatedly match every LOCALLY
+    DOMINANT edge (strictly heavier than every adjacent live edge, ties
+    broken by canonical (weight desc, u asc, v asc)), then drop the
+    matched endpoints. Each round is two keyed aggregations — the edge
+    analogue of Luby rounds; expected O(log n) rounds.
+    """
+    edges = (
+        g.canonical_undirected_edges()
+        .join(
+            (g.symmetrized_edges() if g.directed else g.edges)
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .dropDuplicates(["src", "dst"]),
+            ["src", "dst"],
+        )
+        .localCheckpoint(eager=True)
+    )
+    matched = []
+    live = edges
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        # per-node best incident edge under (weight desc, src asc, dst asc)
+        inc = live.select(
+            F.col("src").alias("node"), "src", "dst", "weight"
+        ).unionByName(live.select(F.col("dst").alias("node"), "src", "dst", "weight"))
+        pri = F.struct(
+            F.col("weight"), (-F.col("src")).alias("ns"), (-F.col("dst")).alias("nd")
+        )
+        best = inc.groupBy("node").agg(F.max(pri).alias("b"))
+        cand = (
+            live.join(
+                best.withColumnRenamed("node", "src").withColumnRenamed("b", "bs"),
+                "src",
+            )
+            .join(
+                best.withColumnRenamed("node", "dst").withColumnRenamed("b", "bd"),
+                "dst",
+            )
+            .filter(
+                (pri == F.col("bs")) & (pri == F.col("bd"))
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if cand.isEmpty():
+            break
+        matched.append(cand)
+        used = cand.select(F.col("src").alias("node")).unionByName(
+            cand.select(F.col("dst").alias("node"))
+        )
+        live = (
+            live.join(used.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(used.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+            .localCheckpoint(eager=True)
+        )
+    spark = g.edges.sparkSession
+    if not matched:
+        return spark.createDataFrame([], "u long, v long")
+    out = matched[0]
+    for c in matched[1:]:
+        out = out.unionByName(c)
+    return out.select(F.col("src").alias("u"), F.col("dst").alias("v"))

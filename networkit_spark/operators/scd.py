@@ -176,3 +176,85 @@ def pagerank_nibble(
     k, phi = int(best[0]["rank"]), float(best[0]["phi"])
     community = sweep.filter(F.col("rank") <= k).select("id")
     return NibbleResult(community=community, conductance=phi, ppr=ppr)
+
+
+def gce(
+    g: Graph,
+    seeds: list[int],
+    objective: str = "M",
+    max_iterations: int = 200,
+) -> DataFrame:
+    """GCE — greedy community expansion (``scd/GCE.cpp`` objective "M"):
+    starting from the seed set, repeatedly add the shell node with the
+    best ΔQ where Q = internalEdgeWeight / cut, while ΔQ > 0. Ties break
+    by smallest node id (the reference draws uniformly among ties —
+    documented deviation for determinism at any parallelism).
+
+    Each round is one shell aggregation (neighbors of C with their
+    int/ext degree split) — C is broadcast while it is small, which for
+    seed-set expansion it is by construction. Returns (node,) members.
+    """
+    spark = g.edges.sparkSession
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst", "weight").localCheckpoint(eager=True)
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wdeg"))
+
+    com = spark.createDataFrame([(int(s),) for s in seeds], "node long")
+    int_w = 0.0
+    # cut = total weight from C to outside
+    def stats(cdf):
+        inside = sym.join(
+            F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+        )
+        both = inside.join(
+            F.broadcast(cdf.withColumnRenamed("node", "dst")), "dst", "left_semi"
+        )
+        iw = (both.agg(F.sum("weight")).collect()[0][0] or 0.0) / 2.0
+        cut = (
+            inside.join(cdf.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .agg(F.sum("weight"))
+            .collect()[0][0]
+            or 0.0
+        )
+        return iw, cut
+
+    int_w, cut = stats(com)
+    q = int_w / cut if cut > 0 else 0.0
+    for _ in range(max_iterations):
+        shell = (
+            sym.join(F.broadcast(com.withColumnRenamed("node", "dst")), "dst", "left_semi")
+            .join(F.broadcast(com.withColumnRenamed("node", "src")), "src", "left_anti")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg.withColumnRenamed("id", "node"), "node")
+            .select(
+                "node", "intdeg", (F.col("wdeg") - F.col("intdeg")).alias("extdeg")
+            )
+        )
+        denom = F.lit(cut) - F.col("intdeg") + F.col("extdeg")
+        qnew = F.when(denom > 0, (F.lit(int_w) + F.col("intdeg")) / denom).otherwise(
+            F.lit(float("inf"))
+        )
+        best = (
+            shell.select("node", "intdeg", "extdeg", qnew.alias("qnew"))
+            .orderBy(F.desc("qnew"), F.asc("node"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["qnew"] - q <= 0:
+            break
+        row = best[0]
+        com = (
+            com.unionByName(
+                spark.createDataFrame([(int(row["node"]),)], "node long")
+            )
+            .repartition(1)  # community is tiny by construction: keep the
+            .localCheckpoint(eager=True)  # plan at ONE partition per round
+        )
+        int_w += float(row["intdeg"])
+        cut = cut - float(row["intdeg"]) + float(row["extdeg"])
+        q = int_w / cut if cut > 0 else float("inf")
+        if q == float("inf"):
+            break
+    return com

@@ -19,7 +19,7 @@ when the scores are materialized to Parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -143,3 +143,44 @@ def local_similarity_scores(g: Graph) -> DataFrame:
         .select("ego", "src", "dst", "deg", "rank")
     )
     return _per_ego_exponent(ranked)
+
+
+def simmelian_overlap_scores(g: Graph, max_rank: int = 10) -> DataFrame:
+    """SimmelianOverlapScore (``sparsification/SimmelianOverlapScore.cpp``
+    + ``SimmelianScore.cpp getRankedNeighborhood/getOverlap``): per
+    canonical edge, the number of common neighbors among the two
+    endpoints' top-``max_rank`` neighbors, ranked by edge triangle count
+    (competition ranking, equal counts share a rank — exactly Spark's
+    ``rank()``).
+
+    Plan shape: one per-ego rank window (bounded by max degree, the same
+    skew envelope as the Local* scores) + one common-neighbor join keyed
+    on the shared neighbor — no all-pairs blowup.
+    """
+    from networkit_spark.operators.triangles import triangle_count_per_edge
+
+    etri = triangle_count_per_edge(g)
+    ego = etri.select(
+        F.col("src").alias("ego"), F.col("dst").alias("nbr"), "triangles"
+    ).unionByName(
+        etri.select(F.col("dst").alias("ego"), F.col("src").alias("nbr"), "triangles")
+    )
+    w = Window.partitionBy("ego").orderBy(F.desc("triangles"))
+    top = (
+        ego.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= max_rank)
+        .select("ego", "nbr")
+    )
+    e = etri.select("src", "dst")
+    ov = (
+        e.join(top.select(F.col("ego").alias("src"), F.col("nbr").alias("w1")), "src")
+        .join(
+            top.select(F.col("ego").alias("dst"), F.col("nbr").alias("w1")),
+            ["dst", "w1"],
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return e.join(ov, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("overlap", F.lit(0)).cast("double").alias("score")
+    )

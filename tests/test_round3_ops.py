@@ -1,0 +1,187 @@
+"""Round-3 operator batch: generators (WS/BA/Chung-Lu), Simmelian
+overlap, LocalMax matching, GCE, reachability."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def test_watts_strogatz_shape_and_determinism(spark):
+    from networkit_spark.generators import watts_strogatz
+
+    g = watts_strogatz(spark, n=100, k=2, beta=0.2, seed=7)
+    m = g.canonical_undirected_edges().count()
+    # lattice has n*k edges; rewiring only ever drops on collision
+    assert 150 <= m <= 200
+    assert g.num_nodes() == 100
+    g2 = watts_strogatz(spark, n=100, k=2, beta=0.2, seed=7)
+    a = sorted(map(tuple, g.canonical_undirected_edges().collect()))
+    b = sorted(map(tuple, g2.canonical_undirected_edges().collect()))
+    assert a == b
+    # beta=0 keeps the exact lattice
+    g0 = watts_strogatz(spark, n=50, k=3, beta=0.0, seed=7)
+    exp = sorted(
+        tuple(sorted((i, (i + j) % 50))) for i in range(50) for j in range(1, 4)
+    )
+    assert sorted(map(tuple, g0.canonical_undirected_edges().collect())) == sorted(set(exp))
+
+
+def test_barabasi_albert_power_law_hubs(spark):
+    from networkit_spark.generators import barabasi_albert
+
+    g = barabasi_albert(spark, n=500, k=3, seed=11)
+    deg = (
+        g.canonical_undirected_edges()
+        .selectExpr("stack(2, src, dst) as (id)")
+        .groupBy("id")
+        .count()
+        .collect()
+    )
+    degs = sorted((r["count"] for r in deg), reverse=True)
+    # preferential attachment: heavy hub tail — max degree far above mean
+    mean = sum(degs) / len(degs)
+    assert degs[0] > 4 * mean
+    # determinism
+    g2 = barabasi_albert(spark, n=500, k=3, seed=11)
+    assert sorted(map(tuple, g.canonical_undirected_edges().collect())) == sorted(
+        map(tuple, g2.canonical_undirected_edges().collect())
+    )
+
+
+def test_chung_lu_expected_degrees(spark):
+    from networkit_spark.generators import chung_lu
+
+    w = [20.0] * 30 + [2.0] * 300
+    g = chung_lu(spark, w, seed=5)
+    deg = {
+        r["id"]: r["count"]
+        for r in g.canonical_undirected_edges()
+        .selectExpr("stack(2, src, dst) as (id)")
+        .groupBy("id")
+        .count()
+        .collect()
+    }
+    heavy = sum(deg.get(i, 0) for i in range(30)) / 30
+    light = sum(deg.get(i, 0) for i in range(30, 330)) / 300
+    # expected degree ratio 10:1, allow wide sampling noise
+    assert heavy > 4 * light
+
+
+def test_simmelian_overlap_matches_bruteforce(spark):
+    from networkit_spark.operators.sparsification import simmelian_overlap_scores
+
+    import random
+
+    rnd = random.Random(3)
+    n = 18
+    edges = sorted(
+        {tuple(sorted((rnd.randrange(n), rnd.randrange(n)))) for _ in range(45)}
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    g = Graph.of(spark, edges, n=n)
+    max_rank = 3
+
+    # brute force: triangles per edge, competition-ranked neighbors
+    adj = {u: set() for u in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {
+        (u, v): len(adj[u] & adj[v]) for u, v in edges
+    }
+    def topk(u):
+        ranked = sorted(adj[u], key=lambda w: -tri[tuple(sorted((u, w)))])
+        out = set()
+        rank = 0
+        last = None
+        for i, w in enumerate(ranked, 1):
+            t = tri[tuple(sorted((u, w)))]
+            if t != last:
+                rank = i
+                last = t
+            if rank <= max_rank:
+                out.add(w)
+        return out
+
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in simmelian_overlap_scores(g, max_rank=max_rank).collect()
+    }
+    for u, v in edges:
+        exp = len(topk(u) & topk(v))
+        assert got[(u, v)] == exp, (u, v, got[(u, v)], exp)
+
+
+def test_local_max_matching_valid_and_dominant(spark):
+    from networkit_spark.operators.matching import local_max_matching
+
+    edges = [(0, 1, 5.0), (1, 2, 3.0), (2, 3, 4.0), (3, 4, 1.0), (4, 5, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(nodes=spark.range(6).toDF("id"), edges=sym, directed=False, weighted=True)
+    got = sorted((r["u"], r["v"]) for r in local_max_matching(g).collect())
+    # path weights 5,3,4,1,2: local maxima (0,1) and (2,3); then (4,5)
+    assert got == [(0, 1), (2, 3), (4, 5)]
+    # matching validity on a random graph: no shared endpoints, maximal
+    import random
+
+    rnd = random.Random(9)
+    redges = sorted({tuple(sorted((rnd.randrange(30), rnd.randrange(30)))) for _ in range(60)})
+    redges = [e for e in redges if e[0] != e[1]]
+    rg = Graph.of(spark, redges, n=30)
+    m = [(r["u"], r["v"]) for r in local_max_matching(rg).collect()]
+    used = [x for p in m for x in p]
+    assert len(used) == len(set(used))
+    matched = set(used)
+    for u, v in redges:  # maximality: no live edge remains
+        assert u in matched or v in matched
+
+
+def test_gce_expands_planted_community(spark):
+    from networkit_spark.operators.scd import gce
+
+    # two 6-cliques joined by one bridge edge
+    c1 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    c2 = [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    edges = c1 + c2 + [(5, 6)]
+    g = Graph.of(spark, edges, n=12)
+    members = sorted(r["node"] for r in gce(g, seeds=[0]).collect())
+    assert members == [0, 1, 2, 3, 4, 5]
+
+
+def test_reachable_nodes_directed(spark):
+    from networkit_spark.operators.reachability import reachable_nodes
+
+    edges = [(0, 1), (1, 2), (3, 2)]
+    g = Graph.of(spark, edges, n=5, directed=True)
+    got = {r["id"]: r["reachable"] for r in reachable_nodes(g).collect()}
+    assert got == {0: 3, 1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_commute_time_distance_vs_pinv(spark):
+    """CG Laplacian solve vs numpy pseudoinverse (CommuteTimeDistance.cpp
+    runSinglePair: sqrt(vol · (e_u − e_v)ᵀ L⁺ (e_u − e_v)))."""
+    import numpy as np
+
+    from networkit_spark.operators.numerics import commute_time_distance
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]
+    n = 5
+    g = Graph.of(spark, edges, n=n)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u][v] = A[v][u] = 1.0
+    L = np.diag(A.sum(1)) - A
+    Lp = np.linalg.pinv(L)
+    vol = A.sum()
+    pairs = [(0, 4), (1, 3), (0, 2)]
+    got = {
+        (r["u"], r["v"]): r["ectd"]
+        for r in commute_time_distance(g, pairs).collect()
+    }
+    for u, v in pairs:
+        e = np.zeros(n)
+        e[u], e[v] = 1.0, -1.0
+        exp = float(np.sqrt(vol * e @ Lp @ e))
+        assert got[(u, v)] == pytest.approx(exp, rel=1e-5), (u, v)
