@@ -113,3 +113,27 @@ def index_edges(g: Graph) -> DataFrame:
         )
     )
     return g.edges.join(both, ["src", "dst"])
+
+
+def sort_edges_by_weight(g: Graph, descending: bool = False) -> DataFrame:
+    """sortEdgesByWeight (``Graph.cpp`` edge ordering contract): the
+    canonical edge table ordered by (weight, src, dst) — in Spark an
+    ORDER BY is the materialization of that contract (range-partitioned
+    global sort, no single-task funnel)."""
+    e = g.canonical_undirected_edges() if not g.directed else g.edges
+    cols = [F.col("weight"), F.col("src"), F.col("dst")]
+    return e.orderBy(*[c.desc() if descending else c.asc() for c in cols])
+
+
+def random_neighbor(g: Graph, node: int, seed: int = 42) -> int | None:
+    """GraphTools::randomNeighbor — seeded, parallelism-invariant: the
+    neighbor with minimum hash(seed, nbr). None for isolated nodes."""
+    sym = g.symmetrized_edges() if g.directed else g.edges
+    row = (
+        sym.filter(F.col("src") == int(node))
+        .select(F.col("dst").alias("nbr"))
+        .orderBy(F.xxhash64("nbr", F.lit(seed)), F.col("nbr"))
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["nbr"]) if row else None

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def _tree_structure(spark, tree_sym: DataFrame, roots: DataFrame):
@@ -44,7 +45,7 @@ def _tree_structure(spark, tree_sym: DataFrame, roots: DataFrame):
     frontier = roots.select(
         F.col("id").alias("node"), F.lit(None).cast("long").alias("parent"),
         F.lit(0).alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     acc = frontier
     depth = 0
     while True:
@@ -62,10 +63,10 @@ def _tree_structure(spark, tree_sym: DataFrame, roots: DataFrame):
             )
             .dropDuplicates(["node"])  # unique in a tree; guard regardless
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(pin)
         if nxt.isEmpty():
             break
-        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        acc = acc.unionByName(nxt).transform(pin)
         frontier = nxt
     return acc, depth - 1
 
@@ -83,10 +84,10 @@ def biconnected_components(g: Graph) -> DataFrame:
         eager=True
     )
 
-    tree = spanning_forest(g).select("src", "dst").localCheckpoint(eager=True)
+    tree = spanning_forest(g).select("src", "dst").transform(pin)
     tree_sym = tree.unionByName(
         tree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     comp = connected_components(g)  # (node, label = min member)
     roots = comp.filter(F.col("node") == F.col("label")).select(
@@ -94,7 +95,7 @@ def biconnected_components(g: Graph) -> DataFrame:
     )
 
     par, height = _tree_structure(spark, tree_sym, roots)
-    par = par.localCheckpoint(eager=True)
+    par = par.transform(pin)
 
     # subtree sizes bottom-up: iterate depths from deepest to 0
     cur = None  # (node, nd) finalized for depth > d
@@ -114,7 +115,7 @@ def biconnected_components(g: Graph) -> DataFrame:
             if cur is None
             else cur.unionByName(lvl_nd.select("node", "nd"))
         )
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(pin)
     nd = cur  # (node, nd)
 
     # preorder top-down: pre(c) = pre(parent) + 1 + Σ nd(earlier siblings)
@@ -128,11 +129,11 @@ def biconnected_components(g: Graph) -> DataFrame:
         .join(nd, "node")
         .withColumn("sib_off", F.coalesce(F.sum("nd").over(w_sib), F.lit(0)))
         .select("node", "parent", "depth", "sib_off")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     pre = par.filter(F.col("depth") == 0).select(
         "node", F.lit(0).cast("long").alias("pre")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     for d in range(1, height + 1):
         lvl = child_off.filter(F.col("depth") == d)
         lvl_pre = lvl.join(
@@ -141,14 +142,14 @@ def biconnected_components(g: Graph) -> DataFrame:
         ).select(
             "node", (F.col("ppre") + 1 + F.col("sib_off")).alias("pre")
         )
-        pre = pre.unionByName(lvl_pre).localCheckpoint(eager=True)
+        pre = pre.unionByName(lvl_pre).transform(pin)
 
     vinfo = (
         par.join(nd, "node").join(pre, "node").select("node", "parent", "depth", "nd", "pre")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     # non-tree edges (canonical) = edges minus tree
-    nontree = edges.join(tree, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
+    nontree = edges.join(tree, ["src", "dst"], "left_anti").transform(pin)
     nontree_sym = nontree.unionByName(
         nontree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -188,7 +189,7 @@ def biconnected_components(g: Graph) -> DataFrame:
         else:
             lvl = lvl.select("node", "low", "high")
         cur = lvl if cur is None else cur.unionByName(lvl)
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(pin)
     lh = cur  # (node, low, high)
 
     info = vinfo.join(lh.select("node", "low", "high"), "node").localCheckpoint(
@@ -260,7 +261,7 @@ def biconnected_components(g: Graph) -> DataFrame:
     )
     aux_cc = connected_components(aux_g).select(
         F.col("node").alias("child"), F.col("label").alias("comp")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     # tree edge (parent(w), w) → comp(w); emit canonical
     tree_lab = (

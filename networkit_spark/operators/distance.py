@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -606,11 +607,11 @@ def betweenness_weighted(
                 g.nodes.orderBy(F.xxhash64("id", F.lit(seed)))
                 .limit(k)
                 .select("id")
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
         else:
             sources = g.nodes
-    dist = multi_source_sssp(g, sources).localCheckpoint(eager=True)
+    dist = multi_source_sssp(g, sources).transform(pin)
 
     # Zero-weight edges between equal-distance nodes would put BOTH
     # orientations into the "DAG", creating a cycle that the σ/δ fixed
@@ -633,7 +634,7 @@ def betweenness_weighted(
         )
         .filter(F.abs(F.col("dp") + F.col("weight") - F.col("dt")) <= eps)
         .select("root", "src", "dst")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     # sigma forward fixed point (roots pinned at 1 via an explicit flag —
@@ -643,7 +644,7 @@ def betweenness_weighted(
         "node",
         (F.col("dist") == 0.0).alias("is_root"),
         F.when(F.col("dist") == 0.0, 1.0).otherwise(0.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # DAG depth ≤ n on positive weights; a non-terminating loop here means
     # the "DAG" had a cycle — raise like sssp does instead of spinning.
     sigma_rounds = 0
@@ -676,7 +677,7 @@ def betweenness_weighted(
                 .alias("sigma"),
             )
         )
-        new_sigma = new_sigma.localCheckpoint(eager=True)
+        new_sigma = new_sigma.transform(pin)
         changed = new_sigma.filter(
             F.abs(F.col("sigma") - F.col("old")) > 1e-12
         ).count()
@@ -722,7 +723,7 @@ def betweenness_weighted(
                 F.coalesce("d_new", F.lit(0.0)).alias("delta"),
             )
         )
-        new_delta = new_delta.localCheckpoint(eager=True)
+        new_delta = new_delta.transform(pin)
         changed = new_delta.filter(F.abs(F.col("delta") - F.col("old")) > 1e-12).count()
         delta = new_delta.select("root", "node", "delta")
         if changed == 0:
@@ -807,7 +808,7 @@ def sssp_update_additions(
             ).alias("dist"),
             (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     dist = merged.select("node", "dist")
     frontier = merged.filter("improved").select("node", "dist")
@@ -909,7 +910,7 @@ def approx_betweenness(
 
     mapping = assign_dense_ids(
         g.nodes.select(F.col("id").alias("key")), ["key"]
-    ).localCheckpoint(eager=True)  # (key=node id, id=dense rank)
+    ).transform(pin)  # (key=node id, id=dense rank)
 
     samp = spark.range(r).select(F.col("id").alias("pair"))
     iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
@@ -930,7 +931,7 @@ def approx_betweenness(
             "iv",
         )
         .select("pair", "u", "v")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     res = multi_source_bfs(g, pairs.select("u").distinct(), runner=runner)
@@ -946,7 +947,7 @@ def approx_betweenness(
         ["u", "v"],
         "left_semi",
     ).select("pair", "u", F.col("v").alias("cur"))
-    active = active.localCheckpoint(eager=True)
+    active = active.transform(pin)
 
     edges = g.edges.select(F.col("src").alias("z"), F.col("dst").alias("cur"))
     contribs = []
@@ -992,7 +993,7 @@ def approx_betweenness(
             .filter(F.col("rn") == 1)
             .select("pair", "u", F.col("z").alias("cur"))
         )
-        chosen = chosen.localCheckpoint(eager=True)
+        chosen = chosen.transform(pin)
         contribs.append(
             chosen.filter(F.col("cur") != F.col("u")).select(
                 F.col("cur").alias("id")
@@ -1009,3 +1010,61 @@ def approx_betweenness(
     return g.nodes.join(scores, "id", "left").select(
         "id", F.coalesce("s", F.lit(0.0)).alias("score")
     )
+
+
+def apsp_update_additions(
+    dist: DataFrame,
+    added_edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """DynAPSP edge-insertion update (``distance/DynAPSP.cpp``
+    updateMatrix semantics, batch form): given the all-pairs hop-distance
+    table ``dist`` (root, node, dist — reachable pairs only, e.g. from
+    ``multi_source_bfs``) and a batch of inserted unit-weight edges,
+    produce the updated distance table WITHOUT recomputing APSP:
+
+        d'(x, y) = min(d(x, y), min_{(u,v) added} d(x, u) + 1 + d(v, y))
+
+    iterated to a fixpoint so chains of interacting insertions compose.
+    Each round is two keyed joins against the (small) added-edge batch —
+    the update never touches the full edge table, which is the entire
+    point of the dynamic variant at scale.
+    """
+    add = added_edges.select("src", "dst")
+    if not directed:
+        add = add.unionByName(
+            add.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    add = add.transform(pin)
+    cur = dist.select("root", "node", "dist").transform(pin)
+    for _ in range(max_rounds):
+        left = cur.select("root", F.col("node").alias("src"), F.col("dist").alias("dx"))
+        right = cur.select(
+            F.col("root").alias("dst"), F.col("node").alias("node"), F.col("dist").alias("dy")
+        )
+        via = (
+            left.join(F.broadcast(add), "src")
+            .join(right, "dst")
+            .groupBy("root", "node")
+            .agg((F.min(F.col("dx") + 1 + F.col("dy"))).alias("cand"))
+        )
+        merged = (
+            cur.join(via, ["root", "node"], "full")
+            .select(
+                "root",
+                "node",
+                F.least(
+                    F.coalesce("dist", F.col("cand")), F.coalesce("cand", F.col("dist"))
+                ).alias("new_dist"),
+                "dist",
+            )
+        )
+        merged = merged.transform(pin)
+        improved = merged.filter(
+            F.col("dist").isNull() | (F.col("new_dist") < F.col("dist"))
+        ).count()
+        cur = merged.select("root", "node", F.col("new_dist").alias("dist"))
+        if improved == 0:
+            return cur
+    raise RuntimeError("apsp_update_additions did not reach a fixpoint")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def group_degree(
@@ -94,7 +95,7 @@ def group_degree(
             .distinct()
             .join(F.broadcast(group_df), "id", "left_anti")
         )
-        covered = nbrs.localCheckpoint(eager=True)
+        covered = nbrs.transform(pin)
 
     score = covered.count() + (len(group) if count_group_nodes else 0)
     return group, int(score)
@@ -117,7 +118,7 @@ def group_closeness(
     dist = (
         multi_source_bfs(g, src, with_sigma=False)
         .visited.select("root", "node", "dist")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Candidate pruning mirrors the reference's dominance filters
     # (GroupCloseness.cpp:183-186): degree-1 nodes and degree-2 nodes at
@@ -131,7 +132,7 @@ def group_closeness(
         .dropDuplicates(["src", "dst"])
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     group: list[int] = []
     # best(v): current min distance from the group to v (absent = ∞)
     best: DataFrame | None = None
@@ -216,7 +217,7 @@ def group_closeness(
                     ).alias("bd"),
                 )
             )
-        best = best.localCheckpoint(eager=True)
+        best = best.transform(pin)
 
     farness = float(best.agg(F.sum("bd")).collect()[0][0] or 0.0) if best is not None else 0.0
     return group, farness

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def _sym_edges(g: Graph) -> DataFrame:
@@ -49,7 +50,7 @@ def luby_independent_set(
     from networkit_spark.functions.porthash import md5_mod
 
     live = g.nodes
-    edges = _sym_edges(g).select("src", "dst").localCheckpoint(eager=True)
+    edges = _sym_edges(g).select("src", "dst").transform(pin)
     chosen = []
     for rnd in range(max_rounds):
         n_live = live.count()
@@ -75,7 +76,7 @@ def luby_independent_set(
                 | (F.struct(F.col("p"), F.col("id").alias("tie")) > F.col("mx"))
             )
             .select("id")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         chosen.append(winners)
         # remove winners and their neighbors from the live set
@@ -87,7 +88,7 @@ def luby_independent_set(
         live = (
             live.join(winners, "id", "left_anti")
             .join(loser, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     if not chosen:  # empty node set: nothing to choose
         return g.nodes.withColumn("in_set", F.lit(False))
@@ -108,7 +109,7 @@ def suitor_matching(g: Graph, max_rounds: int | None = None) -> DataFrame:
     ≥ 1 pair and the loop runs until NO live edge remains (≤ ⌈n/2⌉ rounds;
     an adversarial strictly-increasing path needs the full O(n) — a fixed
     round cap would silently return a non-maximal matching there)."""
-    edges = _sym_edges(g).select("src", "dst", "weight").localCheckpoint(eager=True)
+    edges = _sym_edges(g).select("src", "dst", "weight").transform(pin)
     unmatched = g.nodes
     matched_pairs = None
     w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
@@ -137,7 +138,7 @@ def suitor_matching(g: Graph, max_rounds: int | None = None) -> DataFrame:
                 "left_semi",
             )
             .filter(F.col("src") < F.col("dst"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if mutual.limit(1).count() == 0:
             break
@@ -148,7 +149,7 @@ def suitor_matching(g: Graph, max_rounds: int | None = None) -> DataFrame:
             mutual.select(F.col("src").alias("id"))
             .unionByName(mutual.select(F.col("dst").alias("id")))
         )
-        unmatched = unmatched.join(newly, "id", "left_anti").localCheckpoint(eager=True)
+        unmatched = unmatched.join(newly, "id", "left_anti").transform(pin)
     if matched_pairs is None:
         return g.nodes.sparkSession.createDataFrame([], "u long, v long")
     return matched_pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -168,7 +169,7 @@ def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
         F.least("src", "dst").alias("src"),
         F.greatest("src", "dst").alias("dst"),
         "weight",
-    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    ).dropDuplicates(["src", "dst"]).transform(pin)
 
     labels = g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
     forest = None
@@ -198,14 +199,14 @@ def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("src", "dst", "weight")
             .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         forest = picked if forest is None else forest.unionByName(picked).dropDuplicates(
             ["src", "dst"]
         )
         # contract: components connected by the forest so far
         fg = Graph.from_edges(forest, directed=False, nodes=g.nodes)
-        labels = connected_components(fg).localCheckpoint(eager=True)
+        labels = connected_components(fg).transform(pin)
     if forest is None:
         return g.nodes.sparkSession.createDataFrame([], "src long, dst long, weight double")
     return forest
@@ -231,7 +232,7 @@ def local_max_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
             .dropDuplicates(["src", "dst"]),
             ["src", "dst"],
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     matched = []
     live = edges
@@ -259,7 +260,7 @@ def local_max_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
                 (pri == F.col("bs")) & (pri == F.col("bd"))
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if cand.isEmpty():
             break
@@ -271,7 +272,7 @@ def local_max_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
             live.join(used.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(used.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     spark = g.edges.sparkSession
     if not matched:

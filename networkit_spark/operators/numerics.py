@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def _laplacian_matvec(sym_edges: DataFrame, wdeg: DataFrame, x: DataFrame) -> DataFrame:
@@ -94,14 +95,14 @@ def laplacian_solve(
     max_iterations = max_iterations or max(50, int(10 * math.sqrt(n)))
     sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
         F.col("src") != F.col("dst")
-    ).select("src", "dst", "weight").localCheckpoint(eager=True)
+    ).select("src", "dst", "weight").transform(pin)
     wdeg = sym.groupBy(F.col("src").alias("id")).agg(
         F.sum("weight").alias("wdeg")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
-    x = g.nodes.select("id", F.lit(0.0).alias("value")).localCheckpoint(eager=True)
+    x = g.nodes.select("id", F.lit(0.0).alias("value")).transform(pin)
     r = _demean(b.select("id", F.col(b.columns[1]).alias("value")), n)
-    r = r.localCheckpoint(eager=True)
+    r = r.transform(pin)
     p = r
     rs = _dot(r, r)
     b_norm = max(rs, 1e-300)
@@ -114,7 +115,7 @@ def laplacian_solve(
     for it in range(1, max_iterations + 1):
         if rs / b_norm <= tol * tol:
             return x
-        ap = _laplacian_matvec(sym, wdeg, p).localCheckpoint(eager=True)
+        ap = _laplacian_matvec(sym, wdeg, p).transform(pin)
         denom = _dot(p, ap)
         if denom <= 0:
             break  # numerical breakdown: p fell into the (near-)kernel
@@ -122,8 +123,8 @@ def laplacian_solve(
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, ap, r)
         if it % CHECKPOINT_EVERY == 0:
-            x = _demean(x, n).localCheckpoint(eager=True)
-            r = _demean(r, n).localCheckpoint(eager=True)
+            x = _demean(x, n).transform(pin)
+            r = _demean(r, n).transform(pin)
         rs_new = _dot(r, r)
         beta = rs_new / rs
         p = r.join(p.select("id", F.col("value").alias("pv")), "id", "left").select(
@@ -133,7 +134,7 @@ def laplacian_solve(
             ),
         )
         if it % CHECKPOINT_EVERY == 0:
-            p = p.localCheckpoint(eager=True)
+            p = p.transform(pin)
         rs = rs_new
     if rs / b_norm <= tol * tol:
         return x

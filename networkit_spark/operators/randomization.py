@@ -29,13 +29,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
     """Randomize an undirected simple graph preserving every degree."""
     if g.directed:
         raise ValueError("edge_switching expects an undirected graph")
-    edges = g.canonical_undirected_edges().localCheckpoint(eager=True)
+    edges = g.canonical_undirected_edges().transform(pin)
 
     # Bucket count scales with |E| so the per-bucket row_number window
     # stays bounded (~TARGET_BUCKET_SIZE edges per single-task window)
@@ -119,7 +120,7 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
         edges = (
             edges.join(acc_old, ["src", "dst"], "left_anti")
             .unionByName(acc_new)
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
     out = edges.withColumn("weight", F.lit(1.0))
@@ -177,7 +178,7 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
         paired = (
             paired.join(sizes.filter("c = 2").select("pair"), "pair", "left_semi")
             .select("id", "pair", "side", F.xxhash64("pair").alias("ph"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
 
         pa = paired.select(
             F.col("id").alias("src"),
@@ -261,7 +262,7 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
         new_assigned = stay.unionByName(redis).select(
             F.least("owner", "w").alias("src"), F.greatest("owner", "w").alias("dst")
         )
-        edges = rest.unionByName(new_assigned).localCheckpoint(eager=True)
+        edges = rest.unionByName(new_assigned).transform(pin)
 
     sym_out = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

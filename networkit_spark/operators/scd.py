@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -55,7 +56,7 @@ def personalized_pagerank(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed")
     restart = seeds.select("id", F.lit((1.0 - alpha) / n_seeds).alias("restart"))
-    restart = restart.localCheckpoint(eager=True)
+    restart = restart.transform(pin)
 
     out_deg = g.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     edges_deg = (
@@ -169,7 +170,7 @@ def pagerank_nibble(
             .otherwise(F.lit(float("inf")))
             .alias("phi"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     best = sweep.orderBy(F.asc("phi"), F.asc("rank")).limit(1).collect()
     if not best:
         return NibbleResult(community=seeds, conductance=0.0, ppr=ppr)
@@ -197,7 +198,7 @@ def gce(
     spark = g.edges.sparkSession
     sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
         F.col("src") != F.col("dst")
-    ).select("src", "dst", "weight").localCheckpoint(eager=True)
+    ).select("src", "dst", "weight").transform(pin)
     wdeg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wdeg"))
 
     com = spark.createDataFrame([(int(s),) for s in seeds], "node long")
@@ -250,7 +251,7 @@ def gce(
                 spark.createDataFrame([(int(row["node"]),)], "node long")
             )
             .repartition(1)  # community is tiny by construction: keep the
-            .localCheckpoint(eager=True)  # plan at ONE partition per round
+            .transform(pin)  # plan at ONE partition per round
         )
         int_w += float(row["intdeg"])
         cut = cut - float(row["intdeg"]) + float(row["extdeg"])

@@ -184,3 +184,101 @@ def simmelian_overlap_scores(g: Graph, max_rank: int = 10) -> DataFrame:
     return e.join(ov, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("overlap", F.lit(0)).cast("double").alias("score")
     )
+
+
+def scan_structural_similarity_scores(g: Graph) -> DataFrame:
+    """SCANStructuralSimilarityScore
+    (``sparsification/SCANStructuralSimilarityScore.cpp:8-18``): per
+    canonical edge, (triangles + 1) / sqrt((d(u)+1)(d(v)+1))."""
+    tri = triangle_count_per_edge(g)
+    deg = _simple_degrees(g)
+    out = (
+        tri.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "du"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dv"), "dst")
+    )
+    return out.select(
+        "src",
+        "dst",
+        (
+            (F.col("triangles") + 1)
+            / F.sqrt((F.col("du") + 1) * (F.col("dv") + 1))
+        ).alias("score"),
+    )
+
+
+def forest_fire_scores(
+    g: Graph,
+    pf: float = 0.6,
+    n_fires: int = 32,
+    max_rounds: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """ForestFireScore (``sparsification/ForestFireScore.cpp``
+    semantics): burn fires from random sources, score = how often each
+    edge burns.
+
+    DEVIATION (documented): the reference burns a geometric number of
+    unvisited neighbors sequentially per node; the columnar analogue
+    burns each unvisited neighbor independently with probability ``pf``
+    per frontier round — same expected forward-burning behaviour, fully
+    seeded (every draw is a hash of (fire, edge, round)), no sequential
+    queue. All fires advance in the SAME frontier join, so the cost is
+    max_rounds × one edge join regardless of n_fires.
+    """
+    spark = g.edges.sparkSession
+    sym = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    n = g.num_nodes()
+    # seeded fire sources: fire i starts at the node ranked i-th by hash
+    sources = (
+        g.nodes.orderBy(F.xxhash64("id", F.lit(seed)))
+        .limit(n_fires)
+        .select(F.monotonically_increasing_id().alias("fire"), F.col("id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    visited = sources
+    frontier = sources
+    burnt = []
+    M = 1_000_003
+    for rnd in range(1, max_rounds + 1):
+        if frontier.isEmpty():
+            break
+        draws = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .join(
+                visited.withColumnRenamed("node", "dst"), ["fire", "dst"], "left_anti"
+            )
+            .filter(
+                F.pmod(
+                    F.xxhash64("fire", "src", "dst", F.lit(seed), F.lit(rnd)),
+                    F.lit(M),
+                )
+                / F.lit(float(M))
+                < F.lit(pf)
+            )
+        )
+        burnt.append(
+            draws.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+        )
+        nxt = draws.select("fire", F.col("dst").alias("node")).dropDuplicates(
+            ["fire", "node"]
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e = g.canonical_undirected_edges().select("src", "dst")
+    if not burnt:
+        return e.withColumn("score", F.lit(0.0))
+    allb = burnt[0]
+    for b in burnt[1:]:
+        allb = allb.unionByName(b)
+    counts = allb.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    return e.join(counts, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("c", F.lit(0)).cast("double").alias("score")
+    )

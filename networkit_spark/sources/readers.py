@@ -291,3 +291,100 @@ def write_graphml(g: Graph, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def read_matrix_market(spark: SparkSession, path: str) -> Graph:
+    """MatrixMarketReader (``io/MatrixMarketReader.cpp``): '%%MatrixMarket
+    matrix coordinate …' header, '%' comments, first data line is the
+    size triple 'rows cols nnz', then 1-based 'i j [value]' entries.
+    Symmetric banner ⇒ undirected."""
+    lines = spark.read.text(path)
+    header = [
+        r["value"]
+        for r in lines.filter(F.col("value").startswith("%%")).limit(1).collect()
+    ]
+    symmetric = bool(header) and "symmetric" in header[0]
+    data = (
+        lines.filter(~F.col("value").startswith("%"))
+        .select(F.split(F.trim("value"), r"\s+").alias("p"))
+        .filter(F.size("p") >= 2)
+    )
+    # drop the size line: it is the unique row where no other row shares
+    # its position — identified instead by taking rows AFTER the max
+    # entry count heuristic is fragile; the reference skips the first
+    # non-comment line, so do exactly that via a filtered zipWithIndex.
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    numbered = spark.createDataFrame(
+        rdd.map(lambda t: (t[0], t[1])), "value string, ln long"
+    ).filter(~F.col("value").startswith("%"))
+    first_ln = numbered.agg(F.min("ln")).collect()[0][0]
+    body = numbered.filter(F.col("ln") > first_ln).select(
+        F.split(F.trim("value"), r"\s+").alias("p")
+    )
+    e = body.select(
+        (F.col("p")[0].cast("long") - 1).alias("src"),
+        (F.col("p")[1].cast("long") - 1).alias("dst"),
+        F.when(F.size("p") >= 3, F.col("p")[2].cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("weight"),
+    )
+    return Graph.from_edges(
+        e, directed=not symmetric, weighted=True, dedupe=True
+    )
+
+
+def write_dot(g: Graph, path: str) -> None:
+    """DotGraphWriter (``io/DotGraphWriter.cpp``): distributed ordered
+    text write, same multi-part layout contract as ``write_gml``."""
+    spark = g.edges.sparkSession
+    arrow = " -> " if g.directed else " -- "
+    kw = "digraph" if g.directed else "graph"
+    e = g.edges if g.directed else g.canonical_undirected_edges()
+    e_lines = e.select(
+        F.concat(F.lit("  "), F.col("src"), F.lit(arrow), F.col("dst"), F.lit(";")).alias(
+            "value"
+        ),
+        F.lit(1).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+    )
+    wrap = spark.createDataFrame(
+        [(kw + " G {", 0, 0, 0), ("}", 2, 0, 0)],
+        "value string, ord int, k1 long, k2 long",
+    )
+    (
+        wrap.unionByName(e_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_cover(cover, path: str) -> None:
+    """CoverWriter analogue: persist an OVERLAPPING partition — rows
+    (node, subset), a node may appear in several subsets — as Parquet
+    (``io/CoverWriter.cpp`` writes line-per-subset text, inherently
+    sequential; Parquet keeps it distributed)."""
+    cover.select("node", "subset").write.mode("overwrite").parquet(path)
+
+
+def read_cover(spark: SparkSession, path: str):
+    """Read a Parquet cover written by ``write_cover``."""
+    return spark.read.parquet(path).select("node", "subset")
+
+
+def read_cover_text(spark: SparkSession, path: str):
+    """Legacy CoverReader (``io/CoverReader.cpp``): LINE i lists the
+    subsets of node i (space-separated). Small-file compatibility tier,
+    like ``read_partition_text``."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(
+        rdd.map(lambda t: (int(t[1]), t[0].strip())), "node long, subsets string"
+    )
+    return df.select(
+        "node",
+        F.explode(
+            F.filter(F.split("subsets", r"\s+"), lambda x: x != "")
+        ).alias("subset_s"),
+    ).select("node", F.col("subset_s").cast("long").alias("subset"))

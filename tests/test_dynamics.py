@@ -96,3 +96,27 @@ def test_dyn_cc_removal_recomputes(spark):
     ev = events_of(spark, [(1, "EDGE_REMOVAL", 1, 2, None)])
     labels = _labels(dyn.update_batch(ev))
     assert len(set(labels.values())) == 2 and labels[2] == 2
+
+
+def test_apsp_update_additions_matches_recompute(spark):
+    """DynAPSP batch insertion == fresh APSP (DynAPSP.cpp updateMatrix)."""
+    from networkit_spark.operators.distance import (
+        apsp_update_additions,
+        multi_source_bfs,
+    )
+
+    base = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6)]
+    added = [(3, 4), (0, 6)]
+    g0 = Graph.of(spark, base, n=7)
+    g1 = Graph.of(spark, base + added, n=7)
+    d0 = multi_source_bfs(g0, g0.nodes, with_sigma=False).visited
+    add_df = spark.createDataFrame(added, "src long, dst long")
+    upd = {
+        (r["root"], r["node"]): r["dist"]
+        for r in apsp_update_additions(d0, add_df).collect()
+    }
+    fresh = {
+        (r["root"], r["node"]): r["dist"]
+        for r in multi_source_bfs(g1, g1.nodes, with_sigma=False).visited.collect()
+    }
+    assert upd == fresh

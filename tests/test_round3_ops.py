@@ -185,3 +185,147 @@ def test_commute_time_distance_vs_pinv(spark):
         e[u], e[v] = 1.0, -1.0
         exp = float(np.sqrt(vol * e @ Lp @ e))
         assert got[(u, v)] == pytest.approx(exp, rel=1e-5), (u, v)
+
+
+def test_max_flow_clrs_fixture(spark):
+    """Push-relabel value == known max flow (CLRS fig. 26 network, 23)."""
+    from networkit_spark.operators.flow import max_flow
+
+    arcs = [
+        (0, 1, 16.0), (0, 2, 13.0), (1, 3, 12.0), (2, 1, 4.0), (2, 4, 14.0),
+        (3, 2, 9.0), (3, 5, 20.0), (4, 3, 7.0), (4, 5, 4.0),
+    ]
+    e = spark.createDataFrame(arcs, "src long, dst long, weight double")
+    g = Graph(nodes=spark.range(6).toDF("id"), edges=e, directed=True, weighted=True)
+    assert max_flow(g, 0, 5) == pytest.approx(23.0, abs=1e-9)
+
+
+def test_max_flow_undirected_and_disconnected(spark):
+    from networkit_spark.operators.flow import max_flow
+
+    # diamond: two vertex-disjoint unit paths -> flow 2
+    edges = [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 3, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = e.union(e.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(nodes=spark.range(4).toDF("id"), edges=sym, directed=False, weighted=True)
+    assert max_flow(g, 0, 3) == pytest.approx(2.0, abs=1e-9)
+    # disconnected sink -> 0
+    e2 = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    sym2 = e2.union(e2.selectExpr("dst as src", "src as dst", "weight"))
+    g2 = Graph(nodes=spark.range(3).toDF("id"), edges=sym2, directed=False, weighted=True)
+    assert max_flow(g2, 0, 2) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_laplacian_centrality_reference_goldens(spark):
+    """CentralityGTest testLaplacianCentrality(Unweighted): exact."""
+    from networkit_spark.operators.spectral import laplacian_centrality
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (1, 4), (4, 5)]
+    g = Graph.of(spark, edges, n=6)
+    got = {r["id"]: r["score"] for r in laplacian_centrality(g).collect()}
+    assert [got[i] for i in range(6)] == [18.0, 34.0, 18.0, 10.0, 16.0, 6.0]
+    # weighted + normalized fixture (CentralityGTest.cpp:1340-1384)
+    wedges = [(0, 1, 4.0), (0, 2, 2.0), (1, 2, 1.0), (1, 3, 2.0), (1, 4, 2.0), (4, 5, 1.0)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    gw = Graph(
+        nodes=spark.range(6).toDF("id"), edges=sym, directed=False, weighted=True
+    )
+    gotw = {r["id"]: r["score"] for r in laplacian_centrality(gw).collect()}
+    assert [gotw[i] for i in range(6)] == [140.0, 180.0, 56.0, 44.0, 52.0, 8.0]
+    gotn = {
+        r["id"]: round(r["score"], 10)
+        for r in laplacian_centrality(gw, normalized=True).collect()
+    }
+    assert [gotn[i] for i in range(6)] == [0.70, 0.90, 0.28, 0.22, 0.26, 0.04]
+
+
+def test_scan_and_forest_fire_scores(spark):
+    from networkit_spark.operators.sparsification import (
+        forest_fire_scores,
+        scan_structural_similarity_scores,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    g = Graph.of(spark, edges, n=4)
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in scan_structural_similarity_scores(g).collect()
+    }
+    import math
+
+    assert got[(0, 1)] == pytest.approx(2 / math.sqrt(3 * 3), abs=1e-12)
+    assert got[(2, 3)] == pytest.approx(1 / math.sqrt(4 * 2), abs=1e-12)
+
+    ff = forest_fire_scores(g, pf=0.9, n_fires=8, seed=3)
+    rows = {(r["src"], r["dst"]): r["score"] for r in ff.collect()}
+    assert set(rows) == {(0, 1), (0, 2), (1, 2), (2, 3)}
+    assert any(v > 0 for v in rows.values())
+    # deterministic
+    ff2 = {
+        (r["src"], r["dst"]): r["score"]
+        for r in forest_fire_scores(g, pf=0.9, n_fires=8, seed=3).collect()
+    }
+    assert rows == ff2
+
+
+def test_graphtools_sort_and_random_neighbor(spark):
+    from networkit_spark.graphtools import random_neighbor, sort_edges_by_weight
+
+    edges = [(0, 1, 3.0), (1, 2, 1.0), (2, 3, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(nodes=spark.range(4).toDF("id"), edges=sym, directed=False, weighted=True)
+    got = [tuple(r) for r in sort_edges_by_weight(g).select("weight").collect()]
+    assert got == [(1.0,), (2.0,), (3.0,)]
+    nb = random_neighbor(g, 1, seed=5)
+    assert nb in (0, 2)
+    assert random_neighbor(g, 1, seed=5) == nb
+
+
+def test_matrix_market_and_cover_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import (
+        read_cover,
+        read_cover_text,
+        read_matrix_market,
+        write_cover,
+    )
+
+    mm = tmp_path / "m.mtx"
+    mm.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% comment\n"
+        "4 4 3\n"
+        "1 2 1.5\n"
+        "2 3 2.0\n"
+        "3 4 1.0\n"
+    )
+    g = read_matrix_market(spark, str(mm))
+    assert not g.directed
+    e = sorted(map(tuple, g.canonical_undirected_edges().select("src", "dst").collect()))
+    assert e == [(0, 1), (1, 2), (2, 3)]
+
+    cov = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (2, 0)], "node long, subset long"
+    )
+    p = str(tmp_path / "cover")
+    write_cover(cov, p)
+    back = sorted(map(tuple, read_cover(spark, p).collect()))
+    assert back == [(0, 0), (0, 1), (1, 1), (2, 0)]
+
+    ct = tmp_path / "c.cover"
+    ct.write_text("0 1\n1\n0\n")
+    got = sorted(map(tuple, read_cover_text(spark, str(ct)).collect()))
+    assert got == [(0, 0), (0, 1), (1, 1), (2, 0)]
+
+
+def test_dot_writer(spark, tmp_path):
+    from networkit_spark.sources.readers import write_dot
+
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=3)
+    p = str(tmp_path / "g.dot")
+    write_dot(g, p)
+    txt = "\n".join(
+        r["value"] for r in spark.read.text(p).collect()
+    )
+    assert "graph G {" in txt and "0 -- 1;" in txt and "}" in txt
