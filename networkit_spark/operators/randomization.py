@@ -268,3 +268,52 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).withColumn("weight", F.lit(1.0))
     return Graph(nodes=g.nodes, edges=sym_out, directed=False, weighted=g.weighted)
+
+
+def degree_preserving_shuffle(g: Graph, seed: int = 42) -> Graph:
+    """DegreePreservingShuffle (``randomization/DegreePreservingShuffle.cpp``):
+    permute node identities WITHIN equal-degree classes — the resulting
+    graph is isomorphic with relabeled vertices, exactly preserving the
+    degree sequence per node id.
+
+    Columnar permutation: inside each degree class, rank nodes twice
+    (by id — the canonical order; by seeded hash — the shuffled order)
+    and map rank→rank. Windows are per degree class; the degree-1 class
+    can be large, which is the same bounded-window trade-off as the
+    edge-switching bucketing (salt via pmod if a class ever dominates).
+    """
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    )
+    deg = (
+        sym.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    classes = g.nodes.join(deg, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    w_id = Window.partitionBy("deg").orderBy("id")
+    w_h = Window.partitionBy("deg").orderBy(
+        F.xxhash64("id", F.lit(seed)), F.col("id")
+    )
+    by_id = classes.select("deg", "id", F.row_number().over(w_id).alias("rk"))
+    by_h = classes.select(
+        "deg", F.col("id").alias("new_id"), F.row_number().over(w_h).alias("rk")
+    )
+    mapping = by_id.join(by_h, ["deg", "rk"]).select("id", "new_id").localCheckpoint(
+        eager=True
+    )
+    e = (
+        g.edges.join(mapping.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("new_id", "nsrc")
+        .join(mapping.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("new_id", "ndst")
+        .select(
+            F.col("nsrc").alias("src"),
+            F.col("ndst").alias("dst"),
+            *([F.col("weight")] if "weight" in g.edges.columns else []),
+        )
+    )
+    return Graph(nodes=g.nodes, edges=e, directed=g.directed, weighted=g.weighted)

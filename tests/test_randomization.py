@@ -71,3 +71,32 @@ def test_global_curveball_preserves_degrees_and_simplicity(spark):
     orig = set(map(tuple, edges))
     got = set(a)
     assert got != orig
+
+
+def test_degree_preserving_shuffle(spark):
+    from networkit_spark.operators.randomization import degree_preserving_shuffle
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2), (5, 6)]
+    g = Graph.of(spark, edges, n=8)  # node 7 isolated
+    out = degree_preserving_shuffle(g, seed=9)
+
+    def degmap(gr):
+        return {
+            r["src"]: r["c"]
+            for r in gr.canonical_undirected_edges()
+            .selectExpr("stack(2, src, dst) as (src)")
+            .groupBy("src").agg(F.count("*").alias("c")).collect()
+        }
+
+    d0, d1 = degmap(g), degmap(out)
+    # per-ID degree preserved exactly (shuffle only permutes within classes)
+    for v in range(8):
+        assert d0.get(v, 0) == d1.get(v, 0), v
+    # same edge count, still simple
+    ce = out.canonical_undirected_edges()
+    assert ce.count() == len(edges) == ce.distinct().count()
+    # deterministic
+    a = sorted(map(tuple, degree_preserving_shuffle(g, seed=9)
+                   .canonical_undirected_edges().collect()))
+    b = sorted(map(tuple, out.canonical_undirected_edges().collect()))
+    assert a == b
