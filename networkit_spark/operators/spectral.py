@@ -31,9 +31,12 @@ from networkit_spark.plans.superstep import SuperstepRunner
 
 @dataclass
 class SpectralResult:
-    scores: DataFrame  # (id LONG, score DOUBLE)
+    scores: DataFrame  # (id LONG, score DOUBLE) — normalized
     iterations: int
     converged: bool
+    # unnormalized fixpoint values — feed back as initial_scores for the
+    # DynKatz warm-start pattern; None for kernels that don't expose it
+    raw_scores: DataFrame | None = None
 
 
 def _l2(df: DataFrame, col: str = "score") -> float:
@@ -47,8 +50,16 @@ def katz_centrality(
     tol: float = 1e-8,
     max_iterations: int | None = None,
     runner: SuperstepRunner | None = None,
+    initial_scores: "DataFrame | None" = None,
 ) -> SpectralResult:
-    """NetworKit-semantics Katz centrality (module docstring)."""
+    """NetworKit-semantics Katz centrality (module docstring).
+
+    ``initial_scores`` (id, score — UNNORMALIZED fixpoint values from a
+    previous run's ``raw_scores``) warm-starts the iteration: the
+    dynamic-update pattern of ``centrality/DynKatzCentrality.cpp`` —
+    after an edge batch, re-converging from the old fixpoint takes the
+    few iterations the perturbation actually needs instead of a cold
+    start from 1⃗ (see test: 1-2 vs ~15 iterations)."""
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
     max_iterations = max_iterations if max_iterations is not None else 1 << 30
@@ -63,7 +74,15 @@ def katz_centrality(
     # gather over OUT-edges: contributions arrive at src from dst's score
     edges = g.edges.select("src", "dst", "weight").cache()
     edges.count()
-    scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(eager=True)
+    if initial_scores is not None:
+        scores = g.nodes.join(
+            initial_scores.select("id", "score"), "id", "left"
+        ).select("id", F.coalesce("score", F.lit(1.0)).alias("score"))
+        scores = scores.localCheckpoint(eager=True)
+    else:
+        scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(
+            eager=True
+        )
 
     length = 0.0
     iterations = 0
@@ -100,7 +119,9 @@ def katz_centrality(
         length = new_length
 
     out = scores.select("id", (F.col("score") / F.lit(length)).alias("score"))
-    return SpectralResult(scores=out, iterations=iterations, converged=converged)
+    return SpectralResult(
+        scores=out, iterations=iterations, converged=converged, raw_scores=scores
+    )
 
 
 def eigenvector_centrality(
@@ -116,7 +137,9 @@ def eigenvector_centrality(
 
     edges = g.edges.select("src", "dst", "weight").cache()
     edges.count()
-    scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(eager=True)
+    scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(
+        eager=True
+    )
 
     length = 0.0
     iterations = 0

@@ -7,6 +7,8 @@ CoreDecomposition.cpp peeling / BFS.cpp hop counts).
 
 from __future__ import annotations
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.kcore import core_decomposition
 from networkit_spark.operators.spectral import eigenvector_centrality, katz_centrality
@@ -95,3 +97,25 @@ def test_bfs_undirected_and_directed(spark):
     assert d == {0: 0, 1: 1, 2: 2}
     dr = {r["node"]: r["dist"] for r in bfs(gd, 0, reverse=True).collect()}
     assert dr == {0: 0, 2: 1, 3: 1, 1: 2}
+
+
+def test_katz_warm_start_dynamic_update(spark):
+    """DynKatzCentrality pattern (centrality/DynKatzCentrality.cpp): after
+    an edge insertion, warm-starting from the previous fixpoint converges
+    in far fewer iterations and reaches the same scores as a cold run."""
+    from networkit_spark.operators.spectral import katz_centrality
+
+    base = [(i, i + 1) for i in range(30)] + [(0, 15)]
+    g0 = Graph.of(spark, base, n=31)
+    r0 = katz_centrality(g0, tol=1e-9)
+    assert r0.converged
+
+    g1 = Graph.of(spark, base + [(5, 25)], n=31)
+    cold = katz_centrality(g1, tol=1e-9)
+    warm = katz_centrality(g1, tol=1e-9, initial_scores=r0.raw_scores)
+    assert warm.converged
+    assert warm.iterations < cold.iterations
+    c = {r["id"]: r["score"] for r in cold.scores.collect()}
+    w = {r["id"]: r["score"] for r in warm.scores.collect()}
+    for v in range(31):
+        assert w[v] == pytest.approx(c[v], abs=1e-5), v

@@ -329,3 +329,48 @@ def test_dot_writer(spark, tmp_path):
         r["value"] for r in spark.read.text(p).collect()
     )
     assert "graph G {" in txt and "0 -- 1;" in txt and "}" in txt
+
+
+def test_spanning_edge_centrality_exact_and_jl(spark):
+    """Effective resistance vs numpy pinv (SpanningEdgeCentrality.cpp)."""
+    import numpy as np
+
+    from networkit_spark.operators.numerics import (
+        spanning_edge_centrality,
+        spanning_edge_centrality_jl,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    n = 4
+    g = Graph.of(spark, edges, n=n)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u][v] = A[v][u] = 1.0
+    Lp = np.linalg.pinv(np.diag(A.sum(1)) - A)
+
+    def reff(u, v):
+        ei = np.zeros(n)
+        ei[u], ei[v] = 1, -1
+        return float(ei @ Lp @ ei)
+
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in spanning_edge_centrality(g, tol=1e-8).collect()
+    }
+    for e_ in edges:
+        u, v = sorted(e_)
+        assert got[(u, v)] == pytest.approx(reff(u, v), rel=1e-4), (u, v)
+    # bridge edge (2,3) must have R_eff exactly 1
+    assert got[(2, 3)] == pytest.approx(1.0, rel=1e-4)
+
+    # JL sketch tier: k=16 keeps CI time low; JL error ~ 1/sqrt(k), so
+    # assert the loose multiplicative band and the relative ORDER of the
+    # bridge (max R_eff) vs the cycle edges
+    jl = {
+        (r["src"], r["dst"]): r["score"]
+        for r in spanning_edge_centrality_jl(g, k=16, tol=1e-5, seed=3).collect()
+    }
+    for e_ in edges:
+        u, v = sorted(e_)
+        assert 0.25 * reff(u, v) <= jl[(u, v)] <= 2.5 * reff(u, v), (u, v)
+    assert max(jl, key=jl.get) == (2, 3)
