@@ -560,3 +560,67 @@ def _measure_summary(vals: DataFrame, labels: DataFrame) -> dict:
         "min": float(row["min"] or 0.0),
         "max": float(row["max"] or 0.0),
     }
+
+
+def permanence(g: Graph, labels: DataFrame) -> DataFrame:
+    """PermanenceCentrality (``centrality/PermanenceCentrality.cpp:112-160``):
+    per node, I/(E_max · deg) − (1 − C_in) where I = same-community
+    neighbors, E_max = largest single external community's neighbor count
+    (floored at 1), C_in = clustering among the internal neighbors.
+
+    Plan: one neighbor-label aggregation + one internal-wedge join —
+    the wedge join is the LCC cost envelope (bounded by Σ d_int²)."""
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst").dropDuplicates(["src", "dst"])
+    lab = labels.select(F.col("node").alias("id"), "label")
+    nbr = (
+        sym.join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "lu"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "lv"), "dst")
+    )
+    per_label = nbr.groupBy(F.col("src").alias("id"), "lu", "lv").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_label.groupBy("id").agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("c")).otherwise(0)).alias("i"),
+        F.max(F.when(F.col("lu") != F.col("lv"), F.col("c")).otherwise(0)).alias(
+            "emax"
+        ),
+        F.sum("c").alias("deg"),
+    )
+    # internal clustering: triangles among internal neighbors
+    internal = nbr.filter(F.col("lu") == F.col("lv")).select(
+        F.col("src").alias("id"), F.col("dst").alias("y")
+    )
+    wedges = (
+        internal.join(internal.withColumnRenamed("y", "z"), "id")
+        .filter(F.col("y") < F.col("z"))
+    )
+    tri = (
+        wedges.join(
+            sym.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"],
+            "left_semi",
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = (
+        lab.join(agg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce("i", F.lit(0)).alias("i"),
+            F.greatest(F.coalesce("emax", F.lit(0)), F.lit(1)).alias("emax"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+    )
+    cin = F.when(
+        F.col("i") >= 2,
+        F.col("t") / (0.5 * F.col("i") * (F.col("i") - 1)),
+    ).otherwise(F.lit(0.0))
+    perm = F.when(
+        F.col("deg") > 0,
+        F.col("i") / (F.col("emax") * F.col("deg")) - (F.lit(1.0) - cin),
+    ).otherwise(F.lit(0.0))
+    return out.select("id", perm.alias("permanence"))

@@ -261,3 +261,66 @@ def spanning_edge_centrality_jl(
         term = (F.col(f"u{i}") - F.col(f"v{i}")) ** 2
         expr = term if expr is None else expr + term
     return e.join(zu, "src").join(zv, "dst").select("src", "dst", expr.alias("score"))
+
+
+def approx_electrical_closeness(
+    g: Graph, k: int = 32, tol: float = 1e-6, seed: int = 42
+) -> DataFrame:
+    """ApproxElectricalCloseness (``centrality/ApproxElectricalCloseness``
+    quantity; different estimator — the reference samples uniform
+    spanning trees, we reuse the Spielman-Srivastava JL sketch already
+    built for spanning-edge centrality, documented deviation):
+    EC(v) = (n − 1) / Σ_u R_eff(u, v), with
+    Σ_u R_eff(u, v) = Σ_i [Σ_u z_i(u)² − 2 z_i(v) Σ_u z_i(u) + n·z_i(v)²]
+    — a CLOSED FORM over k per-column aggregates, so after the k CG
+    solves every node's closeness is one expression, no pairwise work.
+    """
+    import math
+
+    n = g.num_nodes()
+    e = g.canonical_undirected_edges().select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    sgn = 1.0 / math.sqrt(k)
+    zs = []
+    for i in range(k):
+        q = F.when(
+            F.pmod(F.xxhash64("src", "dst", F.lit(seed), F.lit(i)), F.lit(2)) == 0,
+            F.lit(sgn),
+        ).otherwise(F.lit(-sgn))
+        contrib = e.select("src", "dst", q.alias("q"))
+        y = (
+            contrib.select(F.col("src").alias("id"), F.col("q").alias("val"))
+            .unionByName(
+                contrib.select(F.col("dst").alias("id"), (-F.col("q")).alias("val"))
+            )
+            .groupBy("id")
+            .agg(F.sum("val").alias("y"))
+        )
+        b = g.nodes.join(y, "id", "left").select(
+            "id", F.coalesce("y", F.lit(0.0)).alias("value")
+        )
+        z = laplacian_solve(g, b, tol=tol)
+        zs.append(z.select("id", F.col("value").alias(f"z{i}")))
+    zmat = zs[0]
+    for z in zs[1:]:
+        zmat = zmat.join(z, "id")
+    zmat = zmat.transform(pin)
+    sums = zmat.agg(
+        *[F.sum(F.col(f"z{i}") ** 2).alias(f"s2_{i}") for i in range(k)],
+        *[F.sum(F.col(f"z{i}")).alias(f"s1_{i}") for i in range(k)],
+    ).collect()[0]
+    expr = None
+    for i in range(k):
+        term = (
+            F.lit(float(sums[f"s2_{i}"]))
+            - 2 * F.col(f"z{i}") * F.lit(float(sums[f"s1_{i}"]))
+            + F.lit(float(n)) * F.col(f"z{i}") ** 2
+        )
+        expr = term if expr is None else expr + term
+    return zmat.select(
+        "id",
+        F.when(expr > 0, F.lit(float(n - 1)) / expr).otherwise(F.lit(0.0)).alias(
+            "score"
+        ),
+    )

@@ -388,3 +388,61 @@ def read_cover_text(spark: SparkSession, path: str):
             F.filter(F.split("subsets", r"\s+"), lambda x: x != "")
         ).alias("subset_s"),
     ).select("node", F.col("subset_s").cast("long").alias("subset"))
+
+
+def write_metis(g: Graph, path: str) -> None:
+    """METISGraphWriter (``io/METISGraphWriter.cpp``): header 'n m', then
+    line i = the 1-based neighbor list of node i-1. Line order IS the
+    node order, produced by the same distributed ordered-text layout as
+    ``write_gml`` (parts concatenate in name order). Assumes continuous
+    ids 0..n-1 (compact first via ``ids.compact`` otherwise)."""
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    m = g.canonical_undirected_edges().count()
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst").dropDuplicates(["src", "dst"])
+    adj = (
+        g.nodes.join(sym.withColumnRenamed("src", "id"), "id", "left")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ", F.sort_array(F.collect_list(F.col("dst") + 1))
+            ).alias("value")
+        )
+        .select("value", F.lit(1).alias("ord"), F.col("id").alias("k1"))
+    )
+    wrap = spark.createDataFrame(
+        [(f"{n} {m}", 0, 0)], "value string, ord int, k1 long"
+    )
+    (
+        wrap.unionByName(adj)
+        .orderBy("ord", "k1")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_snap(g: Graph, path: str) -> None:
+    """SNAP-style edge-list writer (inverse of ``read_snap``): '# header'
+    comment + whitespace-separated pairs, distributed ordered write."""
+    spark = g.edges.sparkSession
+    e = g.edges.select("src", "dst") if g.directed else g.canonical_undirected_edges()
+    lines = e.select(
+        F.concat_ws("\t", "src", "dst").alias("value"),
+        F.lit(1).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+    )
+    wrap = spark.createDataFrame(
+        [("# Directed graph" if g.directed else "# Undirected graph", 0, 0, 0)],
+        "value string, ord int, k1 long, k2 long",
+    )
+    (
+        wrap.unionByName(lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )

@@ -374,3 +374,57 @@ def test_spanning_edge_centrality_exact_and_jl(spark):
         u, v = sorted(e_)
         assert 0.25 * reff(u, v) <= jl[(u, v)] <= 2.5 * reff(u, v), (u, v)
     assert max(jl, key=jl.get) == (2, 3)
+
+
+def test_metis_and_snap_writer_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import (
+        read_metis,
+        read_snap,
+        write_metis,
+        write_snap,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)]
+    g = Graph.of(spark, edges, n=5)  # node 4 isolated
+    pm = str(tmp_path / "g.metis")
+    write_metis(g, pm)
+    back = read_metis(spark, pm)
+    assert back.num_nodes() == 5
+    assert sorted(map(tuple, back.canonical_undirected_edges().collect())) == sorted(
+        edges
+    )
+    ps = str(tmp_path / "g.snap")
+    write_snap(g, ps)
+    back2 = read_snap(spark, ps)
+    assert back2.canonical_undirected_edges().count() == len(edges)
+
+
+def test_permanence_two_cliques(spark):
+    from networkit_spark.operators.community_quality import permanence
+
+    # two triangles bridged: permanence formula by hand for node 0
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    g = Graph.of(spark, edges, n=6)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, label long"
+    )
+    got = {r["id"]: r["permanence"] for r in permanence(g, labels).collect()}
+    # node 0: I=2 (1,2), Emax=1 (community 1 via node 3), deg=3,
+    # C_in = 1 triangle / C(2,2)=1 -> 1.0; perm = 2/(1*3) - 0 = 2/3
+    assert got[0] == pytest.approx(2 / 3, abs=1e-12)
+    # node 1: I=2, Emax=1(floor), deg=2, C_in=1 -> 2/(1*2) - 0 = 1.0
+    assert got[1] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_approx_electrical_closeness_ranking(spark):
+    """JL-estimated electrical closeness: center of a star beats leaves."""
+    from networkit_spark.operators.numerics import approx_electrical_closeness
+
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)]
+    g = Graph.of(spark, edges, n=7)
+    got = {
+        r["id"]: r["score"]
+        for r in approx_electrical_closeness(g, k=16, tol=1e-5, seed=4).collect()
+    }
+    assert got[0] == max(got.values())
+    assert all(v > 0 for v in got.values())
