@@ -281,3 +281,100 @@ def local_max_matching(g: Graph, max_rounds: int = 64) -> DataFrame:
     for c in matched[1:]:
         out = out.unionByName(c)
     return out.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+
+
+def union_maximum_spanning_forest(g: Graph) -> DataFrame:
+    """(src, dst, weight) — union of ALL maximum-weight spanning forests
+    (``graph/UnionMaximumSpanningForest.cpp:18-75``): an edge belongs to
+    some maximum spanning forest iff its endpoints are NOT connected by
+    strictly heavier edges.
+
+    Distributed form: process distinct weights DESCENDING; before each
+    weight class, the connected components of the strictly-heavier
+    subgraph are known — an edge of the class is in the UMSF iff its
+    endpoints lie in different components. One CC run per distinct
+    weight (the reference's sorted sweep has the same weight-class
+    structure); fine when the weight cardinality is bounded, which is
+    the common case for similarity/count-valued weights.
+    """
+    from networkit_spark.operators.components import connected_components
+
+    spark = g.edges.sparkSession
+    canon = (
+        _sym_edges(g)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    weights = sorted(
+        (r["weight"] for r in canon.select("weight").distinct().collect()),
+        reverse=True,
+    )
+    picked = []
+    for w in weights:
+        heavier = canon.filter(F.col("weight") > w)
+        if heavier.isEmpty():
+            cls = canon.filter(F.col("weight") == w).select("src", "dst", "weight")
+            picked.append(cls)
+            continue
+        hg = Graph(
+            nodes=g.nodes,
+            edges=heavier.unionByName(
+                heavier.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            ),
+            directed=False,
+            weighted=True,
+        )
+        cc = connected_components(hg)
+        cls = (
+            canon.filter(F.col("weight") == w)
+            .join(
+                cc.select(F.col("node").alias("src"), F.col("label").alias("cs")),
+                "src",
+            )
+            .join(
+                cc.select(F.col("node").alias("dst"), F.col("label").alias("cd")),
+                "dst",
+            )
+            .filter(F.col("cs") != F.col("cd"))
+            .select("src", "dst", "weight")
+        )
+        picked.append(cls)
+    out = picked[0]
+    for p_ in picked[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def random_maximum_spanning_forest(g: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst, weight) — ONE maximum spanning forest with random
+    tie-breaking (``graph/RandomMaximumSpanningForest.cpp``): jitter
+    equal weights by a seeded hash fraction so Borůvka's deterministic
+    tie-break becomes a seeded uniform choice among maximum forests,
+    then run the (negated-weight) minimum forest kernel."""
+    M = 1_000_003
+    jitter = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(M)) / F.lit(float(M * 2))
+    )
+    neg = g.edges.select(
+        "src", "dst", (-(F.col("weight") + jitter)).alias("weight")
+    )
+    ng = Graph(nodes=g.nodes, edges=neg, directed=g.directed, weighted=True)
+    msf = spanning_forest(ng)
+    canon = g.canonical_undirected_edges().join(
+        (g.symmetrized_edges() if g.directed else g.edges).select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).dropDuplicates(["src", "dst"]),
+        ["src", "dst"],
+    )
+    return msf.select("src", "dst").join(canon, ["src", "dst"]).select(
+        "src", "dst", "weight"
+    )

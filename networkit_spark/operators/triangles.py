@@ -254,3 +254,40 @@ def approx_global_clustering(g: Graph, trials: int = 10000, seed: int = 42) -> f
         F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("closed", F.lit(0))).alias("tri")
     ).collect()[0]
     return float(agg["tri"]) / float(agg["n"]) if agg["n"] else 0.0
+
+
+def quadrangle_count_per_edge(g: Graph) -> DataFrame:
+    """(src, dst, quadrangles) — 4-cycles through each canonical edge
+    (``sparsification/ChibaNishizekiQuadrangleEdgeScore.cpp`` quantity):
+    # pairs (x, y) with u~x, x~y, y~v, x ≠ v, y ≠ u.
+
+    Cost: Σ_e d(u)·d(v) candidate pairs before the closing semi-join —
+    quadratic in hub degree. Run on subgraphs / sparsified graphs at
+    scale (the reference's use is backbone scoring on moderate graphs).
+    """
+    adj = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst").dropDuplicates(["src", "dst"])
+    e = (
+        adj.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).dropDuplicates(["src", "dst"])
+    )
+    cand = (
+        e.join(adj.select(F.col("src").alias("src"), F.col("dst").alias("x")), "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("dst").alias("y")), "dst")
+        .filter((F.col("x") != F.col("dst")) & (F.col("y") != F.col("src")))
+        .filter(F.col("x") != F.col("y"))
+    )
+    quads = (
+        cand.join(
+            adj.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("quadrangles"))
+    )
+    return e.join(quads, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("quadrangles", F.lit(0)).alias("quadrangles")
+    )

@@ -428,3 +428,52 @@ def test_approx_electrical_closeness_ranking(spark):
     }
     assert got[0] == max(got.values())
     assert all(v > 0 for v in got.values())
+
+
+def test_umsf_and_random_msf(spark):
+    from networkit_spark.operators.matching import (
+        random_maximum_spanning_forest,
+        union_maximum_spanning_forest,
+    )
+
+    # square with two heavy parallel paths: weights force a unique max
+    # forest except a tie on (2,3)/(0,3)
+    edges = [(0, 1, 3.0), (1, 2, 3.0), (2, 3, 1.0), (0, 3, 1.0), (0, 2, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(nodes=spark.range(4).toDF("id"), edges=sym, directed=False, weighted=True)
+    umsf = sorted(
+        (r["src"], r["dst"]) for r in union_maximum_spanning_forest(g).collect()
+    )
+    # heaviest edges (0,1),(1,2) always in; (0,2) w=2 connects already-
+    # connected endpoints via heavier edges -> OUT; both w=1 edges tie:
+    # each is in SOME max forest -> both in
+    assert umsf == [(0, 1), (0, 3), (1, 2), (2, 3)]
+
+    rmsf = random_maximum_spanning_forest(g, seed=3)
+    rows = sorted((r["src"], r["dst"], r["weight"]) for r in rmsf.collect())
+    assert len(rows) == 3  # spanning tree of 4 nodes
+    assert {(0, 1, 3.0), (1, 2, 3.0)} <= {(a, b, w) for a, b, w in rows}
+    total = sum(w for _, _, w in rows)
+    assert total == pytest.approx(7.0)  # 3+3+1 (either tie winner)
+    # deterministic
+    rows2 = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in random_maximum_spanning_forest(g, seed=3).collect()
+    )
+    assert rows == rows2
+
+
+def test_quadrangle_count_per_edge(spark):
+    from networkit_spark.operators.triangles import quadrangle_count_per_edge
+
+    # C4 plus a chord-less pendant
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4)]
+    g = Graph.of(spark, edges, n=5)
+    got = {
+        (r["src"], r["dst"]): r["quadrangles"]
+        for r in quadrangle_count_per_edge(g).collect()
+    }
+    for e in [(0, 1), (1, 2), (2, 3), (0, 3)]:
+        assert got[e] == 1, e
+    assert got[(3, 4)] == 0
