@@ -120,7 +120,21 @@ def sort_edges_by_weight(g: Graph, descending: bool = False) -> DataFrame:
     canonical edge table ordered by (weight, src, dst) — in Spark an
     ORDER BY is the materialization of that contract (range-partitioned
     global sort, no single-task funnel)."""
-    e = g.canonical_undirected_edges() if not g.directed else g.edges
+    if g.directed:
+        e = g.edges.select("src", "dst", "weight")
+    else:
+        # canonical edges carry no weight column — join it back from the
+        # symmetric relation (one row per canonical pair)
+        w = (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        e = g.canonical_undirected_edges().join(w, ["src", "dst"])
     cols = [F.col("weight"), F.col("src"), F.col("dst")]
     return e.orderBy(*[c.desc() if descending else c.asc() for c in cols])
 

@@ -27,6 +27,47 @@ from networkit_spark.operators.sparsification import (
 )
 from networkit_spark.operators.spectral import eigenvector_centrality, katz_centrality
 from networkit_spark.operators.traversal import bfs
+from networkit_spark.operators.bicc import (
+    articulation_points,
+    biconnected_components,
+)
+from networkit_spark.operators.components import weakly_connected_components
+from networkit_spark.operators.distance import (
+    approx_betweenness,
+    apsp_update_additions,
+    betweenness,
+    closeness_centrality,
+    diameter_exact,
+    estimate_betweenness,
+    harmonic_closeness,
+    multi_source_bfs,
+    sssp,
+)
+from networkit_spark.operators.flow import max_flow
+from networkit_spark.operators.group_centrality import group_closeness, group_degree
+from networkit_spark.operators.matching import (
+    local_max_matching,
+    luby_independent_set,
+    random_maximum_spanning_forest,
+    spanning_forest,
+    suitor_matching,
+    union_maximum_spanning_forest,
+)
+from networkit_spark.operators.numerics import (
+    approx_electrical_closeness,
+    commute_time_distance,
+    laplacian_solve,
+    spanning_edge_centrality,
+    spanning_edge_centrality_jl,
+)
+from networkit_spark.operators.randomization import (
+    degree_preserving_shuffle,
+    edge_switching,
+    global_curveball,
+)
+from networkit_spark.operators.reachability import reachable_nodes
+from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble
+from networkit_spark.operators.spectral import laplacian_centrality
 
 __all__ = [
     "pagerank",
@@ -52,4 +93,38 @@ __all__ = [
     "jaccard_similarity_scores",
     "global_threshold_filter",
     "ranking",
+    "articulation_points",
+    "biconnected_components",
+    "weakly_connected_components",
+    "approx_betweenness",
+    "apsp_update_additions",
+    "betweenness",
+    "closeness_centrality",
+    "diameter_exact",
+    "estimate_betweenness",
+    "harmonic_closeness",
+    "multi_source_bfs",
+    "sssp",
+    "max_flow",
+    "group_closeness",
+    "group_degree",
+    "local_max_matching",
+    "luby_independent_set",
+    "random_maximum_spanning_forest",
+    "spanning_forest",
+    "suitor_matching",
+    "union_maximum_spanning_forest",
+    "approx_electrical_closeness",
+    "commute_time_distance",
+    "laplacian_solve",
+    "spanning_edge_centrality",
+    "spanning_edge_centrality_jl",
+    "degree_preserving_shuffle",
+    "edge_switching",
+    "global_curveball",
+    "reachable_nodes",
+    "clique_detect",
+    "gce",
+    "pagerank_nibble",
+    "laplacian_centrality",
 ]

@@ -259,3 +259,29 @@ def gce(
         if q == float("inf"):
             break
     return com
+
+
+def clique_detect(g: Graph, seed: int) -> DataFrame:
+    """CliqueDetect (``scd/CliqueDetect.cpp`` semantics): the seed
+    community is the LARGEST maximal clique in the seed's ego-net
+    (including the seed), ties by lexicographically smallest member set.
+    Reuses the distributed ego-net Bron-Kerbosch kernel."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    )
+    ego_ids = (
+        sym.filter(F.col("src") == int(seed)).select(F.col("dst").alias("id"))
+        .unionByName(g.nodes.filter(F.col("id") == int(seed)).select("id"))
+        .distinct()
+    )
+    ego = g.subgraph_from_nodes(ego_ids)
+    cl = maximal_cliques(ego, min_size=1)  # (clique array<long>, size)
+    with_seed = cl.filter(F.array_contains("clique", int(seed)))
+    best = (
+        with_seed.select(F.sort_array("clique").alias("clique"), "size")
+        .orderBy(F.desc("size"), F.asc("clique"))
+        .limit(1)
+    )
+    return best.select(F.explode("clique").alias("node"))

@@ -477,3 +477,16 @@ def test_quadrangle_count_per_edge(spark):
     for e in [(0, 1), (1, 2), (2, 3), (0, 3)]:
         assert got[e] == 1, e
     assert got[(3, 4)] == 0
+
+
+def test_clique_detect(spark):
+    from networkit_spark.operators.scd import clique_detect
+
+    # K4 on {0,1,2,3} + triangle {0,4,5}: seed 0's largest clique = K4
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(0, 4), (0, 5), (4, 5)]
+    g = Graph.of(spark, edges, n=6)
+    got = sorted(r["node"] for r in clique_detect(g, seed=0).collect())
+    assert got == [0, 1, 2, 3]
+    got5 = sorted(r["node"] for r in clique_detect(g, seed=5).collect())
+    assert got5 == [0, 4, 5]
