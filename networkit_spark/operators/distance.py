@@ -1068,3 +1068,167 @@ def apsp_update_additions(
         if improved == 0:
             return cur
     raise RuntimeError("apsp_update_additions did not reach a fixpoint")
+
+
+def harmonic_from_distances(dist: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Harmonic closeness directly from a (root, node, dist) table —
+    composing this with ``apsp_update_additions`` gives the
+    DynTopHarmonicCloseness update pattern
+    (``centrality/DynTopHarmonicCloseness.cpp``): after an edge batch,
+    refresh distances incrementally and re-derive the ranking without a
+    fresh all-pairs BFS."""
+    agg = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("score"))
+    )
+    base = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    return base.join(agg, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def approx_group_betweenness(
+    g: Graph,
+    k: int = 3,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    universal_constant: float = 1.0,
+    seed: int = 42,
+    runner: SuperstepRunner | None = None,
+) -> list[int]:
+    """ApproxGroupBetweenness (``centrality/ApproxGroupBetweenness.cpp``
+    idea): sample shortest paths with the Riondato-Kornaropoulos pair/
+    path sampler (identical machinery to ``approx_betweenness``), then
+    pick the k-node group greedily by MAX COVERAGE over the sampled
+    paths — stochastic greedy set cover, ties by smallest id.
+
+    The sampling phase is the shared-BFS + seeded backward walk; the
+    greedy phase is k rounds of one join-agg over the (sample, node)
+    membership table. Returns the group (pick order).
+    """
+    from networkit_spark.ids import assign_dense_ids
+
+    import math as _math
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    if n < 2:
+        return []
+    _, vd = diameter_range(g, seed=seed)
+    if vd <= 2:
+        # trivial graphs: fall back to top-degree picks
+        deg = (
+            g.edges.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(k)
+            .collect()
+        )
+        return [int(r["id"]) for r in deg]
+    r = int(
+        _math.ceil(
+            (universal_constant / (epsilon * epsilon))
+            * (_math.floor(_math.log2(vd - 2)) + 1 + _math.log(1.0 / delta))
+        )
+    )
+    mapping = assign_dense_ids(
+        g.nodes.select(F.col("id").alias("key")), ["key"]
+    ).transform(pin)
+    samp = spark.range(r).select(F.col("id").alias("pair"))
+    iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+    iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+    iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
+    pairs = (
+        samp.select("pair", iu.alias("iu"), iv.alias("iv"))
+        .join(F.broadcast(mapping.select(F.col("id").alias("iu"), F.col("key").alias("u"))), "iu")
+        .join(F.broadcast(mapping.select(F.col("id").alias("iv"), F.col("key").alias("v"))), "iv")
+        .select("pair", "u", "v")
+        .transform(pin)
+    )
+    res = multi_source_bfs(g, pairs.select("u").distinct(), runner=runner)
+    vis = res.visited.select("root", "node", "dist", "sigma").transform(pin)
+    active = pairs.join(
+        vis.filter(F.col("dist") > 0).select(
+            F.col("root").alias("u"), F.col("node").alias("v")
+        ),
+        ["u", "v"],
+        "left_semi",
+    ).select("pair", "u", F.col("v").alias("cur"))
+    active = active.transform(pin)
+    edges = g.edges.select(F.col("src").alias("z"), F.col("dst").alias("cur"))
+    members = [active.select("pair", F.col("cur").alias("node"))]
+    M = 1_000_003
+    for step in range(1, vd + 2):
+        if active.isEmpty():
+            break
+        cand = (
+            active.join(edges, "cur")
+            .join(
+                vis.select(
+                    F.col("root").alias("u"), F.col("node").alias("z"),
+                    F.col("dist").alias("dz"), F.col("sigma").alias("sz"),
+                ),
+                ["u", "z"],
+            )
+            .join(
+                vis.select(
+                    F.col("root").alias("u"), F.col("node").alias("cur"),
+                    F.col("dist").alias("dc"),
+                ),
+                ["u", "cur"],
+            )
+            .filter(F.col("dz") == F.col("dc") - 1)
+        )
+        w_cum = Window.partitionBy("pair").orderBy("z")
+        x = (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)), F.lit(M))
+            / F.lit(float(M))
+        )
+        chosen = (
+            cand.withColumn("cum", F.sum("sz").over(w_cum))
+            .withColumn("tot", F.sum("sz").over(Window.partitionBy("pair")))
+            .filter(F.col("cum") / F.col("tot") > x)
+            .withColumn("rn", F.row_number().over(w_cum))
+            .filter(F.col("rn") == 1)
+            .select("pair", "u", F.col("z").alias("cur"))
+            .transform(pin)
+        )
+        members.append(chosen.select("pair", F.col("cur").alias("node")))
+        active = chosen.filter(F.col("cur") != F.col("u"))
+    membership = members[0]
+    for m_ in members[1:]:
+        membership = membership.unionByName(m_)
+    # group betweenness counts INTERIOR vertices: drop each sample's own
+    # endpoints from its path membership before the set-cover greedy
+    membership = (
+        membership.join(pairs.select("pair", "u", "v"), "pair")
+        .filter((F.col("node") != F.col("u")) & (F.col("node") != F.col("v")))
+        .select("pair", "node")
+        .dropDuplicates(["pair", "node"])
+        .transform(pin)
+    )
+
+    group: list[int] = []
+    covered = spark.createDataFrame([], "pair long")
+    for _ in range(k):
+        gains = (
+            membership.join(covered, "pair", "left_anti")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        if group:
+            gdf = spark.createDataFrame([(i,) for i in group], "node long")
+            gains = gains.join(F.broadcast(gdf), "node", "left_anti")
+        best = gains.orderBy(F.desc("gain"), F.asc("node")).limit(1).collect()
+        if not best:
+            break
+        u = int(best[0]["node"])
+        group.append(u)
+        covered = (
+            membership.filter(F.col("node").isin(group))
+            .select("pair")
+            .distinct()
+            .transform(pin)
+        )
+    return group

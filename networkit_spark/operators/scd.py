@@ -285,3 +285,96 @@ def clique_detect(g: Graph, seed: int) -> DataFrame:
         .limit(1)
     )
     return best.select(F.explode("clique").alias("node"))
+
+
+def lfm_local(
+    g: Graph, seeds: list[int], alpha: float = 1.0, max_iterations: int = 200
+) -> DataFrame:
+    """LFMLocal (``scd/LFMLocal.cpp:11-40``): fitness-based seed-set
+    expansion, fitness f(C) = 2·w_in / (2·w_in + cut)^α. Greedy: add the
+    shell node with the best fitness gain while positive; after every
+    addition re-check members and drop any whose removal RAISES the
+    fitness (the reference's cleanup sweep), repeating until stable.
+    Ties by smallest node id. Returns (node,) members.
+    """
+    spark = g.edges.sparkSession
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst", "weight").localCheckpoint(eager=True)
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wdeg"))
+
+    def fitness(iw, cut):
+        denom = (2 * iw + cut) ** alpha
+        return (2 * iw) / denom if denom > 0 else 0.0
+
+    com = spark.createDataFrame([(int(s),) for s in seeds], "node long")
+
+    def stats(cdf):
+        inside = sym.join(
+            F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+        )
+        both = inside.join(
+            F.broadcast(cdf.withColumnRenamed("node", "dst")), "dst", "left_semi"
+        )
+        iw = (both.agg(F.sum("weight")).collect()[0][0] or 0.0) / 2.0
+        cut = (
+            inside.join(
+                F.broadcast(cdf.withColumnRenamed("node", "dst")), "dst", "left_anti"
+            ).agg(F.sum("weight")).collect()[0][0] or 0.0
+        )
+        return iw, cut
+
+    iw, cut = stats(com)
+    f = fitness(iw, cut)
+    for _ in range(max_iterations):
+        # candidate deltas: intdeg/extdeg of every shell node
+        shell = (
+            sym.join(F.broadcast(com.withColumnRenamed("node", "dst")), "dst", "left_semi")
+            .join(F.broadcast(com.withColumnRenamed("node", "src")), "src", "left_anti")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg.withColumnRenamed("id", "node"), "node")
+            .collect()
+        )
+        best = None
+        for r0 in shell:
+            nid = int(r0["node"])
+            intd, wd = float(r0["intdeg"]), float(r0["wdeg"])
+            nf = fitness(iw + intd, cut - intd + (wd - intd))
+            if nf > f and (best is None or nf > best[1] or (nf == best[1] and nid < best[0])):
+                best = (nid, nf, intd, wd)
+        if best is None:
+            break
+        com = com.unionByName(
+            spark.createDataFrame([(best[0],)], "node long")
+        ).repartition(1).localCheckpoint(eager=True)
+        iw = iw + best[2]
+        cut = cut - best[2] + (best[3] - best[2])
+        f = best[1]
+        # cleanup sweep: remove any member whose removal raises fitness
+        changed = True
+        while changed:
+            changed = False
+            memb = (
+                sym.join(F.broadcast(com.withColumnRenamed("node", "dst")), "dst", "left_semi")
+                .join(F.broadcast(com.withColumnRenamed("node", "src")), "src", "left_semi")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("weight").alias("intdeg"))
+                .join(wdeg.withColumnRenamed("id", "node"), "node")
+                .collect()
+            )
+            seeds_set = {int(x) for x in seeds}
+            for r0 in sorted(memb, key=lambda q: int(q["node"])):
+                nid = int(r0["node"])
+                if nid in seeds_set:
+                    continue
+                intd, wd = float(r0["intdeg"]), float(r0["wdeg"])
+                nf = fitness(iw - intd, cut + intd - (wd - intd))
+                if nf > f:
+                    com = com.filter(F.col("node") != nid).repartition(1).localCheckpoint(
+                        eager=True
+                    )
+                    iw, cut, f = iw - intd, cut + intd - (wd - intd), nf
+                    changed = True
+                    break
+    return com

@@ -440,3 +440,43 @@ def test_betweenness_deep_chain_no_plan_blowup(spark):
     got = {r["id"]: r["score"] for r in betweenness(g).collect()}
     for i in range(n):
         assert got[i] == pytest.approx(2.0 * i * (n - 1 - i), abs=1e-9), i
+
+
+def test_dyn_top_harmonic_composition(spark):
+    """DynTopHarmonicCloseness pattern: incremental APSP update + harmonic
+    re-derivation equals a fresh all-pairs computation."""
+    from networkit_spark.operators.distance import (
+        apsp_update_additions,
+        harmonic_from_distances,
+    )
+
+    base = [(0, 1), (1, 2), (3, 4)]
+    added = [(2, 3)]
+    g0 = Graph.of(spark, base, n=5)
+    g1 = Graph.of(spark, base + added, n=5)
+    d0 = multi_source_bfs(g0, g0.nodes, with_sigma=False).visited
+    upd = apsp_update_additions(
+        d0, spark.createDataFrame(added, "src long, dst long")
+    )
+    inc = {
+        r["id"]: r["score"]
+        for r in harmonic_from_distances(upd, g1.nodes).collect()
+    }
+    fresh = {r["id"]: r["score"] for r in harmonic_closeness(g1).collect()}
+    for v in range(5):
+        assert inc[v] == pytest.approx(fresh[v], abs=1e-12), v
+
+
+def test_approx_group_betweenness_finds_bottleneck(spark):
+    """Barbell: the bridge node must be the first greedy pick."""
+    from networkit_spark.operators.distance import approx_group_betweenness
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(6, 11) for b in range(a + 1, 11)]
+    edges = k5a + k5b + [(4, 5), (5, 6)]  # node 5 bridges the cliques
+    g = Graph.of(spark, edges, n=11)
+    group = approx_group_betweenness(g, k=2, epsilon=0.15, seed=2)
+    assert len(group) == 2
+    assert group[0] == 5
+    # deterministic
+    assert approx_group_betweenness(g, k=2, epsilon=0.15, seed=2) == group

@@ -490,3 +490,14 @@ def test_clique_detect(spark):
     assert got == [0, 1, 2, 3]
     got5 = sorted(r["node"] for r in clique_detect(g, seed=5).collect())
     assert got5 == [0, 4, 5]
+
+
+def test_lfm_local_planted_community(spark):
+    from networkit_spark.operators.scd import lfm_local
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    edges = c1 + c2 + [(4, 5)]
+    g = Graph.of(spark, edges, n=10)
+    members = sorted(r["node"] for r in lfm_local(g, seeds=[0]).collect())
+    assert members == [0, 1, 2, 3, 4]
