@@ -1232,3 +1232,69 @@ def approx_group_betweenness(
             .transform(pin)
         )
     return group
+
+
+def betweenness_update_additions(
+    g_old: Graph,
+    g_new: Graph,
+    added_edges: DataFrame,
+    old_scores: DataFrame,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """DynBetweenness batch edge-insertion update
+    (``centrality/DynBetweenness.cpp`` contract — exact scores after the
+    batch): identify the AFFECTED sources (roots whose distance to any
+    node changed), subtract their old dependency contributions and add
+    their new ones:
+
+        score' = score − Σ_{r affected} δ_old(r) + Σ_{r affected} δ_new(r)
+
+    Both Σ terms are ONE batched-Brandes call each over just the
+    affected source set — when an insertion touches a periphery, that
+    set is small and the update costs a fraction of a full recompute;
+    worst case (hub insertion) it degrades to the full O(n·m), same as
+    the reference's worst case.
+    """
+    spark = g_old.edges.sparkSession
+    d_old = multi_source_bfs(g_old, g_old.nodes, with_sigma=False).visited.select(
+        "root", "node", "dist"
+    )
+    d_new = apsp_update_additions(d_old, added_edges, directed=g_new.directed)
+    # A root is affected iff some inserted edge lies on one of its NEW
+    # shortest paths: |d_new(r,u) − d_new(r,w)| == 1. This catches both
+    # distance changes AND σ-only changes (a new equal-length path
+    # redistributes dependencies without moving any distance).
+    add = added_edges.select("src", "dst")
+    affected = (
+        d_new.withColumnRenamed("node", "src")
+        .withColumnRenamed("dist", "du")
+        .join(F.broadcast(add), "src")
+        .join(
+            d_new.select(
+                "root", F.col("node").alias("dst"), F.col("dist").alias("dw")
+            ),
+            ["root", "dst"],
+        )
+        .filter(F.abs(F.col("du") - F.col("dw")) == 1)
+        .select("root")
+        .distinct()
+        .withColumnRenamed("root", "id")
+        .transform(pin)
+    )
+    if affected.isEmpty():
+        return old_scores
+    contrib_old = _brandes(g_old, affected, linear_scaling=False, runner=runner)
+    contrib_new = _brandes(g_new, affected, linear_scaling=False, runner=runner)
+    return (
+        old_scores.withColumnRenamed("score", "s")
+        .join(contrib_old.withColumnRenamed("score", "so"), "id", "left")
+        .join(contrib_new.withColumnRenamed("score", "sn"), "id", "left")
+        .select(
+            "id",
+            (
+                F.col("s")
+                - F.coalesce("so", F.lit(0.0))
+                + F.coalesce("sn", F.lit(0.0))
+            ).alias("score"),
+        )
+    )

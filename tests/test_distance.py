@@ -480,3 +480,23 @@ def test_approx_group_betweenness_finds_bottleneck(spark):
     assert group[0] == 5
     # deterministic
     assert approx_group_betweenness(g, k=2, epsilon=0.15, seed=2) == group
+
+
+def test_dyn_betweenness_update_matches_recompute(spark):
+    """DynBetweenness batch insertion == fresh exact Brandes."""
+    from networkit_spark.operators.distance import betweenness_update_additions
+
+    base = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (3, 4)]
+    added = [(0, 6), (2, 5)]
+    g0 = Graph.of(spark, base, n=7)
+    g1 = Graph.of(spark, base + added, n=7)
+    old = betweenness(g0)
+    upd = {
+        r["id"]: r["score"]
+        for r in betweenness_update_additions(
+            g0, g1, spark.createDataFrame(added, "src long, dst long"), old
+        ).collect()
+    }
+    fresh = {r["id"]: r["score"] for r in betweenness(g1).collect()}
+    for v in range(7):
+        assert upd[v] == pytest.approx(fresh[v], abs=1e-9), v
