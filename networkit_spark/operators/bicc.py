@@ -40,8 +40,12 @@ from networkit_spark.graph import Graph
 from networkit_spark.plans.pin import pin
 
 
-def _tree_structure(spark, tree_sym: DataFrame, roots: DataFrame):
-    """BFS over tree edges: (node, parent, depth). Roots get parent null."""
+def _bfs_forest(spark, sym: DataFrame, roots: DataFrame):
+    """BFS spanning forest over the FULL graph: (node, parent, depth) —
+    parent = the MINIMUM discoverer (deterministic at any parallelism).
+    One traversal replaces the round-2 Borůvka-forest + tree-BFS pair:
+    the parent pointers ARE the spanning forest, at O(diameter) rounds
+    with no per-round component contraction."""
     frontier = roots.select(
         F.col("id").alias("node"), F.lit(None).cast("long").alias("parent"),
         F.lit(0).alias("depth"),
@@ -51,17 +55,14 @@ def _tree_structure(spark, tree_sym: DataFrame, roots: DataFrame):
     while True:
         depth += 1
         nxt = (
-            tree_sym.join(
+            sym.join(
                 frontier.select(F.col("node").alias("src"), F.col("node").alias("p")),
                 "src",
             )
             .join(acc.select(F.col("node").alias("dst")), "dst", "left_anti")
-            .select(
-                F.col("dst").alias("node"),
-                F.col("p").alias("parent"),
-                F.lit(depth).alias("depth"),
-            )
-            .dropDuplicates(["node"])  # unique in a tree; guard regardless
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("p").alias("parent"))
+            .select("node", "parent", F.lit(depth).alias("depth"))
         )
         nxt = nxt.transform(pin)
         if nxt.isEmpty():
@@ -77,16 +78,13 @@ def biconnected_components(g: Graph) -> DataFrame:
     canonical: the minimum child-vertex id among the component's tree
     edges (relabel-invariant comparisons should use co-membership)."""
     from networkit_spark.operators.components import connected_components
-    from networkit_spark.operators.matching import spanning_forest
 
     spark = g.edges.sparkSession
     edges = g.canonical_undirected_edges().select("src", "dst").localCheckpoint(
         eager=True
     )
-
-    tree = spanning_forest(g).select("src", "dst").transform(pin)
-    tree_sym = tree.unionByName(
-        tree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym_all = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(pin)
 
     comp = connected_components(g)  # (node, label = min member)
@@ -94,8 +92,12 @@ def biconnected_components(g: Graph) -> DataFrame:
         F.col("node").alias("id")
     )
 
-    par, height = _tree_structure(spark, tree_sym, roots)
+    par, height = _bfs_forest(spark, sym_all, roots)
     par = par.transform(pin)
+    tree = par.filter(F.col("parent").isNotNull()).select(
+        F.least("parent", "node").alias("src"),
+        F.greatest("parent", "node").alias("dst"),
+    ).transform(pin)
 
     # subtree sizes bottom-up: iterate depths from deepest to 0
     cur = None  # (node, nd) finalized for depth > d
