@@ -1845,7 +1845,10 @@ votes AS (
   GROUP BY doc_id, b.b
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+       -- CAST the sum: DuckDB sum(BIGINT) -> HUGEINT, which the gate's
+       -- pandas fetch converts through float64 and rounds the low ~7 bits
+       -- of the 60-bit signature. BIGINT round-trips exactly.
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """,
         "dedup_jaccard": f"""

@@ -329,7 +329,10 @@ def closeness_centrality(
         .groupBy(F.col("root").alias("id"))
         .agg(F.sum("dist").alias("sum_dist"), F.count(F.lit(1)).alias("reached"))
     )
-    if variant == "standard" and check_connected:
+    if variant == "standard" and check_connected and n > 1:
+        # n <= 1 is trivially connected: every root has zero required
+        # reach, and `agg` is empty (dist > 0 filters everything), so the
+        # full-count comparison below would spuriously raise.
         n_src = src.count()
         full = agg.filter(F.col("reached") == F.lit(n - 1)).count()
         if full != n_src:
@@ -1240,6 +1243,7 @@ def betweenness_update_additions(
     added_edges: DataFrame,
     old_scores: DataFrame,
     runner: SuperstepRunner | None = None,
+    old_distances: DataFrame | None = None,
 ) -> DataFrame:
     """DynBetweenness batch edge-insertion update
     (``centrality/DynBetweenness.cpp`` contract — exact scores after the
@@ -1254,10 +1258,21 @@ def betweenness_update_additions(
     set is small and the update costs a fraction of a full recompute;
     worst case (hub insertion) it degrades to the full O(n·m), same as
     the reference's worst case.
+
+    ``old_distances``: the pre-batch all-pairs (root, node, dist) table,
+    as returned by ``multi_source_bfs(...).visited`` or a previous
+    ``apsp_update_additions``. Pass it to make successive update batches
+    truly incremental — without it this function recomputes the full
+    APSP (O(n·m)) before the incremental step, which defeats the point
+    for small periphery insertions.
     """
     spark = g_old.edges.sparkSession
-    d_old = multi_source_bfs(g_old, g_old.nodes, with_sigma=False).visited.select(
-        "root", "node", "dist"
+    d_old = (
+        old_distances.select("root", "node", "dist")
+        if old_distances is not None
+        else multi_source_bfs(g_old, g_old.nodes, with_sigma=False).visited.select(
+            "root", "node", "dist"
+        )
     )
     d_new = apsp_update_additions(d_old, added_edges, directed=g_new.directed)
     # A root is affected iff some inserted edge lies on one of its NEW

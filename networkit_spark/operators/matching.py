@@ -155,13 +155,19 @@ def suitor_matching(g: Graph, max_rounds: int | None = None) -> DataFrame:
     return matched_pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
 
 
-def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
+def spanning_forest(g: Graph, max_rounds: int = 32, tiebreak=None) -> DataFrame:
     """(src, dst, weight): a minimum spanning forest via Borůvka rounds.
 
     Each round every current component selects its minimum-weight outgoing
-    edge (ties: weight asc, then canonical (src, dst) asc — deterministic),
-    selected edges join the forest, components contract. Terminates in
-    O(log n) rounds.
+    edge (ties: weight asc, then ``tiebreak`` asc if given, then canonical
+    (src, dst) asc — deterministic), selected edges join the forest,
+    components contract. Terminates in O(log n) rounds.
+
+    ``tiebreak``: optional Column expression over the canonical
+    (src < dst) edge columns, ordered asc among equal weights. Used by
+    :func:`random_maximum_spanning_forest` to randomize tie resolution
+    WITHOUT perturbing the weights themselves (a perturbation would
+    reorder distinct weights whose gap is smaller than the jitter).
     """
     from networkit_spark.operators.components import connected_components
 
@@ -169,7 +175,10 @@ def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
         F.least("src", "dst").alias("src"),
         F.greatest("src", "dst").alias("dst"),
         "weight",
-    ).dropDuplicates(["src", "dst"]).transform(pin)
+    ).dropDuplicates(["src", "dst"])
+    sym = sym.withColumn(
+        "tb", tiebreak if tiebreak is not None else F.lit(0)
+    ).transform(pin)
 
     labels = g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
     forest = None
@@ -188,11 +197,13 @@ def spanning_forest(g: Graph, max_rounds: int = 32) -> DataFrame:
         if lab_e.limit(1).count() == 0:
             break
         # min outgoing edge per component (consider both component views)
-        cand = lab_e.select(F.col("ls").alias("comp"), "src", "dst", "weight").unionByName(
-            lab_e.select(F.col("ld").alias("comp"), "src", "dst", "weight")
+        cand = lab_e.select(
+            F.col("ls").alias("comp"), "src", "dst", "weight", "tb"
+        ).unionByName(
+            lab_e.select(F.col("ld").alias("comp"), "src", "dst", "weight", "tb")
         )
         wmin = Window.partitionBy("comp").orderBy(
-            F.asc("weight"), F.asc("src"), F.asc("dst")
+            F.asc("weight"), F.asc("tb"), F.asc("src"), F.asc("dst")
         )
         picked = (
             cand.withColumn("rn", F.row_number().over(wmin))
@@ -354,19 +365,18 @@ def union_maximum_spanning_forest(g: Graph) -> DataFrame:
 
 def random_maximum_spanning_forest(g: Graph, seed: int = 42) -> DataFrame:
     """(src, dst, weight) — ONE maximum spanning forest with random
-    tie-breaking (``graph/RandomMaximumSpanningForest.cpp``): jitter
-    equal weights by a seeded hash fraction so Borůvka's deterministic
-    tie-break becomes a seeded uniform choice among maximum forests,
-    then run the (negated-weight) minimum forest kernel."""
-    M = 1_000_003
-    jitter = (
-        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(M)) / F.lit(float(M * 2))
-    )
-    neg = g.edges.select(
-        "src", "dst", (-(F.col("weight") + jitter)).alias("weight")
-    )
+    tie-breaking (``graph/RandomMaximumSpanningForest.cpp``): equal
+    weights are ordered by a seeded hash of the CANONICAL pair, so
+    Borůvka's deterministic tie-break becomes a seeded uniform choice
+    among maximum forests. The weights themselves are untouched — a
+    lexicographic (weight desc, hash) order, not an additive jitter,
+    so distinct weights can never be reordered regardless of gap, and
+    both orientations of an edge carry the identical tie-break."""
+    neg = g.edges.select("src", "dst", (-F.col("weight")).alias("weight"))
     ng = Graph(nodes=g.nodes, edges=neg, directed=g.directed, weighted=True)
-    msf = spanning_forest(ng)
+    # evaluated over canonical (src < dst) edges inside spanning_forest
+    tb = F.xxhash64("src", "dst", F.lit(seed))
+    msf = spanning_forest(ng, tiebreak=tb)
     canon = g.canonical_undirected_edges().join(
         (g.symmetrized_edges() if g.directed else g.edges).select(
             F.least("src", "dst").alias("src"),

@@ -29,9 +29,18 @@ from pyspark.sql import DataFrame
 
 def pin(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and cut BOTH RDD lineage and logical-plan
-    metadata. Returns a DataFrame whose plan is a bare RDD scan."""
+    metadata. Returns a DataFrame whose plan is a bare RDD scan.
+
+    The plan rebuild uses classic-Spark JVM internals (``_jdf`` /
+    ``_jsparkSession``), which do not exist under Spark Connect. There
+    we fall back to plain ``localCheckpoint`` — lineage is still cut,
+    only the origin-plan metadata trim is lost (Connect keeps plans
+    server-side, where the pathology has a different profile anyway).
+    """
     d = df.localCheckpoint(eager=True)
     spark = d.sparkSession
+    if not hasattr(d, "_jdf") or not hasattr(spark, "_jsparkSession"):
+        return d
     jdf = d._jdf
     jnew = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
     return DataFrame(jnew, spark)

@@ -464,6 +464,25 @@ def test_umsf_and_random_msf(spark):
     assert rows == rows2
 
 
+def test_random_msf_close_weights(spark):
+    """Regression (round-4 ADVICE): tie-break must be lexicographic, not an
+    additive jitter — distinct weights with gaps < 0.5 must still yield the
+    true maximum forest for EVERY seed, and both edge orientations must
+    carry the identical tie-break."""
+    from networkit_spark.operators.matching import random_maximum_spanning_forest
+
+    edges = [(0, 1, 0.52), (1, 2, 0.51), (0, 2, 0.50)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    sym = df.union(df.selectExpr("dst as src", "src as dst", "weight"))
+    g = Graph(nodes=spark.range(3).toDF("id"), edges=sym, directed=False, weighted=True)
+    for seed in (1, 3, 4):
+        got = sorted(
+            (r["src"], r["dst"])
+            for r in random_maximum_spanning_forest(g, seed=seed).collect()
+        )
+        assert got == [(0, 1), (1, 2)], (seed, got)
+
+
 def test_quadrangle_count_per_edge(spark):
     from networkit_spark.operators.triangles import quadrangle_count_per_edge
 
