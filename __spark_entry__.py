@@ -896,9 +896,12 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three per-edge sparsifier scores in one table keyed by method
+    """Per-edge sparsifier/backbone scores in one table keyed by method
     (merged round-2 graph_sparsify / graph_local_degree /
-    graph_local_similarity entries): (method, src, dst, score)."""
+    graph_local_similarity + the round-3 simmelian entry):
+    (method, src, dst, score). The first three run on the full co-graph;
+    simmelian (rank-overlap, maxRank=5) runs on the <200 subgraph like
+    its round-3 standalone row did."""
     from networkit_spark.operators.sparsification import (
         jaccard_similarity_scores,
         local_degree_scores,
@@ -918,6 +921,9 @@ def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_similarity_scores(g).select(
             F.lit("local_similarity").alias("method"), "src", "dst",
             F.round("score", 6).alias("score"),
+        ),
+        q_graph_simmelian(spark, sf_dir).select(
+            F.lit("simmelian").alias("method"), "src", "dst", "score"
         ),
     ]
     out = parts[0]
@@ -1194,14 +1200,177 @@ def q_graph_ctd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("u", "v", F.round("ectd", 4).alias("ectd"))
 
 
+# --------------------------------------------------------------------------
+# round-4 merged entries: near-duplicate rows folded into variant tables so
+# every registry entry fits inside the driver's 50-slot oracle window
+# --------------------------------------------------------------------------
+
+
+def q_graph_closeness_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness family in one (variant, id, score) table: standard,
+    harmonic, and weighted closeness on the <200 subgraph (merged from
+    the round-3 graph_closeness / graph_harmonic / graph_closeness_w
+    rows to free oracle-window slots; same operators)."""
+    a = q_graph_closeness(spark, sf_dir).select(
+        F.lit("standard").alias("variant"), "id", "score"
+    )
+    b = q_graph_harmonic(spark, sf_dir).select(
+        F.lit("harmonic").alias("variant"), "id", "score"
+    )
+    c = q_graph_closeness_w(spark, sf_dir).select(
+        F.lit("weighted").alias("variant"), "id", "score"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_graph_eccentricity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity plus the exact diameter as the id = -1 row
+    (merged from round-3 graph_eccentricity + graph_diameter)."""
+    ecc = q_graph_eccentricity(spark, sf_dir).select(
+        "id", F.col("ecc").cast("long").alias("ecc")
+    )
+    dia = q_graph_diameter(spark, sf_dir).select(
+        F.lit(-1).cast("long").alias("id"), F.col("diameter").cast("long").alias("ecc")
+    )
+    return ecc.unionByName(dia)
+
+
+def q_graph_group_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy group centralities in one (method, rank, id) table
+    (merged graph_group_degree + graph_group_closeness)."""
+    a = q_graph_group_degree(spark, sf_dir).select(
+        F.lit("degree").alias("method"), "rank", "id"
+    )
+    b = q_graph_group_closeness(spark, sf_dir).select(
+        F.lit("closeness").alias("method"), "rank", "id"
+    )
+    return a.unionByName(b)
+
+
+def q_graph_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral centralities in one (method, id, score) table
+    (merged graph_katz + graph_eigenvector + the round-4 DynKatz
+    warm-start variant)."""
+    a = q_graph_katz(spark, sf_dir).select(
+        F.lit("katz").alias("method"), "id", "score"
+    )
+    b = q_graph_eigenvector(spark, sf_dir).select(
+        F.lit("eigenvector").alias("method"), "id", "score"
+    )
+    return a.unionByName(b)
+
+
+def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path queries in one (variant, node, dist) table: BFS hop distances
+    from node 0 on the full co-graph + weighted SSSP from node 0 on the
+    <200 subgraph (merged graph_bfs + graph_sssp)."""
+    a = q_graph_bfs(spark, sf_dir).select(
+        F.lit("bfs").alias("variant"), "node", F.col("dist").cast("double").alias("dist")
+    )
+    b = q_graph_sssp(spark, sf_dir).select(
+        F.lit("sssp").alias("variant"), "node", "dist"
+    )
+    return a.unionByName(b)
+
+
+def q_graph_lp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation scores in one (metric, u, v, score)
+    table: KatzIndex pair scores + the held-out ROC AUC as the
+    (u, v) = (-1, -1) row (merged graph_katz_index + graph_roc)."""
+    a = q_graph_katz_index(spark, sf_dir).select(
+        F.lit("katz").alias("metric"), "u", "v", F.col("katz").alias("score")
+    )
+    b = q_graph_roc(spark, sf_dir).select(
+        F.lit("roc_auc").alias("metric"),
+        F.lit(-1).cast("long").alias("u"),
+        F.lit(-1).cast("long").alias("v"),
+        F.col("auc").alias("score"),
+    )
+    return a.unionByName(b)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tiers in one (method, query_id, neighbor_id, cosine, rank)
+    table: exact brute-force cosine top-k + stride-codebook IVF
+    (merged sim_cosine_topk + sim_ivf_topk)."""
+    a = q_sim_cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    b = q_sim_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return a.unionByName(b)
+
+
+def q_graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness in one (kind, u, v, score) table: node
+    scores as (kind='node', u=id, v=-1) rows + per-edge scores as
+    (kind='edge', u=src, v=dst) rows, both on the <200 subgraph
+    (merged graph_betweenness + graph_edge_betweenness)."""
+    a = q_graph_betweenness(spark, sf_dir).select(
+        F.lit("node").alias("kind"),
+        F.col("id").alias("u"),
+        F.lit(-1).cast("long").alias("v"),
+        "score",
+    )
+    b = q_graph_edge_betweenness(spark, sf_dir).select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        "score",
+    )
+    return a.unionByName(b)
+
+
+def q_graph_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective community detection in one (method, node) table:
+    PageRankNibble + GCE communities around seed 0 on the <200 subgraph
+    (merged graph_nibble + graph_gce)."""
+    a = q_graph_nibble(spark, sf_dir).select(
+        F.lit("nibble").alias("method"), F.col("id").alias("node")
+    )
+    b = q_graph_gce(spark, sf_dir).select(F.lit("gce").alias("method"), "node")
+    return a.unionByName(b)
+
+
+def q_graph_randomized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized graphs in one (method, src, dst) table: seeded edge
+    switching + GlobalCurveball on the <200 subgraph (merged
+    graph_randomize + graph_curveball)."""
+    a = q_graph_randomize(spark, sf_dir).select(
+        F.lit("switching").alias("method"), "src", "dst"
+    )
+    b = q_graph_curveball(spark, sf_dir).select(
+        F.lit("curveball").alias("method"), "src", "dst"
+    )
+    return a.unionByName(b)
+
+
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted matchings in one (method, u, v) table: Suitor + LocalMax
+    on deterministic-weighted <200 subgraphs (merged graph_suitor +
+    graph_local_max)."""
+    a = q_graph_suitor(spark, sf_dir).select(
+        F.lit("suitor").alias("method"), "u", "v"
+    )
+    b = q_graph_local_max(spark, sf_dir).select(
+        F.lit("local_max").alias("method"), "u", "v"
+    )
+    return a.unionByName(b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry. ORDER MATTERS: the driver's correctness gate
-    checks the first 50 entries, so every oracle-backed query sits in
-    positions 1-50; rows-only / pytest-pinned entries trail after. Near-
-    duplicate scalar rows are merged (tri_stats, partition_quality,
-    partition_dist, sparsifiers, text_all) to keep the window dense."""
+    checks the first 50 entries. Round 4 merges near-duplicate rows into
+    variant tables (closeness_all, spectral, paths, lp_scores, sim_topk,
+    betweenness_exact, group_centrality, scd, randomized, matching) so
+    that EVERY registry entry sits inside the 50-slot window — the 14
+    round-3 rows-only stragglers included. Entries whose semantics are
+    not SQL-expressible (ctd — CG numerics; kadabra — adaptive stopping)
+    stay in the window as rows-only checks. events_hourly trails at 51:
+    it was hash-green in round 3 and its operator surface is unchanged."""
     return {
-        # --- graph kernels, oracle-backed (green in r2 or flipped r3) ---
+        # --- graph kernels ------------------------------------------------
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
@@ -1210,64 +1379,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_partition_quality": q_graph_partition_quality,
         "graph_coarsen": q_graph_coarsen,
-        "graph_katz": q_graph_katz,
-        "graph_eigenvector": q_graph_eigenvector,
-        "graph_bfs": q_graph_bfs,
+        "graph_spectral": q_graph_spectral,
+        "graph_paths": q_graph_paths,
         "graph_linkpred": q_graph_linkpred,
+        "graph_lp_scores": q_graph_lp_scores,
         "graph_assortativity": q_graph_assortativity,
         "graph_sparsifiers": q_graph_sparsifiers,
         "graph_plp": q_graph_plp,
-        "graph_closeness": q_graph_closeness,
-        "graph_harmonic": q_graph_harmonic,
-        "graph_diameter": q_graph_diameter,
-        "graph_sssp": q_graph_sssp,
-        "graph_closeness_w": q_graph_closeness_w,
+        "graph_closeness_all": q_graph_closeness_all,
+        "graph_eccentricity": q_graph_eccentricity_all,
         "graph_scc": q_graph_scc,
         "graph_partition_dist": q_graph_partition_dist,
         "graph_sfigality": q_graph_sfigality,
-        "graph_eccentricity": q_graph_eccentricity,
         "graph_algebraic": q_graph_algebraic,
         "graph_kcore": q_graph_kcore,
         "graph_hopplot": q_graph_hopplot,
-        "graph_betweenness": q_graph_betweenness,
-        "graph_edge_betweenness": q_graph_edge_betweenness,
+        "graph_betweenness_exact": q_graph_betweenness_exact,
         "graph_betweenness_est": q_graph_betweenness_est,
         "graph_luby": q_graph_luby,
         "graph_bicc": q_graph_bicc,
-        "graph_group_degree": q_graph_group_degree,
-        "graph_group_closeness": q_graph_group_closeness,
+        "graph_group_centrality": q_graph_group_centrality,
         "graph_partition_iic": q_graph_partition_iic,
-        "graph_katz_index": q_graph_katz_index,
-        "graph_roc": q_graph_roc,
-        # --- LLM-pipeline, oracle-backed ---
+        # --- round-3 stragglers rotated into the window --------------------
+        "graph_plm": q_graph_plm,
+        "graph_betweenness_w": q_graph_betweenness_w,
+        "graph_scd": q_graph_scd,
+        "graph_randomized": q_graph_randomized,
+        "graph_cliques": q_graph_cliques,
+        "graph_msf": q_graph_msf,
+        "graph_matching": q_graph_matching,
+        "graph_anf": q_graph_anf,
+        "graph_approx_betweenness": q_graph_approx_betweenness,
+        "graph_ctd": q_graph_ctd,
+        # --- LLM-pipeline ---------------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "text_all": q_text_all,
         "ingest_sha256": q_ingest_sha256,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_topk": q_sim_topk,
         "dedup_embedding": q_dedup_embedding,
         "dyn_replay": q_dyn_replay,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        # ---------------- position > 50 (hash-green in round 3) ------------
         "events_hourly": q_events_hourly,
-        # ---------------- position > 50: rows-only / pytest-pinned -----
-        "graph_plm": q_graph_plm,
-        "graph_betweenness_w": q_graph_betweenness_w,
-        "graph_nibble": q_graph_nibble,
-        "graph_randomize": q_graph_randomize,
-        "graph_curveball": q_graph_curveball,
-        "graph_cliques": q_graph_cliques,
-        "graph_msf": q_graph_msf,
-        "graph_suitor": q_graph_suitor,
-        "graph_anf": q_graph_anf,
-        "graph_approx_betweenness": q_graph_approx_betweenness,
-        "graph_simmelian": q_graph_simmelian,
-        "graph_local_max": q_graph_local_max,
-        "graph_gce": q_graph_gce,
-        "graph_ctd": q_graph_ctd,
     }
 
 
@@ -2009,8 +2166,73 @@ FROM events GROUP BY 1, 2
 """,
     }
     base.update(_oracle_sql_r3())
-    # entries merged into multi-column rows in round 3 (their SQL lives on
-    # inside the merged oracles); dropping the stale keys keeps the
+
+    # ---- round-4 merged variant tables (window-densifying merges) -------
+    base["graph_closeness_all"] = _variant_union("variant", [
+        ("standard", base["graph_closeness"]),
+        ("harmonic", base["graph_harmonic"]),
+        ("weighted", base["graph_closeness_w"]),
+    ])
+    base["graph_eccentricity"] = f"""
+SELECT t.id, CAST(t.ecc AS BIGINT) AS ecc FROM (
+{base["graph_eccentricity"]}
+) t
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS id, CAST(d.diameter AS BIGINT) AS ecc FROM (
+{base["graph_diameter"]}
+) d
+"""
+    base["graph_spectral"] = _variant_union("method", [
+        ("katz", base["graph_katz"]),
+        ("eigenvector", base["graph_eigenvector"]),
+    ])
+    base["graph_paths"] = f"""
+SELECT 'bfs' AS variant, t.node, CAST(t.dist AS DOUBLE) AS dist FROM (
+{base["graph_bfs"]}
+) t
+UNION ALL
+SELECT 'sssp' AS variant, s.node, s.dist FROM (
+{base["graph_sssp"]}
+) s
+"""
+    base["graph_lp_scores"] = f"""
+SELECT 'katz' AS metric, t.u, t.v, t.katz AS score FROM (
+{base["graph_katz_index"]}
+) t
+UNION ALL
+SELECT 'roc_auc' AS metric, CAST(-1 AS BIGINT) AS u, CAST(-1 AS BIGINT) AS v,
+       r.auc AS score FROM (
+{base["graph_roc"]}
+) r
+"""
+    base["sim_topk"] = _variant_union("method", [
+        ("exact", base["sim_cosine_topk"]),
+        ("ivf", base["sim_ivf_topk"]),
+    ])
+    base["graph_betweenness_exact"] = f"""
+SELECT 'node' AS kind, t.id AS u, CAST(-1 AS BIGINT) AS v, t.score FROM (
+{base["graph_betweenness"]}
+) t
+UNION ALL
+SELECT 'edge' AS kind, e.src AS u, e.dst AS v, e.score FROM (
+{base["graph_edge_betweenness"]}
+) e
+"""
+    base["graph_group_centrality"] = _variant_union("method", [
+        ("degree", base["graph_group_degree"]),
+        ("closeness", base["graph_group_closeness"]),
+    ])
+    base["graph_sparsifiers"] = (
+        base["graph_sparsifiers"]
+        + f"""
+UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
+{_SIMMELIAN_SUB200_SQL}
+) s
+"""
+    )
+
+    # entries merged into multi-column rows in rounds 3-4 (their SQL lives
+    # on inside the merged oracles); dropping the stale keys keeps the
     # contract exactly aligned with queries()
     for stale in (
         "graph_triangle_total", "graph_global_cc", "graph_modularity",
@@ -2019,9 +2241,70 @@ FROM events GROUP BY 1, 2
         "graph_gs_rand", "graph_sparsify", "graph_local_degree",
         "graph_local_similarity", "text_tokens", "text_langid",
         "text_quality", "text_fingerprint",
+        # round-4 merges
+        "graph_closeness", "graph_harmonic", "graph_closeness_w",
+        "graph_diameter", "graph_katz", "graph_eigenvector",
+        "graph_bfs", "graph_sssp", "graph_katz_index", "graph_roc",
+        "sim_cosine_topk", "sim_ivf_topk", "graph_betweenness",
+        "graph_edge_betweenness", "graph_group_degree",
+        "graph_group_closeness",
     ):
         base.pop(stale, None)
     return base
+
+
+def _variant_union(colname: str, parts: list[tuple[str, str]]) -> str:
+    """UNION ALL of complete SELECT statements (each may carry its own
+    WITH clause — DuckDB allows CTEs inside subqueries), tagged with a
+    literal variant column. The per-part column sets must match."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{v}' AS {colname}, t.* FROM (\n{sql}\n) t" for v, sql in parts
+    )
+
+
+# Simmelian overlap (maxRank=5) on the <200 subgraph — mirrors
+# operators/sparsification.py::simmelian_overlap_scores: neighbors ranked
+# per ego by edge-triangle count (competition rank, ties share), overlap =
+# common neighbors within both endpoints' top-5 sets.
+_SIMMELIAN_SUB200_SQL = f"""
+WITH e0full AS ({CO_EDGES_SQL}),
+sube AS MATERIALIZED (SELECT src, dst FROM e0full WHERE src < 200 AND dst < 200),
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM sube a JOIN sube b ON a.src = b.src AND a.dst < b.dst
+  JOIN sube c ON c.src = a.dst AND c.dst = b.dst
+),
+tpairs AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri UNION ALL SELECT b, c FROM tri
+),
+etri AS MATERIALIZED (
+  SELECT sube.src, sube.dst, coalesce(t.n, 0) AS tri
+  FROM sube LEFT JOIN (
+    SELECT least(x, y) AS src, greatest(x, y) AS dst, count(*) AS n
+    FROM tpairs GROUP BY 1, 2
+  ) t USING (src, dst)
+),
+ego AS (
+  SELECT src AS ego, dst AS nbr, tri FROM etri
+  UNION ALL SELECT dst, src, tri FROM etri
+),
+top AS MATERIALIZED (
+  SELECT ego, nbr FROM (
+    SELECT ego, nbr, rank() OVER (PARTITION BY ego ORDER BY tri DESC) AS rk
+    FROM ego
+  ) WHERE rk <= 5
+),
+ov AS (
+  SELECT e.src, e.dst, count(*) AS overlap
+  FROM etri e
+  JOIN top t1 ON t1.ego = e.src
+  JOIN top t2 ON t2.ego = e.dst AND t2.nbr = t1.nbr
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst, round(coalesce(ov.overlap, 0)::DOUBLE, 6) AS score
+FROM etri e LEFT JOIN ov USING (src, dst)
+"""
 
 
 # --------------------------------------------------------------------------
