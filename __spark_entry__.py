@@ -2230,6 +2230,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
 ) s
 """
     )
+    base["graph_msf"] = _MSF_SUB200_SQL
 
     # entries merged into multi-column rows in rounds 3-4 (their SQL lives
     # on inside the merged oracles); dropping the stale keys keeps the
@@ -2260,6 +2261,32 @@ def _variant_union(colname: str, parts: list[tuple[str, str]]) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT '{v}' AS {colname}, t.* FROM (\n{sql}\n) t" for v, sql in parts
     )
+
+
+# Minimum spanning forest on the <200 subgraph with the gate's
+# deterministic weights — cycle property under the tie-broken TOTAL order
+# (weight, src, dst): an edge is in the unique MSF of that order iff its
+# endpoints are NOT connected using only strictly-smaller edges. The Spark
+# side (Borůvka with the same (weight, src, dst) pick order) produces the
+# MSF of the same total order, so the sets coincide exactly.
+_MSF_SUB200_SQL = f"""
+WITH RECURSIVE e0full AS ({CO_EDGES_SQL}),
+we AS MATERIALIZED (
+  SELECT src, dst,
+         CAST((src * 7 + dst * 13) % 97 + 1 AS DOUBLE) AS w,
+         row_number() OVER (ORDER BY (src * 7 + dst * 13) % 97 + 1, src, dst) AS ord
+  FROM e0full WHERE src < 200 AND dst < 200
+),
+reach(eid, node) AS (
+  SELECT ord, src FROM we
+  UNION
+  SELECT r.eid, CASE WHEN s.src = r.node THEN s.dst ELSE s.src END
+  FROM reach r JOIN we s ON (s.src = r.node OR s.dst = r.node) AND s.ord < r.eid
+)
+SELECT w.src, w.dst, round(w.w, 6) AS weight
+FROM we w LEFT JOIN reach r ON r.eid = w.ord AND r.node = w.dst
+WHERE r.node IS NULL
+"""
 
 
 # Simmelian overlap (maxRank=5) on the <200 subgraph — mirrors
