@@ -786,6 +786,26 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=1000)
 
 
+def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in one (kind, media_id, k, info) table:
+    typed media metadata + Arrow-batched frame sampling (merged
+    mm_media_meta + mm_frame_sample so both keep a dense oracle row
+    inside the driver's 50-slot window)."""
+    a = q_mm_media_meta(spark, sf_dir).select(
+        F.lit("meta").alias("kind"),
+        "media_id",
+        F.col("n_bytes").cast("int").alias("k"),
+        F.concat_ws("/", "modality", "mime").alias("info"),
+    )
+    b = q_mm_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        F.col("frame_idx").cast("int").alias("k"),
+        F.col("frame_sha256").alias("info"),
+    )
+    return a.unionByName(b)
+
+
 # --------------------------------------------------------------------------
 # events (windowed aggregation)
 # --------------------------------------------------------------------------
@@ -1421,9 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "dedup_embedding": q_dedup_embedding,
         "dyn_replay": q_dyn_replay,
-        "mm_media_meta": q_mm_media_meta,
-        "mm_frame_sample": q_mm_frame_sample,
-        # ---------------- position > 50 (hash-green in round 3) ------------
+        "mm_pipeline": q_mm_pipeline,
         "events_hourly": q_events_hourly,
     }
 
@@ -2232,6 +2250,16 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     )
     base["graph_msf"] = _MSF_SUB200_SQL
 
+    base["mm_pipeline"] = f"""
+SELECT 'meta' AS kind, t.media_id, CAST(t.n_bytes AS INT) AS k,
+       t.modality || '/' || t.mime AS info
+FROM ({base["mm_media_meta"]}) t
+UNION ALL
+SELECT 'frame' AS kind, s.media_id, CAST(s.frame_idx AS INT) AS k,
+       s.frame_sha256 AS info
+FROM ({base["mm_frame_sample"]}) s
+"""
+
     # entries merged into multi-column rows in rounds 3-4 (their SQL lives
     # on inside the merged oracles); dropping the stale keys keeps the
     # contract exactly aligned with queries()
@@ -2248,7 +2276,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
         "graph_bfs", "graph_sssp", "graph_katz_index", "graph_roc",
         "sim_cosine_topk", "sim_ivf_topk", "graph_betweenness",
         "graph_edge_betweenness", "graph_group_degree",
-        "graph_group_closeness",
+        "graph_group_closeness", "mm_media_meta", "mm_frame_sample",
     ):
         base.pop(stale, None)
     return base
