@@ -1473,6 +1473,17 @@ SUB200_PRELUDE_SQL = """
   sp AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM walk GROUP BY root, node)
 """
 
+# same subgraph without the all-pairs walk CTE — for oracles that only
+# need the canonical edge set (matching, cliques, randomization replays)
+SUB200_PRELUDE_NOWALK_SQL = """
+  e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+  edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+  nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))
+"""
+
 # shared text prelude: tokens / shingles (3-gram), mirroring pipeline.dedup
 _TOKS_SQL = """
   toks AS (
@@ -2249,6 +2260,28 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
 """
     )
     base["graph_msf"] = _MSF_SUB200_SQL
+    base["graph_matching"] = _matching_sql()
+
+    # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
+    # extension (a clique [..., last] extends by any neighbor-of-all with
+    # id > last), then keep the ones no outside node is adjacent to all
+    # of. Matches the ego-net Bron-Kerbosch output exactly — both list
+    # members ascending, and DuckDB's list→VARCHAR renders '[a, b, c]'
+    # identically to Spark's array→string cast.
+    base["graph_cliques"] = f"""
+WITH RECURSIVE {SUB200_PRELUDE_NOWALK_SQL},
+  nbrs AS MATERIALIZED (SELECT src AS id, list(dst ORDER BY dst) AS ns FROM edges GROUP BY src),
+  cl(members, last) AS (
+    SELECT [e.src, e.dst], e.dst FROM e0 e
+    UNION ALL
+    SELECT list_append(c.members, n.id), n.id
+    FROM cl c JOIN nbrs n ON n.id > c.last AND list_has_all(n.ns, c.members)
+  )
+SELECT CAST(members AS VARCHAR) AS clique, CAST(len(members) AS INT) AS size
+FROM cl c
+WHERE len(members) >= 3
+  AND NOT EXISTS (SELECT 1 FROM nbrs n WHERE list_has_all(n.ns, c.members))
+"""
 
     base["mm_pipeline"] = f"""
 SELECT 'meta' AS kind, t.media_id, CAST(t.n_bytes AS INT) AS k,
@@ -2289,6 +2322,81 @@ def _variant_union(colname: str, parts: list[tuple[str, str]]) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT '{v}' AS {colname}, t.* FROM (\n{sql}\n) t" for v, sql in parts
     )
+
+
+MATCHING_ROUNDS = 12  # measured convergence at sf0.01 = 7 rounds (both methods)
+
+
+def _suitor_rounds_sql(rounds: int, weight_expr: str, prefix: str) -> str:
+    """Chained-CTE replay of the synchronous Suitor propose/accept rounds
+    (operators/matching.py::suitor_matching): per round every node whose
+    endpoints are still unmatched proposes to its best live neighbor
+    under (weight desc, id asc); mutual proposals match. Extra rounds
+    past convergence are empty no-ops. Returns CTE list text; final
+    matches are UNION of {prefix}m{r}."""
+    p = prefix
+    ctes = [
+        f"{p}we AS MATERIALIZED (SELECT src, dst, {weight_expr} AS weight FROM e0)",
+        f"{p}un0 AS (SELECT id FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""{p}live{r} AS (SELECT e.src, e.dst, e.weight FROM {p}we e
+  JOIN {p}un{r - 1} a ON a.id = e.src JOIN {p}un{r - 1} b ON b.id = e.dst)""")
+        ctes.append(f"""{p}sym{r} AS (SELECT src, dst, weight FROM {p}live{r}
+  UNION ALL SELECT dst, src, weight FROM {p}live{r})""")
+        ctes.append(f"""{p}prop{r} AS (SELECT src, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS rn
+  FROM {p}sym{r}) WHERE rn = 1)""")
+        ctes.append(f"""{p}m{r} AS MATERIALIZED (SELECT a.src, a.dst FROM {p}prop{r} a
+  JOIN {p}prop{r} b ON a.src = b.dst AND a.dst = b.src WHERE a.src < a.dst)""")
+        ctes.append(f"""{p}un{r} AS MATERIALIZED (SELECT id FROM {p}un{r - 1}
+  WHERE id NOT IN (SELECT src FROM {p}m{r} UNION ALL SELECT dst FROM {p}m{r}))""")
+    return ",\n".join(ctes)
+
+
+def _localmax_rounds_sql(rounds: int, weight_expr: str, prefix: str) -> str:
+    """Chained-CTE replay of LocalMax matching rounds
+    (operators/matching.py::local_max_matching): per round every edge
+    that is its BOTH endpoints' best under (weight desc, src asc,
+    dst asc) matches; matched endpoints' edges drop out."""
+    p = prefix
+    ctes = [
+        f"{p}live0 AS MATERIALIZED (SELECT src, dst, {weight_expr} AS weight FROM e0)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""{p}inc{r} AS (SELECT src AS node, src, dst, weight FROM {p}live{r - 1}
+  UNION ALL SELECT dst, src, dst, weight FROM {p}live{r - 1})""")
+        ctes.append(f"""{p}best{r} AS (SELECT node, src, dst FROM (
+  SELECT node, src, dst, row_number() OVER (PARTITION BY node ORDER BY weight DESC, src ASC, dst ASC) AS rn
+  FROM {p}inc{r}) WHERE rn = 1)""")
+        ctes.append(f"""{p}cand{r} AS MATERIALIZED (SELECT l.src, l.dst FROM {p}live{r - 1} l
+  JOIN {p}best{r} bs ON bs.node = l.src AND bs.src = l.src AND bs.dst = l.dst
+  JOIN {p}best{r} bd ON bd.node = l.dst AND bd.src = l.src AND bd.dst = l.dst)""")
+        ctes.append(f"""{p}live{r} AS MATERIALIZED (SELECT l.src, l.dst, l.weight FROM {p}live{r - 1} l
+  WHERE NOT EXISTS (SELECT 1 FROM {p}cand{r} c
+    WHERE c.src = l.src OR c.dst = l.src OR c.src = l.dst OR c.dst = l.dst))""")
+    return ",\n".join(ctes)
+
+
+def _matching_sql(rounds: int = MATCHING_ROUNDS) -> str:
+    """(method, u, v) oracle for graph_matching: exact round replay of
+    Suitor ((src+dst)%11+1 weights) and LocalMax ((src+dst)%3+1)."""
+    su = _suitor_rounds_sql(rounds, "CAST((src + dst) % 11 + 1 AS DOUBLE)", "st_")
+    lm = _localmax_rounds_sql(rounds, "CAST((src + dst) % 3 + 1 AS DOUBLE)", "lm_")
+    all_su = " UNION ALL ".join(
+        f"SELECT src, dst FROM st_m{r}" for r in range(1, rounds + 1)
+    )
+    all_lm = " UNION ALL ".join(
+        f"SELECT src, dst FROM lm_cand{r}" for r in range(1, rounds + 1)
+    )
+    pre = SUB200_PRELUDE_NOWALK_SQL
+    return f"""WITH {pre},
+{su},
+{lm}
+SELECT 'suitor' AS method, src AS u, dst AS v FROM ({all_su})
+UNION ALL
+SELECT 'local_max' AS method, src AS u, dst AS v FROM ({all_lm})
+"""
 
 
 # Minimum spanning forest on the <200 subgraph with the gate's
