@@ -2261,6 +2261,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     )
     base["graph_msf"] = _MSF_SUB200_SQL
     base["graph_matching"] = _matching_sql()
+    base["graph_betweenness_w"] = _weighted_brandes_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2322,6 +2323,63 @@ def _variant_union(colname: str, parts: list[tuple[str, str]]) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT '{v}' AS {colname}, t.* FROM (\n{sql}\n) t" for v, sql in parts
     )
+
+
+def _weighted_brandes_sql(k_rounds: int = 10) -> str:
+    """(id, score) oracle for graph_betweenness_w: weighted shortest
+    distances via the bounded walk CTE ((src+dst)%3+1 integer weights,
+    cap 96), shortest-path DAG p→t iff dist(p)+w = dist(t), then σ
+    forward and δ backward as K unrolled fixed-point rounds — the exact
+    SQL mirror of operators/distance.py::betweenness_weighted. DAG hop
+    depth ≤ max weighted distance (7 at sf0.01, weights ≥ 1), so K=10
+    rounds over-converge; extra rounds are idempotent."""
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "wedges AS MATERIALIZED (SELECT src, dst, (src + dst) % 3 + 1 AS w FROM edges)",
+        "nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
+        """wk(root, node, dist) AS (
+  SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+  UNION
+  SELECT wk.root, e.dst, wk.dist + e.w FROM wk JOIN wedges e ON wk.node = e.src WHERE wk.dist < 96)""",
+        "sp AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM wk GROUP BY root, node)",
+        """wdag AS MATERIALIZED (
+  SELECT p.root, e.src, e.dst FROM wedges e
+  JOIN sp p ON p.node = e.src
+  JOIN sp q ON q.root = p.root AND q.node = e.dst
+  WHERE p.dist + e.w = q.dist)""",
+        "sg0 AS MATERIALIZED (SELECT root, node, CASE WHEN dist = 0 THEN 1.0 ELSE 0.0 END AS sigma FROM sp)",
+    ]
+    for k in range(1, k_rounds + 1):
+        ctes.append(f"""sg{k} AS MATERIALIZED (
+  SELECT sp.root, sp.node,
+         CASE WHEN sp.dist = 0 THEN 1.0 ELSE coalesce(pr.s, 0.0) END AS sigma
+  FROM sp LEFT JOIN (
+    SELECT d.root, d.dst AS node, sum(s.sigma) AS s
+    FROM wdag d JOIN sg{k - 1} s ON s.root = d.root AND s.node = d.src
+    GROUP BY d.root, d.dst) pr
+  ON pr.root = sp.root AND pr.node = sp.node)""")
+    ctes.append("dl0 AS MATERIALIZED (SELECT root, node, 0.0 AS delta FROM sp)")
+    for k in range(1, k_rounds + 1):
+        ctes.append(f"""dl{k} AS MATERIALIZED (
+  SELECT sp.root, sp.node, coalesce(bk.d, 0.0) AS delta
+  FROM sp LEFT JOIN (
+    SELECT d.root, d.src AS node, sum((sgp.sigma / sgt.sigma) * (1.0 + dt.delta)) AS d
+    FROM wdag d
+    JOIN sg{k_rounds} sgt ON sgt.root = d.root AND sgt.node = d.dst
+    JOIN sg{k_rounds} sgp ON sgp.root = d.root AND sgp.node = d.src
+    JOIN dl{k - 1} dt ON dt.root = d.root AND dt.node = d.dst
+    GROUP BY d.root, d.src) bk
+  ON bk.root = sp.root AND bk.node = sp.node)""")
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"""
+SELECT n.id, round(coalesce(s.v, 0.0), 6) AS score
+FROM nodes n LEFT JOIN (
+  SELECT d.node, sum(d.delta) AS v FROM dl{k_rounds} d
+  JOIN sp ON sp.root = d.root AND sp.node = d.node
+  WHERE sp.dist > 0 GROUP BY d.node) s ON n.id = s.node
+"""
 
 
 MATCHING_ROUNDS = 12  # measured convergence at sf0.01 = 7 rounds (both methods)
