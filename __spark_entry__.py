@@ -635,11 +635,13 @@ def q_graph_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF / effective diameter approximation (Flajolet-Martin sketches,
-    EffectiveDiameterApproximation.cpp) — rows-only scalar."""
+    EffectiveDiameterApproximation.cpp) — exact sketch replay oracle."""
     from networkit_spark.operators.sketches import effective_diameter_approx
 
     g = _co_graph(spark, sf_dir)
-    v = effective_diameter_approx(g, ratio=0.9, k=16, seed=42)
+    # portable md5 trailing-zero draws so the DuckDB oracle replays the
+    # identical FM sketches (ANF_HOPS unrolled OR-propagation rounds)
+    v = effective_diameter_approx(g, ratio=0.9, k=16, seed=42, portable_hash=True)
     return _scalar_df(spark, "effective_diameter", float(v))
 
 
@@ -2262,6 +2264,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     base["graph_msf"] = _MSF_SUB200_SQL
     base["graph_matching"] = _matching_sql()
     base["graph_betweenness_w"] = _weighted_brandes_sql()
+    base["graph_anf"] = _anf_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2379,6 +2382,62 @@ FROM nodes n LEFT JOIN (
   SELECT d.node, sum(d.delta) AS v FROM dl{k_rounds} d
   JOIN sp ON sp.root = d.root AND sp.node = d.node
   WHERE sp.dist > 0 GROUP BY d.node) s ON n.id = s.node
+"""
+
+
+ANF_HOPS = 6  # measured FM-sketch saturation at sf0.01 = hop 4 (break on <=)
+
+
+def _anf_sql(hops: int = ANF_HOPS, k: int = 16, bits: int = 48, seed: int = 42) -> str:
+    """Exact replay of the portable-hash Flajolet-Martin ANF sketch
+    (operators/sketches.py): per-(node, trial) geometric index = trailing
+    zeros of the md5 porthash (pure integer, bit-identical in both
+    engines); per hop OR-in neighbor masks; estimate = Σ 2^(mean lowest
+    zero bit)/φ. The list stops at the first non-increasing hop (same
+    rule as neighborhood_function) and the answer is the first hop
+    covering ≥ 0.9 of the final mass — an integer, so float summation
+    order across engines cannot flip it."""
+    hmod = lambda t: (  # noqa: E731
+        f"CAST(md5_number_lower('anf{seed}:{t}:' || CAST(id AS VARCHAR)) % {DEFAULT_PRIME} AS BIGINT)"
+    )
+    mask_exprs = ", ".join(
+        f"(CAST(1 AS BIGINT) << (CASE WHEN h{t} = 0 THEN {bits - 1} "
+        f"ELSE least(bit_count((h{t} & (-h{t})) - 1), {bits - 1}) END)) AS m{t}"
+        for t in range(k)
+    )
+    hcols = ", ".join(f"{hmod(t)} AS h{t}" for t in range(k))
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)",
+        f"hs AS (SELECT id, {hcols} FROM nodes)",
+        f"mk0 AS MATERIALIZED (SELECT id, {mask_exprs} FROM hs)",
+    ]
+    for h in range(1, hops + 1):
+        bo = ", ".join(f"bit_or(m.m{t}) AS b{t}" for t in range(k))
+        ors = ", ".join(
+            f"m.m{t} | coalesce(n.b{t}, CAST(0 AS BIGINT)) AS m{t}" for t in range(k)
+        )
+        lz = " + ".join(
+            f"CAST(bit_count(((~m{t}) & (m{t} + 1)) - 1) AS DOUBLE)" for t in range(k)
+        )
+        ctes.append(f"""nb{h} AS (SELECT e.dst AS id, {bo}
+      FROM edges e JOIN mk{h - 1} m ON m.id = e.src GROUP BY e.dst)""")
+        ctes.append(f"""mk{h} AS MATERIALIZED (SELECT m.id, {ors}
+      FROM mk{h - 1} m LEFT JOIN nb{h} n ON n.id = m.id)""")
+        ctes.append(
+            f"est{h} AS (SELECT sum(pow(2.0, ({lz}) / {float(k)}) / 0.77351) AS v FROM mk{h})"
+        )
+    ests = " UNION ALL ".join(
+        f"SELECT {h} AS hop, (SELECT v FROM est{h}) AS v" for h in range(1, hops + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f""",
+ests AS ({ests}),
+stop AS (SELECT coalesce(min(a.hop), {hops}) AS s FROM ests a JOIN ests b ON b.hop = a.hop - 1 WHERE a.v <= b.v),
+fin AS (SELECT v FROM ests, stop WHERE hop = stop.s)
+SELECT CAST(min(hop) AS DOUBLE) AS effective_diameter
+FROM ests, stop, fin WHERE ests.hop <= stop.s AND ests.v >= 0.9 * fin.v
 """
 
 

@@ -28,8 +28,34 @@ from networkit_spark.graph import Graph
 _PHI = 0.77351  # Flajolet-Martin bias correction
 
 
-def _init_masks(g: Graph, k: int, bits: int, seed: int) -> DataFrame:
-    """(id, m0..m{k-1}): one geometric bit set per trial mask."""
+def _init_masks(
+    g: Graph, k: int, bits: int, seed: int, portable_hash: bool = False
+) -> DataFrame:
+    """(id, m0..m{k-1}): one geometric bit set per trial mask.
+
+    ``portable_hash`` draws the geometric index as the trailing-zero
+    count of the cross-engine md5 hash (``functions/porthash.py``) —
+    pure integer arithmetic both engines compute bit-for-bit, so a
+    DuckDB oracle can replay the sketch exactly. The default draws
+    ``floor(-log2(1-u))`` from an ``xxhash64`` uniform (cheaper; the
+    internal path)."""
+    if portable_hash:
+        from networkit_spark.functions.porthash import md5_mod
+
+        cols = []
+        for t in range(k):
+            h = md5_mod(F.col("id"), salt=f"anf{seed}:{t}:")
+            # trailing zeros of h (h=0 → cap): P(idx=i) ≈ 2^-(i+1)
+            tz = F.bit_count(h.bitwiseAND(-h) - F.lit(1))
+            idx = F.when(h == 0, F.lit(bits - 1)).otherwise(
+                F.least(tz, F.lit(bits - 1))
+            )
+            cols.append(idx.alias(f"idx{t}"))
+        staged = g.nodes.select("id", *cols)
+        return staged.selectExpr(
+            "id",
+            *[f"shiftleft(CAST(1 AS BIGINT), idx{t}) AS m{t}" for t in range(k)],
+        )
     u = lambda t: (  # noqa: E731 — uniform(0,1) from a seeded hash
         f"(CAST(xxhash64(id, {t}, {seed}) AS DOUBLE) / {float(1 << 64)} + 0.5)"
     )
@@ -61,13 +87,14 @@ def neighborhood_function(
     bits: int = 48,
     max_hops: int = 32,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> list[float]:
     """Estimated #(node, reachable-node) pairs at hops 1..H; stops once the
     estimate is stable (all sketches saturated ⇒ all nodes reached)."""
     sym = g.symmetrized_edges() if g.directed else g.edges
     edges = sym.select("src", "dst").cache()
     edges.count()
-    masks = _init_masks(g, k, bits, seed).localCheckpoint(eager=True)
+    masks = _init_masks(g, k, bits, seed, portable_hash).localCheckpoint(eager=True)
     mask_cols = [f"m{t}" for t in range(k)]
 
     estimates: list[float] = []
@@ -108,10 +135,11 @@ def effective_diameter_approx(
     k: int = 64,
     bits: int = 48,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> float:
     """First hop h where the neighborhood function reaches ``ratio`` of its
     final value (``distance/EffectiveDiameterApproximation.cpp:64-80``)."""
-    nf = neighborhood_function(g, k=k, bits=bits, seed=seed)
+    nf = neighborhood_function(g, k=k, bits=bits, seed=seed, portable_hash=portable_hash)
     if not nf:
         return 0.0
     final = nf[-1]
