@@ -559,7 +559,9 @@ def q_graph_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.randomization import edge_switching
 
     sub = _co_subgraph200(spark, sf_dir)
-    g2 = edge_switching(sub, rounds=3, seed=42)
+    # portable md5 pairing/coin hashes: the DuckDB oracle replays the
+    # identical swap rounds CTE-for-CTE (_edge_switching_ctes)
+    g2 = edge_switching(sub, rounds=3, seed=42, portable_hash=True)
     return g2.canonical_undirected_edges()
 
 
@@ -1136,7 +1138,8 @@ def q_graph_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.randomization import global_curveball
 
     sub = _co_subgraph200(spark, sf_dir)
-    out = global_curveball(sub, rounds=3, seed=42)
+    # portable md5 hashes: oracle replays the trade rounds (_curveball_ctes)
+    out = global_curveball(sub, rounds=3, seed=42, portable_hash=True)
     return out.canonical_undirected_edges().select("src", "dst")
 
 
@@ -2265,6 +2268,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     base["graph_matching"] = _matching_sql()
     base["graph_betweenness_w"] = _weighted_brandes_sql()
     base["graph_anf"] = _anf_sql()
+    base["graph_randomized"] = _randomized_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2438,6 +2442,135 @@ stop AS (SELECT coalesce(min(a.hop), {hops}) AS s FROM ests a JOIN ests b ON b.h
 fin AS (SELECT v FROM ests, stop WHERE hop = stop.s)
 SELECT CAST(min(hop) AS DOUBLE) AS effective_diameter
 FROM ests, stop, fin WHERE ests.hop <= stop.s AND ests.v >= 0.9 * fin.v
+"""
+
+
+def _porthash_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST(md5_number_lower('{salt}' || CAST({expr} AS VARCHAR)) "
+        f"% {DEFAULT_PRIME} AS BIGINT)"
+    )
+
+
+def _edge_switching_ctes(r: int, prev: str, seed: int = 42, buckets: int = 32) -> list[str]:
+    """One parallel double-edge-switching round as CTE text — the exact
+    SQL mirror of operators/randomization.py::edge_switching with
+    portable_hash: hash-bucket pairing, seeded coin, self-loop/duplicate
+    /collision rejection, rewire. ``buckets`` must equal the Spark side's
+    max(32, m // 4096) — 32 for every sub200 input."""
+    p = f"sw{r}"
+    hsql = _porthash_sql("CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)", f"es{seed}:{r}:")
+    coin = _porthash_sql("pair", f"esc{seed}:{r}:")
+    return [
+        f"""{p}h AS (SELECT src, dst, {hsql} AS h FROM {prev})""",
+        f"""{p}d AS (SELECT src, dst, h, h % {buckets} AS bucket FROM {p}h)""",
+        f"""{p}r AS (SELECT src, dst, bucket,
+   row_number() OVER (PARTITION BY bucket ORDER BY h, src, dst) AS rn FROM {p}d)""",
+        f"""{p}k AS (SELECT src, dst,
+   CAST(bucket AS VARCHAR) || '_' || CAST(rn // 2 AS VARCHAR) AS pair, rn % 2 AS side FROM {p}r)""",
+        f"""{p}p AS (SELECT a.pair, a.src AS a, a.dst AS b, c.src AS c, c.dst AS d
+   FROM (SELECT * FROM {p}k WHERE side = 1) a
+   JOIN (SELECT * FROM {p}k WHERE side = 0) c ON a.pair = c.pair)""",
+        f"""{p}e AS (SELECT pair, a, b, c, d, ({coin} % 2 = 0) AS coin FROM {p}p)""",
+        f"""{p}f AS (SELECT pair, a, b, c, d,
+   CASE WHEN coin THEN least(a,d) ELSE least(a,c) END AS n1s,
+   CASE WHEN coin THEN greatest(a,d) ELSE greatest(a,c) END AS n1d,
+   CASE WHEN coin THEN least(c,b) ELSE least(b,d) END AS n2s,
+   CASE WHEN coin THEN greatest(c,b) ELSE greatest(b,d) END AS n2d
+   FROM {p}e)""",
+        f"""{p}ok AS (SELECT * FROM {p}f
+   WHERE n1s <> n1d AND n2s <> n2d AND NOT (n1s = n2s AND n1d = n2d))""",
+        f"""{p}ne AS (SELECT pair, a, b, c, d, n1s AS src, n1d AS dst FROM {p}ok
+   UNION ALL SELECT pair, a, b, c, d, n2s, n2d FROM {p}ok)""",
+        f"""{p}bad AS (
+   SELECT DISTINCT pair FROM {p}ne ne JOIN {prev} e ON e.src = ne.src AND e.dst = ne.dst
+   WHERE NOT ((ne.src = least(ne.a, ne.b) AND ne.dst = greatest(ne.a, ne.b))
+           OR (ne.src = least(ne.c, ne.d) AND ne.dst = greatest(ne.c, ne.d)))
+   UNION
+   SELECT DISTINCT ne2.pair FROM {p}ne ne2 JOIN (
+     SELECT src, dst FROM {p}ne GROUP BY src, dst HAVING count(*) > 1) dup
+     ON dup.src = ne2.src AND dup.dst = ne2.dst)""",
+        f"""{p}acc AS (SELECT * FROM {p}ok WHERE pair NOT IN (SELECT pair FROM {p}bad))""",
+        f"""{p}out AS MATERIALIZED (
+   SELECT e.src, e.dst FROM {prev} e
+   WHERE NOT EXISTS (SELECT 1 FROM {p}acc x
+     WHERE (e.src = least(x.a, x.b) AND e.dst = greatest(x.a, x.b))
+        OR (e.src = least(x.c, x.d) AND e.dst = greatest(x.c, x.d)))
+   UNION ALL SELECT n1s, n1d FROM {p}acc
+   UNION ALL SELECT n2s, n2d FROM {p}acc)""",
+    ]
+
+
+def _curveball_ctes(r: int, prev: str, seed: int = 42, buckets: int = 32) -> list[str]:
+    """One synchronous GlobalCurveball trade round as CTE text — mirror
+    of operators/randomization.py::global_curveball with portable_hash:
+    hash-bucket node pairing, edge→trade ownership by smaller pair hash,
+    disjoint-neighborhood pool redistribution by seeded per-trade rank."""
+    p = f"cb{r}"
+    return [
+        f"""{p}n AS (SELECT id, {_porthash_sql('id', f'cb{seed}:{r}:')} AS h FROM nodes)""",
+        f"""{p}r AS (SELECT id, h % {buckets} AS bucket, h,
+    row_number() OVER (PARTITION BY h % {buckets} ORDER BY h, id) AS rn FROM {p}n)""",
+        f"""{p}k AS (SELECT id, CAST({r} AS VARCHAR) || '_' || CAST(bucket AS VARCHAR) || '_' || CAST(rn // 2 AS VARCHAR) AS pair, rn % 2 AS side FROM {p}r)""",
+        f"""{p}pp AS (SELECT k.id, k.pair, k.side, {_porthash_sql('k.pair', 'cbp:')} AS ph FROM {p}k k
+    JOIN (SELECT pair FROM {p}k GROUP BY pair HAVING count(*) = 2) f ON f.pair = k.pair)""",
+        f"""{p}e AS (SELECT e.src, e.dst, pa.pair AS pair_a, pa.side AS side_a, pa.ph AS ph_a,
+    pb.pair AS pair_b, pb.side AS side_b, pb.ph AS ph_b
+    FROM {prev} e LEFT JOIN {p}pp pa ON pa.id = e.src LEFT JOIN {p}pp pb ON pb.id = e.dst)""",
+        f"""{p}b AS (SELECT *, (ph_a < ph_b OR (ph_a = ph_b AND pair_a <= pair_b)) AS ois FROM {p}e
+    WHERE pair_a IS NOT NULL AND pair_b IS NOT NULL AND pair_a <> pair_b)""",
+        f"""{p}rest AS (SELECT src, dst FROM {p}e
+    WHERE NOT (pair_a IS NOT NULL AND pair_b IS NOT NULL AND pair_a <> pair_b))""",
+        f"""{p}a1 AS (SELECT CASE WHEN ois THEN src ELSE dst END AS owner,
+    CASE WHEN ois THEN dst ELSE src END AS w,
+    CASE WHEN ois THEN pair_a ELSE pair_b END AS pair,
+    CASE WHEN ois THEN side_a ELSE side_b END AS side FROM {p}b)""",
+        f"""{p}a2 AS (SELECT a.owner, a.w, a.pair, a.side, o.id AS other FROM {p}a1 a
+    JOIN {p}pp o ON o.pair = a.pair AND o.side = 1 - a.side)""",
+        f"""{p}sym AS (SELECT src AS other, dst AS w FROM {prev} UNION ALL SELECT dst, src FROM {prev})""",
+        f"""{p}adj AS (SELECT a.* FROM {p}a2 a
+    WHERE EXISTS (SELECT 1 FROM {p}sym s WHERE s.other = a.other AND s.w = a.w))""",
+        f"""{p}pool AS (SELECT a.* FROM {p}a2 a
+    WHERE NOT EXISTS (SELECT 1 FROM {p}sym s WHERE s.other = a.other AND s.w = a.w)
+      AND a.w <> a.other)""",
+        f"""{p}stay AS (SELECT owner, w FROM {p}adj
+    UNION ALL
+    SELECT owner, w FROM {p}a2 a
+    WHERE NOT EXISTS (SELECT 1 FROM {p}pool q WHERE q.pair = a.pair AND q.w = a.w)
+      AND NOT EXISTS (SELECT 1 FROM {p}adj d WHERE d.pair = a.pair AND d.w = a.w))""",
+        f"""{p}cnt AS (SELECT pair, sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_first FROM {p}pool GROUP BY pair)""",
+        f"""{p}mem AS (SELECT pair, max(CASE WHEN side = 1 THEN id END) AS m_first,
+    max(CASE WHEN side = 0 THEN id END) AS m_second FROM {p}pp GROUP BY pair)""",
+        f"""{p}prn AS (SELECT pair, w, row_number() OVER (PARTITION BY pair ORDER BY {_porthash_sql('w', f'cbw{seed}:{r}:')}, w) AS prn FROM {p}pool)""",
+        f"""{p}red AS (SELECT CASE WHEN r.prn <= c.n_first THEN m.m_first ELSE m.m_second END AS owner, r.w
+    FROM {p}prn r JOIN {p}cnt c ON c.pair = r.pair JOIN {p}mem m ON m.pair = r.pair)""",
+        f"""{p}out AS MATERIALIZED (SELECT src, dst FROM {p}rest
+    UNION ALL SELECT least(owner, w), greatest(owner, w) FROM {p}stay
+    UNION ALL SELECT least(owner, w), greatest(owner, w) FROM {p}red)""",
+    ]
+
+
+def _randomized_sql(rounds: int = 3) -> str:
+    """(method, src, dst) oracle for graph_randomized: exact replay of
+    the portable-hash edge-switching and GlobalCurveball chains."""
+    es = ["""er0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+          "nodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))"]
+    prev = "er0"
+    for r in range(rounds):
+        es += _edge_switching_ctes(r, prev)
+        prev = f"sw{r}out"
+    es_final = prev
+    prev = "er0"
+    for r in range(rounds):
+        es += _curveball_ctes(r, prev)
+        prev = f"cb{r}out"
+    cb_final = prev
+    return "WITH " + ",\n".join(es) + f"""
+SELECT 'switching' AS method, src, dst FROM {es_final}
+UNION ALL
+SELECT 'curveball' AS method, src, dst FROM {cb_final}
 """
 
 

@@ -32,8 +32,16 @@ from networkit_spark.graph import Graph
 from networkit_spark.plans.pin import pin
 
 
-def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
-    """Randomize an undirected simple graph preserving every degree."""
+def edge_switching(
+    g: Graph, rounds: int = 10, seed: int = 42, portable_hash: bool = False
+) -> Graph:
+    """Randomize an undirected simple graph preserving every degree.
+
+    ``portable_hash`` draws the pairing/coin hashes from the md5-based
+    cross-engine hash (``functions/porthash.py``) so a DuckDB oracle can
+    replay the identical swap rounds; the default ``xxhash64`` is the
+    cheaper internal path."""
+    from networkit_spark.functions.porthash import md5_mod
     if g.directed:
         raise ValueError("edge_switching expects an undirected graph")
     edges = g.canonical_undirected_edges().transform(pin)
@@ -44,9 +52,14 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
     m = edges.count()
     TARGET_BUCKET_SIZE = 4096
     for rnd in range(rounds):
-        h = F.xxhash64("src", "dst", F.lit(seed), F.lit(rnd))
+        h = (
+            md5_mod(F.concat_ws("_", "src", "dst"), salt=f"es{seed}:{rnd}:")
+            if portable_hash
+            else F.xxhash64("src", "dst", F.lit(seed), F.lit(rnd))
+        )
         buckets = max(32, m // TARGET_BUCKET_SIZE)
-        w = Window.partitionBy("bucket").orderBy("h")
+        # (h, src, dst) order: deterministic even on hash collisions
+        w = Window.partitionBy("bucket").orderBy("h", "src", "dst")
         paired = (
             edges.select("src", "dst", h.alias("h"), F.pmod(h, F.lit(buckets)).alias("bucket"))
             .withColumn("rn", F.row_number().over(w))
@@ -61,7 +74,11 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
         )
         pairs = a.join(b, "pair")  # unpaired leftovers drop out (kept as-is)
 
-        coin = F.pmod(F.xxhash64("pair", F.lit(seed), F.lit(rnd + 101)), F.lit(2)) == 0
+        coin = (
+            F.pmod(md5_mod(F.col("pair"), salt=f"esc{seed}:{rnd}:"), F.lit(2)) == 0
+            if portable_hash
+            else F.pmod(F.xxhash64("pair", F.lit(seed), F.lit(rnd + 101)), F.lit(2)) == 0
+        )
         p1s = F.when(coin, F.least("a", "d")).otherwise(F.least("a", "c"))
         p1d = F.when(coin, F.greatest("a", "d")).otherwise(F.greatest("a", "c"))
         p2s = F.when(coin, F.least("c", "b")).otherwise(F.least("b", "d"))
@@ -127,7 +144,9 @@ def edge_switching(g: Graph, rounds: int = 10, seed: int = 42) -> Graph:
     return Graph.from_edges(out, directed=False, nodes=g.nodes)
 
 
-def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
+def global_curveball(
+    g: Graph, rounds: int = 5, seed: int = 42, portable_hash: bool = False
+) -> Graph:
     """GlobalCurveball (``randomization/GlobalCurveball.cpp``) —
     synchronous distributed variant of the curveball trade chain.
 
@@ -152,6 +171,8 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
     row_number, bounded window), one edge→pair assignment join, and one
     per-trade redistribution window bounded by deg(u)+deg(v).
     """
+    from networkit_spark.functions.porthash import md5_mod
+
     if g.directed:
         raise ValueError("global_curveball expects an undirected graph")
     edges = g.canonical_undirected_edges().select("src", "dst").localCheckpoint(
@@ -162,8 +183,12 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
     nbuckets = max(32, n // TARGET_BUCKET)
 
     for rnd in range(rounds):
-        h = F.xxhash64("id", F.lit(seed), F.lit(rnd))
-        wb = Window.partitionBy("bucket").orderBy("h")
+        h = (
+            md5_mod(F.col("id"), salt=f"cb{seed}:{rnd}:")
+            if portable_hash
+            else F.xxhash64("id", F.lit(seed), F.lit(rnd))
+        )
+        wb = Window.partitionBy("bucket").orderBy("h", "id")
         paired = (
             g.nodes.select("id", h.alias("h"), F.pmod(h, F.lit(nbuckets)).alias("bucket"))
             .withColumn("rn", F.row_number().over(wb))
@@ -177,7 +202,16 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
         sizes = paired.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
         paired = (
             paired.join(sizes.filter("c = 2").select("pair"), "pair", "left_semi")
-            .select("id", "pair", "side", F.xxhash64("pair").alias("ph"))
+            .select(
+                "id",
+                "pair",
+                "side",
+                (
+                    md5_mod(F.col("pair"), salt="cbp:")
+                    if portable_hash
+                    else F.xxhash64("pair")
+                ).alias("ph"),
+            )
         ).transform(pin)
 
         pa = paired.select(
@@ -239,7 +273,12 @@ def global_curveball(g: Graph, rounds: int = 5, seed: int = 42) -> Graph:
         # redistribute the pool: per pair, |A| = side-0-owned rows go to
         # the side-0 member, the rest to side-1; selection by seeded hash
         wp = Window.partitionBy("pair").orderBy(
-            F.xxhash64("w", F.lit(seed), F.lit(rnd + 777))
+            (
+                md5_mod(F.col("w"), salt=f"cbw{seed}:{rnd}:")
+                if portable_hash
+                else F.xxhash64("w", F.lit(seed), F.lit(rnd + 777))
+            ),
+            F.col("w"),
         )
         counts = pool.groupBy("pair").agg(
             F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_first")
