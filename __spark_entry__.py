@@ -1150,7 +1150,11 @@ def q_graph_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import approx_betweenness
 
     sub = _co_subgraph200(spark, sf_dir)
-    out = approx_betweenness(sub, epsilon=0.2, delta=0.1, seed=42)
+    # portable md5 draws (pair sampling + per-step path choice) so the
+    # DuckDB oracle replays the identical sampled paths
+    out = approx_betweenness(
+        sub, epsilon=0.2, delta=0.1, seed=42, portable_hash=True
+    )
     return out.select("id", F.round("score", 6).alias("score"))
 
 
@@ -2269,6 +2273,8 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     base["graph_betweenness_w"] = _weighted_brandes_sql()
     base["graph_anf"] = _anf_sql()
     base["graph_randomized"] = _randomized_sql()
+    base["graph_approx_betweenness"] = _approx_betweenness_sql()
+    base["graph_scd"] = _scd_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2571,6 +2577,194 @@ def _randomized_sql(rounds: int = 3) -> str:
 SELECT 'switching' AS method, src, dst FROM {es_final}
 UNION ALL
 SELECT 'curveball' AS method, src, dst FROM {cb_final}
+"""
+
+
+def _approx_betweenness_sql(
+    n: int = 200,
+    r: int = 133,  # ceil((1/0.2²)(⌊log2(vd−2)⌋ + 1 + ln(1/0.1))), vd = 6 at sf0.01
+    vd: int = 6,  # two-sweep vertex-diameter upper bound, measured at sf0.01
+    seed: int = 42,
+    levels: int = 9,
+    m_mod: int = 1_000_003,
+) -> str:
+    """(id, score) oracle for graph_approx_betweenness: exact replay of
+    the RK sampled-path estimator (operators/distance.py::
+    approx_betweenness with portable_hash). r seeded (u,v) pairs (dense
+    ids are the identity on the 0..199 node range), hop BFS dist + σ by
+    level, then vd+1 unrolled predecessor-sampling steps where each pair
+    walks back one σ-weighted choice drawn from the shared md5 porthash.
+    σ sums and the x threshold are integer-derived doubles, so the
+    cum/tot > x comparisons are bit-identical across engines."""
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
+        f"""prs AS MATERIALIZED (SELECT p, iu AS u, CASE WHEN iv0 >= iu THEN iv0 + 1 ELSE iv0 END AS v FROM (
+    SELECT CAST(u.i AS BIGINT) AS p,
+           {_porthash_sql('u.i', f'ab{seed}:u:')} % {n} AS iu,
+           {_porthash_sql('u.i', f'ab{seed}:v:')} % {n - 1} AS iv0
+    FROM UNNEST(range({r})) AS u(i)))""",
+        "roots AS (SELECT DISTINCT u AS id FROM prs)",
+        """wk(root, node, dist) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM roots
+    UNION
+    SELECT wk.root, e.dst, wk.dist + 1 FROM wk JOIN edges e ON wk.node = e.src WHERE wk.dist < 96)""",
+        "sp AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM wk GROUP BY root, node)",
+        "sg0 AS MATERIALIZED (SELECT id AS root, id AS node, CAST(1 AS DOUBLE) AS sigma FROM roots)",
+    ]
+    for d in range(1, levels + 1):
+        ctes.append(f"""sg{d} AS MATERIALIZED (
+  SELECT s.root, e.dst AS node, sum(s.sigma) AS sigma
+  FROM sg{d - 1} s JOIN edges e ON s.node = e.src
+  JOIN sp p ON p.root = s.root AND p.node = e.dst
+  WHERE p.dist = {d} GROUP BY s.root, e.dst)""")
+    allsg = " UNION ALL ".join(f"SELECT * FROM sg{d}" for d in range(levels + 1))
+    ctes.append(
+        f"vis AS MATERIALIZED (SELECT g.root, g.node, p.dist, g.sigma FROM ({allsg}) g "
+        "JOIN sp p ON p.root = g.root AND p.node = g.node)"
+    )
+    ctes.append("""act0 AS (SELECT p.p AS pair, p.u, p.v AS cur FROM prs p
+  WHERE EXISTS (SELECT 1 FROM sp WHERE sp.root = p.u AND sp.node = p.v AND sp.dist > 0))""")
+    contribs = []
+    for st in range(1, vd + 2):
+        x = f"({_porthash_sql('pair', f'ab{seed}:x:{st}:')} % {m_mod}) / {float(m_mod)}"
+        ctes.append(f"""cd{st} AS (
+  SELECT a.pair, a.u, e.src AS z, vz.sigma AS sz
+  FROM act{st - 1} a
+  JOIN edges e ON e.dst = a.cur
+  JOIN vis vz ON vz.root = a.u AND vz.node = e.src
+  JOIN vis vc ON vc.root = a.u AND vc.node = a.cur
+  WHERE vz.dist = vc.dist - 1)""")
+        ctes.append(f"""ch{st} AS MATERIALIZED (SELECT pair, u, z AS cur FROM (
+  SELECT pair, u, z, row_number() OVER (PARTITION BY pair ORDER BY z) AS rn FROM (
+    SELECT pair, u, z,
+      sum(sz) OVER (PARTITION BY pair ORDER BY z) AS cum,
+      sum(sz) OVER (PARTITION BY pair) AS tot,
+      {x} AS x
+    FROM cd{st}) f WHERE cum / tot > x) g WHERE rn = 1)""")
+        ctes.append(
+            f"act{st} AS MATERIALIZED (SELECT pair, u, cur FROM ch{st} WHERE cur <> u)"
+        )
+        contribs.append(f"SELECT cur AS id FROM ch{st} WHERE cur <> u")
+    allc = " UNION ALL ".join(contribs)
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f""",
+allc AS ({allc}),
+sc AS (SELECT id, count(*) / {float(r)} AS s FROM allc GROUP BY id)
+SELECT n.id, round(coalesce(sc.s, 0.0), 6) AS score
+FROM nodes n LEFT JOIN sc ON sc.id = n.id
+"""
+
+
+PPR_ITERS = 40  # measured PPR convergence at sf0.01 = iteration 19 (δ≤1e-6)
+GCE_ROUNDS = 12  # mirrors q_graph_gce's max_iterations cap
+
+
+def _nibble_sql(iters: int = PPR_ITERS, alpha: float = 0.5, tol: float = 1e-6) -> str:
+    """CTE text replaying pagerank_nibble (operators/scd.py): power-
+    iteration PPR unrolled with the same delta<=tol stopping rule (the
+    scores at the FIRST converged iteration are used, extra iterations
+    are dead CTEs), then the conductance sweep over the support ranked
+    by score/wdeg. Returns a fragment ending in CTE ``nibble(id)``;
+    expects e0 to exist."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM e0 UNION ALL SELECT dst, src, 1.0 FROM e0)",
+        "gwdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS wdeg FROM edges GROUP BY src)",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, e.weight / w.wdeg AS frac FROM edges e JOIN gwdeg w ON w.id = e.src)",
+        f"restart AS (SELECT CAST(0 AS BIGINT) AS id, CAST({1.0 - alpha} AS DOUBLE) AS restart)",
+        "psc0 AS (SELECT id, restart AS score FROM restart)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""pg{k} AS (SELECT e.dst AS id, sum(e.frac * s.score) AS gather
+      FROM ed e JOIN psc{k - 1} s ON s.id = e.src GROUP BY e.dst)""")
+        ctes.append(f"""psc{k} AS MATERIALIZED (SELECT coalesce(g.id, r.id) AS id,
+      coalesce(r.restart, 0.0) + {alpha} * coalesce(g.gather, 0.0) AS score
+      FROM pg{k} g FULL JOIN restart r ON r.id = g.id)""")
+        ctes.append(f"""pdl{k} AS (SELECT sum(abs(coalesce(n.score, 0.0) - coalesce(o.score, 0.0))) AS d
+      FROM psc{k} n FULL JOIN psc{k - 1} o ON o.id = n.id)""")
+    alls = " UNION ALL ".join(
+        f"SELECT {k} AS it, id, score FROM psc{k}" for k in range(1, iters + 1)
+    )
+    alld = " UNION ALL ".join(
+        f"SELECT {k} AS it, d FROM pdl{k}" for k in range(1, iters + 1)
+    )
+    ctes.append(f"pallsc AS ({alls})")
+    ctes.append(f"palld AS ({alld})")
+    ctes.append(f"pstop AS (SELECT coalesce(min(it), {iters}) AS s FROM palld WHERE d <= {tol})")
+    ctes.append("ppr AS MATERIALIZED (SELECT id, score FROM pallsc, pstop WHERE it = pstop.s)")
+    ctes.append("supp AS (SELECT id, score FROM ppr WHERE score > 1e-9)")
+    ctes.append("tv AS (SELECT sum(wdeg) AS total_vol FROM gwdeg)")
+    ctes.append("""rk AS MATERIALIZED (SELECT s.id, w.wdeg,
+      row_number() OVER (ORDER BY s.score / w.wdeg DESC, s.id ASC) AS rank
+      FROM supp s JOIN gwdeg w ON w.id = s.id WHERE w.wdeg > 0)""")
+    ctes.append("""ia AS (SELECT greatest(ru.rank, rv.rank) AS rank, CAST(count(*) AS DOUBLE) AS internal_w
+      FROM e0 e JOIN rk ru ON ru.id = e.src JOIN rk rv ON rv.id = e.dst GROUP BY 1)""")
+    ctes.append("""sweep AS (SELECT rk.id, rk.rank,
+      sum(rk.wdeg) OVER (ORDER BY rk.rank ROWS UNBOUNDED PRECEDING) AS vol,
+      2.0 * sum(coalesce(ia.internal_w, 0.0)) OVER (ORDER BY rk.rank ROWS UNBOUNDED PRECEDING) AS int2
+      FROM rk LEFT JOIN ia ON ia.rank = rk.rank)""")
+    ctes.append("""sphi AS (SELECT id, rank, CASE WHEN least(vol, tv.total_vol - vol) > 0
+      THEN (vol - int2) / least(vol, tv.total_vol - vol)
+      ELSE CAST('inf' AS DOUBLE) END AS phi FROM sweep, tv)""")
+    ctes.append("bst AS (SELECT rank FROM sphi ORDER BY phi ASC, rank ASC LIMIT 1)")
+    ctes.append("nibble AS (SELECT id FROM sphi, bst WHERE sphi.rank <= bst.rank)")
+    return ",\n".join(ctes)
+
+
+def _gce_sql(rounds: int = GCE_ROUNDS) -> str:
+    """CTE text replaying gce (operators/scd.py, objective M) from seed
+    0: per round the shell node with the best ΔQ (ties by smallest id)
+    joins while ΔQ > 0; rejected rounds are self-stabilizing no-ops.
+    All weights are 1.0 on this graph so the scalar state arithmetic is
+    integer-valued doubles — cross-engine exact. Ends in ``com{rounds}``;
+    expects e0 to exist."""
+    inf = "CAST('inf' AS DOUBLE)"
+    ctes = [
+        "gsym AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM e0 UNION ALL SELECT dst, src, 1.0 FROM e0)",
+        "ggwdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS wdeg FROM gsym GROUP BY src)",
+        "com0 AS (SELECT CAST(0 AS BIGINT) AS node)",
+        """gst0 AS (SELECT
+    coalesce((SELECT sum(s.weight) FROM gsym s
+       WHERE s.src IN (SELECT node FROM com0) AND s.dst IN (SELECT node FROM com0)), 0.0) / 2.0 AS iw,
+    coalesce((SELECT sum(s.weight) FROM gsym s
+       WHERE s.src IN (SELECT node FROM com0) AND s.dst NOT IN (SELECT node FROM com0)), 0.0) AS cut)""",
+        "gq0 AS (SELECT CASE WHEN cut > 0 THEN iw / cut ELSE 0.0 END AS q, iw, cut FROM gst0)",
+    ]
+    for k in range(1, rounds + 1):
+        pq = k - 1
+        ctes.append(f"""gsh{k} AS (
+  SELECT t.node, t.intdeg, w.wdeg - t.intdeg AS extdeg FROM (
+    SELECT s.src AS node, sum(s.weight) AS intdeg FROM gsym s
+    WHERE s.dst IN (SELECT node FROM com{pq}) AND s.src NOT IN (SELECT node FROM com{pq})
+    GROUP BY s.src) t JOIN ggwdeg w ON w.id = t.node)""")
+        ctes.append(f"""gbst{k} AS (
+  SELECT s.node, s.intdeg, s.extdeg,
+    CASE WHEN (q.cut - s.intdeg + s.extdeg) > 0
+         THEN (q.iw + s.intdeg) / (q.cut - s.intdeg + s.extdeg)
+         ELSE {inf} END AS qnew
+  FROM gsh{k} s, gq{pq} q ORDER BY qnew DESC, s.node ASC LIMIT 1)""")
+        ctes.append(f"gacc{k} AS MATERIALIZED (SELECT b.* FROM gbst{k} b, gq{pq} q WHERE b.qnew - q.q > 0)")
+        ctes.append(f"com{k} AS MATERIALIZED (SELECT node FROM com{pq} UNION ALL SELECT node FROM gacc{k})")
+        ctes.append(f"""gq{k} AS MATERIALIZED (SELECT
+    CASE WHEN ncut > 0 THEN niw / ncut ELSE {inf} END AS q, niw AS iw, ncut AS cut FROM (
+      SELECT q.iw + coalesce((SELECT intdeg FROM gacc{k}), 0.0) AS niw,
+             q.cut - coalesce((SELECT intdeg FROM gacc{k}), 0.0) + coalesce((SELECT extdeg FROM gacc{k}), 0.0) AS ncut
+      FROM gq{pq} q) t)""")
+    return ",\n".join(ctes)
+
+
+def _scd_sql() -> str:
+    """(method, node) oracle for graph_scd: PageRankNibble + GCE replay."""
+    return f"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+{_nibble_sql()},
+{_gce_sql()}
+SELECT 'nibble' AS method, id AS node FROM nibble
+UNION ALL
+SELECT 'gce' AS method, node FROM com{GCE_ROUNDS}
 """
 
 

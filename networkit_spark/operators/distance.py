@@ -872,6 +872,7 @@ def approx_betweenness(
     universal_constant: float = 1.0,
     seed: int = 42,
     runner: SuperstepRunner | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """ApproxBetweenness (``centrality/ApproxBetweenness.cpp:30-95``,
     Riondato-Kornaropoulos): (id, score) with the ε-δ guarantee
@@ -915,9 +916,16 @@ def approx_betweenness(
         g.nodes.select(F.col("id").alias("key")), ["key"]
     ).transform(pin)  # (key=node id, id=dense rank)
 
+    from networkit_spark.functions.porthash import md5_mod
+
     samp = spark.range(r).select(F.col("id").alias("pair"))
-    iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
-    iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+    # portable_hash: md5-porthash draws a DuckDB oracle can replay exactly
+    if portable_hash:
+        iu = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:u:"), F.lit(n))
+        iv0 = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:v:"), F.lit(n - 1))
+    else:
+        iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+        iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
     iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
     pairs = (
         samp.select("pair", iu.alias("iu"), iv.alias("iv"))
@@ -981,13 +989,18 @@ def approx_betweenness(
         )
         w_cum = Window.partitionBy("pair").orderBy("z")
         w_tot = Window.partitionBy("pair")
-        x = (
-            F.pmod(
-                F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
-                F.lit(M),
+        if portable_hash:
+            x = F.pmod(
+                md5_mod(F.col("pair"), salt=f"ab{seed}:x:{step}:"), F.lit(M)
+            ) / F.lit(float(M))
+        else:
+            x = (
+                F.pmod(
+                    F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
+                    F.lit(M),
+                )
+                / F.lit(float(M))
             )
-            / F.lit(float(M))
-        )
         chosen = (
             cand.withColumn("cum", F.sum("sz").over(w_cum))
             .withColumn("tot", F.sum("sz").over(w_tot))
@@ -1138,9 +1151,16 @@ def approx_group_betweenness(
     mapping = assign_dense_ids(
         g.nodes.select(F.col("id").alias("key")), ["key"]
     ).transform(pin)
+    from networkit_spark.functions.porthash import md5_mod
+
     samp = spark.range(r).select(F.col("id").alias("pair"))
-    iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
-    iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+    # portable_hash: md5-porthash draws a DuckDB oracle can replay exactly
+    if portable_hash:
+        iu = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:u:"), F.lit(n))
+        iv0 = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:v:"), F.lit(n - 1))
+    else:
+        iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+        iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
     iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
     pairs = (
         samp.select("pair", iu.alias("iu"), iv.alias("iv"))
