@@ -331,7 +331,7 @@ def q_graph_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PLM / Louvain (deterministic seeded move gating) on the nodes < 200
-    subgraph — no SQL oracle (multilevel modularity optimization).
+    subgraph — exact two-level move-round replay oracle (_plm_sql).
 
     Gate budget: the subgraph is tiny (≤200 nodes), so shuffle width is
     dropped to 4 around the call — per-round Spark overhead, not data,
@@ -342,7 +342,9 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        labels = plm(sub, max_rounds=4, max_levels=2).labels
+        # portable md5 move gating: the DuckDB oracle replays both levels'
+        # move rounds exactly (_plm_sql)
+        labels = plm(sub, max_rounds=4, max_levels=2, portable_hash=True).labels
         labels = labels.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -2275,6 +2277,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     base["graph_randomized"] = _randomized_sql()
     base["graph_approx_betweenness"] = _approx_betweenness_sql()
     base["graph_scd"] = _scd_sql()
+    base["graph_plm"] = _plm_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2765,6 +2768,98 @@ def _scd_sql() -> str:
 SELECT 'nibble' AS method, id AS node FROM nibble
 UNION ALL
 SELECT 'gce' AS method, node FROM com{GCE_ROUNDS}
+"""
+
+
+PLM_ROUNDS = 4  # mirrors q_graph_plm's max_rounds; levels fixed at 2
+
+
+def _plm_level_ctes(level: int, rounds: int, gamma: float, gate_extra: str) -> list[str]:
+    """One PLM local-moving phase as chained CTEs (mirror of
+    operators/louvain.py::_local_moving with portable_hash). Expects
+    ed{L}(src,dst,w), nl{L}, vol{L}(id,vol), t{L}(total), lab{L}_0.
+    Implements the same quiet>=2 early stop by suppressing later rounds'
+    move CTEs when two consecutive rounds moved nothing. Weights and
+    volumes are integer/half-integer doubles, so the modularity-gain
+    arithmetic is bit-identical across engines."""
+    L = level
+    ctes = []
+    for r in range(1, rounds + 1):
+        prev = f"lab{L}_{r - 1}"
+        stops = ""
+        if r >= 3:
+            clauses = [
+                f"NOT ((SELECT c FROM mc{L}_{k}) = 0 AND (SELECT c FROM mc{L}_{k + 1}) = 0)"
+                for k in range(1, r - 1)
+            ]
+            stops = " AND " + " AND ".join(clauses)
+        ctes.append(f"""cv{L}_{r} AS (SELECT l.label, sum(v.vol) AS cvol
+  FROM {prev} l JOIN vol{L} v ON v.id = l.node GROUP BY l.label)""")
+        ctes.append(f"""af{L}_{r} AS MATERIALIZED (SELECT e.src AS node, l.label AS cand, sum(e.w) AS aff
+  FROM nl{L} e JOIN {prev} l ON l.node = e.dst GROUP BY e.src, l.label)""")
+        ctes.append(f"""cd{L}_{r} AS (
+  SELECT a.node, a.cand,
+    (a.aff - coalesce(own.aff, 0.0)) / t.total
+    + {gamma} * ((cvc.cvol - v.vol) - cvd.cvol) * v.vol / (2.0 * t.total * t.total) AS delta
+  FROM af{L}_{r} a
+  JOIN {prev} c ON c.node = a.node
+  LEFT JOIN af{L}_{r} own ON own.node = a.node AND own.cand = c.label
+  JOIN vol{L} v ON v.id = a.node
+  JOIN cv{L}_{r} cvc ON cvc.label = c.label
+  JOIN cv{L}_{r} cvd ON cvd.label = a.cand
+  CROSS JOIN t{L} t
+  WHERE ({_porthash_sql('a.node', f'plm{r - 1}:')} % 2 = 0) AND a.cand <> c.label)""")
+        ctes.append(f"""mv{L}_{r} AS MATERIALIZED (SELECT node, cand AS new_label FROM (
+   SELECT node, cand, delta, row_number() OVER (PARTITION BY node ORDER BY delta DESC, cand ASC) AS rn
+   FROM cd{L}_{r}) z WHERE rn = 1 AND delta > 0{stops}{gate_extra})""")
+        ctes.append(f"""lab{L}_{r} AS MATERIALIZED (SELECT l.node, coalesce(m.new_label, l.label) AS label
+   FROM {prev} l LEFT JOIN mv{L}_{r} m ON m.node = l.node)""")
+        ctes.append(f"mc{L}_{r} AS (SELECT count(*) AS c FROM mv{L}_{r})")
+    return ctes
+
+
+def _plm_sql(rounds: int = PLM_ROUNDS, gamma: float = 1.0) -> str:
+    """(node, label) oracle for graph_plm: exact replay of the two-level
+    portable-hash PLM — level-1 move rounds on the sub200 graph,
+    ParallelPartitionCoarsening contraction (same-label non-loop weight
+    halved into the supernode self-loop), level-2 move rounds gated on
+    level 1 having moved AND contracted, then label prolongation."""
+    mvsum = " + ".join(f"(SELECT c FROM mc1_{k})" for k in range(1, rounds + 1))
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        "nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
+        "ed1 AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM e0 UNION ALL SELECT dst, src, 1.0 FROM e0)",
+        "nl1 AS (SELECT * FROM ed1 WHERE src <> dst)",
+        "vol1 AS MATERIALIZED (SELECT n.id, coalesce(d.wdeg, 0.0) AS vol FROM nodes n LEFT JOIN (SELECT src AS id, sum(w) AS wdeg FROM ed1 GROUP BY src) d ON d.id = n.id)",
+        "t1 AS (SELECT sum(CASE WHEN src = dst THEN w ELSE w / 2 END) AS total FROM ed1)",
+        "lab1_0 AS (SELECT id AS node, id AS label FROM nodes)",
+    ]
+    ctes += _plm_level_ctes(1, rounds, gamma, "")
+    ctes += [
+        f"flab AS MATERIALIZED (SELECT node, label FROM lab1_{rounds})",
+        f"""lvl2go AS (SELECT (
+    ({mvsum}) > 0
+    AND (SELECT count(DISTINCT label) FROM flab) < (SELECT count(*) FROM nodes)) AS go)""",
+        """ed2 AS MATERIALIZED (SELECT lu AS src, lv AS dst,
+    sum(CASE WHEN lu = lv AND x.src <> x.dst THEN x.w / 2 ELSE x.w END) AS w
+  FROM (SELECT e.src, e.dst, e.w, a.label AS lu, b.label AS lv
+        FROM ed1 e JOIN flab a ON a.node = e.src JOIN flab b ON b.node = e.dst) x
+  GROUP BY lu, lv)""",
+        "nodes2 AS (SELECT DISTINCT label AS id FROM flab)",
+        "nl2 AS (SELECT src, dst, w FROM ed2 WHERE src <> dst)",
+        """vol2 AS MATERIALIZED (SELECT n.id,
+    coalesce(d.wdeg, 0.0) + coalesce(l.loop_w, 0.0) AS vol
+  FROM nodes2 n
+  LEFT JOIN (SELECT src AS id, sum(w) AS wdeg FROM ed2 GROUP BY src) d ON d.id = n.id
+  LEFT JOIN (SELECT src AS id, sum(w) AS loop_w FROM ed2 WHERE src = dst GROUP BY src) l ON l.id = n.id)""",
+        "t2 AS (SELECT sum(CASE WHEN src = dst THEN w ELSE w / 2 END) AS total FROM ed2)",
+        "lab2_0 AS (SELECT id AS node, id AS label FROM nodes2)",
+    ]
+    ctes += _plm_level_ctes(2, rounds, gamma, " AND (SELECT go FROM lvl2go)")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT f.node, l2.label FROM flab f JOIN lab2_{rounds} l2 ON l2.node = f.label
 """
 
 

@@ -1151,16 +1151,9 @@ def approx_group_betweenness(
     mapping = assign_dense_ids(
         g.nodes.select(F.col("id").alias("key")), ["key"]
     ).transform(pin)
-    from networkit_spark.functions.porthash import md5_mod
-
     samp = spark.range(r).select(F.col("id").alias("pair"))
-    # portable_hash: md5-porthash draws a DuckDB oracle can replay exactly
-    if portable_hash:
-        iu = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:u:"), F.lit(n))
-        iv0 = F.pmod(md5_mod(F.col("pair"), salt=f"ab{seed}:v:"), F.lit(n - 1))
-    else:
-        iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
-        iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+    iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+    iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
     iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
     pairs = (
         samp.select("pair", iu.alias("iu"), iv.alias("iv"))

@@ -49,7 +49,11 @@ class PLMResult:
 
 
 def _local_moving(
-    g: Graph, gamma: float, max_rounds: int, runner: SuperstepRunner
+    g: Graph,
+    gamma: float,
+    max_rounds: int,
+    runner: SuperstepRunner,
+    portable_hash: bool = False,
 ) -> tuple[DataFrame, int]:
     """One Louvain move phase. Returns ((node, label), total moves)."""
     edges = (g.symmetrized_edges() if g.directed else g.edges).select(
@@ -107,7 +111,13 @@ def _local_moving(
         # parity) re-coordinates the same sets every other round and the
         # oscillation persists — a hashed random half breaks such cycles
         # with probability 1 while staying reproducible at any parallelism.
-        movable = F.xxhash64(F.col("node"), F.lit(rnd), F.lit(9172)) % 2 == 0
+        if portable_hash:
+            from networkit_spark.functions.porthash import md5_mod
+
+            # md5-porthash gate so a DuckDB oracle replays identical rounds
+            movable = md5_mod(F.col("node"), salt=f"plm{rnd}:") % 2 == 0
+        else:
+            movable = F.xxhash64(F.col("node"), F.lit(rnd), F.lit(9172)) % 2 == 0
         cand = (
             aff.join(cur, "node")
             .filter(movable)
@@ -168,6 +178,7 @@ def plm(
     max_rounds: int = 32,
     max_levels: int = 10,
     runner: SuperstepRunner | None = None,
+    portable_hash: bool = False,
 ) -> PLMResult:
     """Multilevel Louvain. Returns canonical (node, label) — labels are
     representative node ids at the coarsest level, compacted afterwards
@@ -181,7 +192,9 @@ def plm(
     all_moves = 0
     while levels < max_levels:
         levels += 1
-        labels, moved = _local_moving(current, gamma, max_rounds, runner)
+        labels, moved = _local_moving(
+            current, gamma, max_rounds, runner, portable_hash
+        )
         all_moves += moved
         mapping = (
             labels
