@@ -2278,6 +2278,7 @@ UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
     base["graph_approx_betweenness"] = _approx_betweenness_sql()
     base["graph_scd"] = _scd_sql()
     base["graph_plm"] = _plm_sql()
+    base["graph_ctd"] = _ctd_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
     # extension (a clique [..., last] extends by any neighbor-of-all with
@@ -2860,6 +2861,87 @@ def _plm_sql(rounds: int = PLM_ROUNDS, gamma: float = 1.0) -> str:
     ctes += _plm_level_ctes(2, rounds, gamma, " AND (SELECT go FROM lvl2go)")
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT f.node, l2.label FROM flab f JOIN lab2_{rounds} l2 ON l2.node = f.label
+"""
+
+
+CG_ITERS = 20  # measured CG convergence at sf0.01 = 12 iterations (rs/bn 2.7e-9)
+
+
+def _ctd_sql(iters: int = CG_ITERS, tol: float = 1e-4, n: int = 200) -> str:
+    """(u, v, ectd) oracle for graph_ctd: replay of the conjugate-
+    gradient Laplacian solve (operators/numerics.py::laplacian_solve /
+    commute_time_distance). The pair is re-derived the same way (two
+    smallest ids in the largest component); CG is unrolled with the same
+    rs/bn <= tol² stop rule and every-4th-iteration demeaning. The
+    scalar recurrence is identical; only float summation order differs
+    across engines, and at sf0.01 convergence lands 3 orders below the
+    threshold and the result is rounded to 4 decimals, far above the
+    ~1e-9 cross-engine noise."""
+    ctes = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        "edges AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM e0 UNION ALL SELECT dst, src, 1.0 FROM e0)",
+        f"nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range({n})) AS u(i))",
+        """wkc(root, node) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT w.root, e.dst FROM wkc w JOIN edges e ON w.node = e.src)""",
+        "clab AS MATERIALIZED (SELECT node, min(root) AS label FROM wkc GROUP BY node)",
+        "big AS (SELECT label FROM clab GROUP BY label ORDER BY count(*) DESC, label ASC LIMIT 1)",
+        "pr AS MATERIALIZED (SELECT min(node) AS u, min(CASE WHEN node > (SELECT min(node) FROM clab, big WHERE clab.label = big.label) THEN node END) AS v FROM clab, big WHERE clab.label = big.label)",
+        "vol AS (SELECT sum(w) AS v FROM edges)",
+        "wdeg AS MATERIALIZED (SELECT src AS id, sum(w) AS wdeg FROM edges GROUP BY src)",
+        """bv AS (SELECT n.id, CASE WHEN n.id = pr.u THEN 1.0 WHEN n.id = pr.v THEN -1.0 ELSE 0.0 END AS value
+    FROM nodes n, pr)""",
+        f"r0 AS MATERIALIZED (SELECT id, value - (SELECT sum(value) FROM bv) / {n} AS value FROM bv)",
+        "x0 AS (SELECT id, 0.0 AS value FROM nodes)",
+        "p0 AS (SELECT * FROM r0)",
+        "rs0 AS (SELECT sum(value * value) AS s FROM r0)",
+        "bn AS (SELECT greatest(s, 1e-300) AS s FROM rs0)",
+    ]
+    for k in range(1, iters + 1):
+        pk, xk, rk = f"p{k - 1}", f"x{k - 1}", f"r{k - 1}"
+        ctes.append(f"""ap{k} AS MATERIALIZED (SELECT x.id,
+    coalesce(d.wdeg, 0.0) * x.value - coalesce(g.ax, 0.0) AS value
+  FROM {pk} x
+  LEFT JOIN wdeg d ON d.id = x.id
+  LEFT JOIN (SELECT e.src AS id, sum(e.w * px.value) AS ax
+             FROM edges e JOIN {pk} px ON px.id = e.dst GROUP BY e.src) g ON g.id = x.id)""")
+        ctes.append(
+            f"al{k} AS (SELECT (SELECT s FROM rs{k - 1}) / "
+            f"(SELECT sum(a.value * p.value) FROM ap{k} a JOIN {pk} p ON p.id = a.id) AS a)"
+        )
+        ctes.append(
+            f"xx{k} AS MATERIALIZED (SELECT x.id, x.value + (SELECT a FROM al{k}) * p.value AS value "
+            f"FROM {xk} x JOIN {pk} p ON p.id = x.id)"
+        )
+        ctes.append(
+            f"rr{k} AS MATERIALIZED (SELECT r.id, r.value - (SELECT a FROM al{k}) * a.value AS value "
+            f"FROM {rk} r JOIN ap{k} a ON a.id = r.id)"
+        )
+        if k % 4 == 0:
+            ctes.append(f"x{k} AS MATERIALIZED (SELECT id, value - (SELECT sum(value) FROM xx{k}) / {n} AS value FROM xx{k})")
+            ctes.append(f"r{k} AS MATERIALIZED (SELECT id, value - (SELECT sum(value) FROM rr{k}) / {n} AS value FROM rr{k})")
+        else:
+            ctes.append(f"x{k} AS (SELECT * FROM xx{k})")
+            ctes.append(f"r{k} AS (SELECT * FROM rr{k})")
+        ctes.append(f"rs{k} AS MATERIALIZED (SELECT sum(value * value) AS s FROM r{k})")
+        ctes.append(f"be{k} AS (SELECT (SELECT s FROM rs{k}) / (SELECT s FROM rs{k - 1}) AS b)")
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT r.id, r.value + (SELECT b FROM be{k}) * p.value AS value "
+            f"FROM r{k} r JOIN {pk} p ON p.id = r.id)"
+        )
+    allrs = " UNION ALL ".join(f"SELECT {k} AS it, s FROM rs{k}" for k in range(0, iters + 1))
+    allx = " UNION ALL ".join(f"SELECT {k} AS it, id, value FROM x{k}" for k in range(0, iters + 1))
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f""",
+allrs AS ({allrs}),
+allx AS ({allx}),
+stop AS (SELECT coalesce(min(it), {iters}) AS s FROM allrs, bn WHERE allrs.s / bn.s <= {tol} * {tol}),
+xf AS (SELECT id, value FROM allx, stop WHERE it = stop.s)
+SELECT pr.u, pr.v,
+  round(sqrt(vol.v * ((SELECT value FROM xf, pr WHERE id = pr.u) - (SELECT value FROM xf, pr WHERE id = pr.v))), 4) AS ectd
+FROM pr, vol
 """
 
 
