@@ -1,6 +1,7 @@
 from networkit_spark.streaming.dynamics import (
     EVENT_SCHEMA,
     DynConnectedComponents,
+    DynKatzCentrality,
     apply_events,
     events_of,
     parse_dgs_lines,
@@ -14,4 +15,5 @@ __all__ = [
     "events_of",
     "parse_dgs_lines",
     "DynConnectedComponents",
+    "DynKatzCentrality",
 ]

@@ -282,6 +282,71 @@ class DynConnectedComponents:
         return self.labels
 
 
+class DynKatzCentrality:
+    """Incrementally-maintained Katz centrality
+    (``centrality/DynKatzCentrality.cpp`` semantics at the fixed point).
+
+    The reference maintains per-hop walk-count upper/lower bounds and
+    tightens them after each edge event; the distributed analogue keeps
+    the UNNORMALIZED Katz fixpoint vector and, after an event batch,
+    re-converges the power iteration warm-started from it — the
+    perturbation of a small batch needs only the few iterations its
+    influence radius spans (1-3 in the tests) instead of a cold start's
+    ~15. α is pinned at construction (the reference keeps its α across
+    updates; recomputing 1/(1+maxDegree) on the updated graph would
+    silently change the operator being maintained). Additions and
+    removals both re-converge from the warm vector — Katz is a global
+    contraction, so the warm start is valid in both directions (unlike
+    the distance kernels, no removal recompute path is needed).
+
+    ``scores`` always holds the current normalized (id, score) table,
+    comparable with a fresh :func:`katz_centrality` run.
+    """
+
+    def __init__(
+        self,
+        g: Graph,
+        alpha: float | None = None,
+        beta: float = 0.1,
+        tol: float = 1e-8,
+        runner: SuperstepRunner | None = None,
+    ) -> None:
+        from networkit_spark.operators.spectral import katz_centrality
+
+        if alpha is None:
+            max_deg = (
+                g.edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+                or 0
+            )
+            alpha = 1.0 / (1.0 + max_deg)
+        self.alpha = float(alpha)
+        self.beta = beta
+        self.tol = tol
+        self.graph = g
+        self.runner = runner or SuperstepRunner(g.edges.sparkSession)
+        res = katz_centrality(g, alpha=self.alpha, beta=beta, tol=tol, runner=self.runner)
+        self.scores = res.scores
+        self._raw = res.raw_scores.localCheckpoint(eager=True)
+        self.iterations = res.iterations
+
+    def update_batch(self, events: DataFrame) -> DataFrame:
+        from networkit_spark.operators.spectral import katz_centrality
+
+        self.graph = apply_events(self.graph, events)
+        res = katz_centrality(
+            self.graph,
+            alpha=self.alpha,
+            beta=self.beta,
+            tol=self.tol,
+            runner=self.runner,
+            initial_scores=self._raw,
+        )
+        self.scores = res.scores
+        self._raw = res.raw_scores.localCheckpoint(eager=True)
+        self.iterations = res.iterations
+        return self.scores
+
+
 def run_event_stream(
     stream_events: DataFrame,
     base: Graph,

@@ -120,3 +120,41 @@ def test_apsp_update_additions_matches_recompute(spark):
         for r in multi_source_bfs(g1, g1.nodes, with_sigma=False).visited.collect()
     }
     assert upd == fresh
+
+
+def test_dyn_katz_matches_fresh_run(spark):
+    """DynKatzCentrality: warm-started update == fresh Katz on the
+    updated graph (centrality/DynKatzCentrality.cpp gtest pattern),
+    for additions AND removals, with alpha pinned at construction."""
+    from networkit_spark.operators.spectral import katz_centrality
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        EDGE_REMOVAL,
+        DynKatzCentrality,
+        events_of,
+    )
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)]
+    g0 = Graph.of(spark, base, n=6)
+    dyn = DynKatzCentrality(g0, tol=1e-9)
+    alpha = dyn.alpha
+
+    # batch 1: add two edges (one touching the isolated node 5)
+    ev1 = events_of(
+        spark, [(1, EDGE_ADDITION, 2, 5, 1.0), (2, EDGE_ADDITION, 0, 3, 1.0)]
+    )
+    got1 = {r["id"]: round(r["score"], 8) for r in dyn.update_batch(ev1).collect()}
+    fresh1 = katz_centrality(dyn.graph, alpha=alpha, tol=1e-9)
+    want1 = {r["id"]: round(r["score"], 8) for r in fresh1.scores.collect()}
+    assert got1 == want1
+    # warm start converges in far fewer iterations than the cold run
+    assert dyn.iterations < fresh1.iterations
+
+    # batch 2: removal re-converges from the warm vector too
+    ev2 = events_of(spark, [(3, EDGE_REMOVAL, 1, 3, 1.0)])
+    got2 = {r["id"]: round(r["score"], 8) for r in dyn.update_batch(ev2).collect()}
+    want2 = {
+        r["id"]: round(r["score"], 8)
+        for r in katz_centrality(dyn.graph, alpha=alpha, tol=1e-9).scores.collect()
+    }
+    assert got2 == want2
