@@ -12,12 +12,19 @@ enumeration both duplicate-free and globally maximal (a clique
 extendable by some w < v is rejected because w sits in X).
 
 Spark plan:
-1. ego-net edges = closed wedges (v; a, b adjacent neighbors of v) —
-   one triangle-style join, the same shape as triangle counting;
-2. ``groupBy(ego).applyInPandas`` runs plain-Python BK with pivoting per
-   ego-net — Arrow-batched, bounded by the ego size (Σ work = Σ_v
-   tri(v), the reference's bound too). Hub egos are the skew point,
-   exactly as hub adjacency lists are for the reference.
+1. rank nodes in a degeneracy-style order (core asc, degree asc, id
+   asc) — the reference's degeneracy ordering, computed from the
+   existing k-core kernel. Anchoring each clique at its MIN-RANK member
+   bounds every ego task by the FORWARD neighborhood (≈ core number),
+   so a million-degree hub anchors almost nothing instead of owning a
+   single giant Python task;
+2. ego-net edges = closed wedges among a node's FORWARD neighbors plus
+   its backward set for the X seed — one triangle-style join;
+3. ``groupBy(ego).applyInPandas`` runs plain-Python BK with pivoting per
+   ego-net — Arrow-batched, bounded by the forward-ego size.
+``max_ego`` guards the residual skew: egos whose forward set exceeds it
+are dropped with a logged count (the explicit-opt-in pattern of
+pipeline/dedup.py's ``max_df``).
 
 Output: one row per maximal clique of size ≥ ``min_size``, members
 sorted ascending.
@@ -33,14 +40,66 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import Graph
 
 
-def maximal_cliques(g: Graph, min_size: int = 1) -> DataFrame:
-    """(clique ARRAY<LONG>, size INT) — every maximal clique once."""
+def maximal_cliques(
+    g: Graph, min_size: int = 1, max_ego: int | None = None
+) -> DataFrame:
+    """(clique ARRAY<LONG>, size INT) — every maximal clique once.
+
+    ``max_ego``: optional bound on the forward-ego size a single BK task
+    may process; larger egos are DROPPED (their anchored cliques are not
+    enumerated) and the drop count is logged — set it only when bounded
+    latency matters more than completeness."""
+    from networkit_spark.operators.kcore import core_decomposition
+    from networkit_spark.plans.pin import pin
+
     adj = g.canonical_undirected_edges()  # (src < dst), simple
     # both directions for neighbor sets
     nbrs = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # closed wedges around v: neighbors a, b of v with (a, b) an edge
+    # degeneracy-style rank: (core asc, deg asc, id asc) — forward
+    # neighborhoods are core-number-sized, the reference's BK bound
+    # (clique/MaximalCliques.cpp degeneracy ordering)
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    core = core_decomposition(g)
+    # dense ranks via the range-partitioned id assigner — no global
+    # single-task window (the (core, deg, id) triple is unique per node)
+    from networkit_spark.ids import assign_dense_ids
+
+    triples = core.join(deg, "id", "left").select(
+        "core",
+        F.coalesce("deg", F.lit(0)).alias("deg"),
+        F.col("id").alias("nid"),
+    )
+    rank = assign_dense_ids(triples, ["core", "deg", "nid"]).select(
+        F.col("nid").alias("id"), F.col("id").alias("rk")
+    ).transform(pin)
+    rn = nbrs.join(rank.withColumnRenamed("id", "src").withColumnRenamed("rk", "rs"), "src").join(
+        rank.withColumnRenamed("id", "dst").withColumnRenamed("rk", "rd"), "dst"
+    )
+    if max_ego is not None:
+        import logging
+
+        fwd = (
+            rn.filter(F.col("rd") > F.col("rs"))
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        oversized = fwd.filter(F.col("f") > max_ego).select(F.col("src").alias("ego"))
+        n_drop = oversized.count()
+        if n_drop:
+            logging.getLogger(__name__).warning(
+                "maximal_cliques: dropping %d ego(s) with forward size > %d "
+                "— their anchored cliques are NOT enumerated",
+                n_drop,
+                max_ego,
+            )
+        oversized = oversized.transform(pin)
+    else:
+        oversized = None
+    # wedge pairs around each ego over its FULL neighbor set (forward
+    # members feed P, backward members feed X); the BK task partitions
+    # them by rank
     wedge = (
         nbrs.select(F.col("src").alias("ego"), F.col("dst").alias("a"))
         .join(
@@ -59,15 +118,27 @@ def maximal_cliques(g: Graph, min_size: int = 1) -> DataFrame:
     pairs = wedge.unionByName(
         nbrs.select(F.col("src").alias("ego"), F.col("dst").alias("a"), F.col("dst").alias("b"))
     )
+    if oversized is not None:
+        pairs = pairs.join(oversized, "ego", "left_anti")
+    # attach ranks: the ego's own rank plus each member's rank
+    pairs = (
+        pairs.join(rank.withColumnRenamed("id", "ego").withColumnRenamed("rk", "rego"), "ego")
+        .join(rank.withColumnRenamed("id", "a").withColumnRenamed("rk", "ra"), "a")
+        .join(rank.withColumnRenamed("id", "b").withColumnRenamed("rk", "rb"), "b")
+    )
 
     def bk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         v = int(key[0])
+        rv = int(pdf["rego"].iloc[0])
+        rank_of: dict[int, int] = {}
         neigh: dict[int, set[int]] = {}
         members: set[int] = set()
-        for a, b in zip(pdf["a"], pdf["b"]):
+        for a, b, ra, rb in zip(pdf["a"], pdf["b"], pdf["ra"], pdf["rb"]):
             a, b = int(a), int(b)
             members.add(a)
             members.add(b)
+            rank_of[a] = int(ra)
+            rank_of[b] = int(rb)
             if a != b:
                 neigh.setdefault(a, set()).add(b)
                 neigh.setdefault(b, set()).add(a)
@@ -86,8 +157,8 @@ def maximal_cliques(g: Graph, min_size: int = 1) -> DataFrame:
                 p = p - {u}
                 x = x | {u}
 
-        p0 = {u for u in members if u > v}
-        x0 = {u for u in members if u < v}
+        p0 = {u for u in members if rank_of[u] > rv}
+        x0 = {u for u in members if rank_of[u] < rv}
         expand({v}, p0, x0)
         # dtype=object keeps Arrow from treating same-length cliques as a
         # 2-D ndarray (NumPyConverter can't convert those to list<long>)

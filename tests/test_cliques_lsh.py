@@ -103,3 +103,41 @@ def test_ivf_topk_kmeans_recall(spark):
     }
     hits = sum(1 for q in exact if approx.get(q) == exact[q])
     assert hits >= 5, (hits, exact, approx)
+
+
+def test_cliques_degeneracy_anchor_and_max_ego(spark):
+    """Planted hub (star + clique): degeneracy-rank anchoring keeps the
+    hub's own BK task trivial, max_ego drops oversized egos with a
+    logged count, and the unbounded run still enumerates everything."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    # hub 0 joined to 20 leaves, plus a K4 on 21..24 (disjoint from star)
+    star = [(0, i) for i in range(1, 21)]
+    k4 = [(a, b) for a in range(21, 25) for b in range(a + 1, 25)]
+    g = Graph.of(spark, star + k4, n=25)
+
+    full = {tuple(r["clique"]) for r in maximal_cliques(g, min_size=2).collect()}
+    # every star edge is a maximal 2-clique; the K4 is one maximal clique
+    assert (21, 22, 23, 24) in full
+    assert all((0, i) in full for i in range(1, 21))
+
+    # hub forward set is tiny under degeneracy rank (hub ranks last in
+    # its class), so max_ego=5 must NOT drop the K4 or the star pairs
+    capped = {
+        tuple(r["clique"])
+        for r in maximal_cliques(g, min_size=2, max_ego=5).collect()
+    }
+    assert capped == full
+
+    # an aggressive cap on a denser graph drops egos (and only then)
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    g8 = Graph.of(spark, k8, n=8)
+    few = {
+        tuple(r["clique"])
+        for r in maximal_cliques(g8, min_size=2, max_ego=3).collect()
+    }
+    allk8 = {
+        tuple(r["clique"]) for r in maximal_cliques(g8, min_size=2).collect()
+    }
+    assert allk8 == {tuple(range(8))}
+    assert len(few) < len(allk8) or few != allk8  # the K8 clique was dropped
