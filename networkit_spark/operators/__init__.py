@@ -34,6 +34,7 @@ from networkit_spark.operators.bicc import (
 from networkit_spark.operators.components import weakly_connected_components
 from networkit_spark.operators.distance import (
     approx_betweenness,
+    bidirectional_bfs,
     apsp_update_additions,
     betweenness,
     closeness_centrality,
@@ -97,6 +98,7 @@ __all__ = [
     "biconnected_components",
     "weakly_connected_components",
     "approx_betweenness",
+    "bidirectional_bfs",
     "apsp_update_additions",
     "betweenness",
     "closeness_centrality",

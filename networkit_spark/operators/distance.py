@@ -426,6 +426,66 @@ def diameter_range(g: Graph, seed: int = 42) -> tuple[int, int]:
     return lb, 2 * lb
 
 
+def bidirectional_bfs(g: Graph, source: int, target: int) -> float:
+    """Point-to-point hop distance (``distance/BidirectionalBFS.cpp``):
+    expand the SMALLER of two frontiers — forward from ``source``, and
+    backward along in-edges from ``target`` — until the best meeting sum
+    can no longer improve. Returns inf when unreachable.
+
+    An s-t query touches O(b^(d/2)) nodes per side instead of a full
+    SSSP's O(b^d); every expansion is the same one-hop frontier join as
+    ``multi_source_bfs``, so the plan shape (and its scaling) is
+    unchanged — only the touched volume shrinks.
+    """
+    if int(source) == int(target):
+        return 0.0
+    spark = g.edges.sparkSession
+    fwd = (g.symmetrized_edges() if g.directed else g.edges).select("src", "dst")
+    bwd = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = fwd.transform(pin)
+    bwd = bwd.transform(pin)
+
+    def init(node: int) -> DataFrame:
+        return spark.createDataFrame([(int(node), 0)], "node long, dist long")
+
+    vis = {"a": init(source), "b": init(target)}
+    frontier = {"a": vis["a"], "b": vis["b"]}
+    fsize = {"a": 1, "b": 1}
+    edges = {"a": fwd, "b": bwd}
+    depth = {"a": 0, "b": 0}
+    best = float("inf")
+    while True:
+        # stop: any undiscovered meeting point costs ≥ depth_a+1 + depth_b+1
+        if best <= depth["a"] + depth["b"] + 1:
+            return best
+        if fsize["a"] == 0 or fsize["b"] == 0:
+            return best
+        side = "a" if fsize["a"] <= fsize["b"] else "b"
+        other = "b" if side == "a" else "a"
+        depth[side] += 1
+        nxt = (
+            edges[side]
+            .join(frontier[side].withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(vis[side], "node", "left_anti")
+            .select("node", F.lit(depth[side]).alias("dist"))
+            .transform(pin)
+        )
+        fsize[side] = nxt.count()
+        frontier[side] = nxt
+        vis[side] = vis[side].unionByName(nxt).transform(pin)
+        meet = (
+            nxt.join(
+                vis[other].withColumnRenamed("dist", "od"), "node"
+            )
+            .agg(F.min(F.col("dist") + F.col("od")))
+            .collect()[0][0]
+        )
+        if meet is not None:
+            best = min(best, float(meet))
+
+
 # --------------------------------------------------------------------------
 # Weighted SSSP (Bellman-Ford relax loop)
 # --------------------------------------------------------------------------

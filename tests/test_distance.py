@@ -500,3 +500,27 @@ def test_dyn_betweenness_update_matches_recompute(spark):
     fresh = {r["id"]: r["score"] for r in betweenness(g1).collect()}
     for v in range(7):
         assert upd[v] == pytest.approx(fresh[v], abs=1e-9), v
+
+
+def test_bidirectional_bfs_matches_full_bfs(spark):
+    """BidirectionalBFS == full-BFS hop distance on seeded random graphs,
+    including an unreachable pair (distance/BidirectionalBFS.cpp)."""
+    import random
+
+    from networkit_spark.operators.distance import bidirectional_bfs
+    from networkit_spark.operators.traversal import bfs
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 24
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)})
+        g = Graph.of(spark, edges, n=n)
+        full = {r["node"]: r["dist"] for r in bfs(g, 0).collect()}
+        for t in (1, 5, n - 1):
+            want = float(full.get(t, float("inf")))
+            got = bidirectional_bfs(g, 0, t)
+            assert got == want, (seed, t, got, want)
+    # same-node short-circuit
+    g2 = Graph.of(spark, [(0, 1)], n=3)
+    assert bidirectional_bfs(g2, 1, 1) == 0.0
+    assert bidirectional_bfs(g2, 0, 2) == float("inf")
