@@ -40,6 +40,7 @@ from networkit_spark.operators.distance import (
     closeness_centrality,
     diameter_exact,
     estimate_betweenness,
+    kadabra_betweenness,
     harmonic_closeness,
     multi_source_bfs,
     sssp,
@@ -67,7 +68,7 @@ from networkit_spark.operators.randomization import (
     global_curveball,
 )
 from networkit_spark.operators.reachability import reachable_nodes
-from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble
+from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble, tce
 from networkit_spark.operators.spectral import laplacian_centrality
 
 __all__ = [
@@ -104,6 +105,7 @@ __all__ = [
     "closeness_centrality",
     "diameter_exact",
     "estimate_betweenness",
+    "kadabra_betweenness",
     "harmonic_closeness",
     "multi_source_bfs",
     "sssp",
@@ -127,6 +129,7 @@ __all__ = [
     "reachable_nodes",
     "clique_detect",
     "gce",
+    "tce",
     "pagerank_nibble",
     "laplacian_centrality",
 ]

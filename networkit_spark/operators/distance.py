@@ -925,6 +925,173 @@ def top_closeness(g: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
     return scores.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
+def kadabra_betweenness(
+    g: Graph,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    seed: int = 42,
+    batch_size: int | None = None,
+    max_rounds: int = 64,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Adaptive-sampling betweenness
+    (``centrality/KadabraBetweenness.cpp:40-200`` absolute-error mode):
+    (id, score) with P(∀v: |score(v) − b(v)/(n(n−1))| ≤ ε) ≥ 1 − δ.
+
+    Where :func:`approx_betweenness` fixes the sample count from the
+    worst-case VC bound up front, Kadabra draws BATCHES of sampled
+    shortest paths and stops as soon as the empirical-Bernstein bound
+
+        err(v) = √(2·σ̂²(v)·ln(4n/δ)/t) + 7·ln(4n/δ)/(3t)
+
+    clears ε for every node — on easy instances that is a small fraction
+    of the VC-bound samples. Per round: one batched multi-source BFS over
+    the round's new roots + ≤ vd σ-weighted predecessor-sampling steps,
+    the same O(r)-row shuffles as approx_betweenness; the adaptive state
+    is a single (id, hits) table folded per round.
+    """
+    import math as _math
+
+    from networkit_spark.ids import assign_dense_ids
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    zeros = g.nodes.select("id", F.lit(0.0).alias("score"))
+    if n < 2:
+        return zeros
+    _, vd = diameter_range(g, seed=seed)
+    if vd <= 2:
+        return zeros
+
+    log_term = _math.log(4.0 * n / delta)
+    if batch_size is None:
+        # ~1/10 of the RK fixed bound per round, floor 32
+        rk = (1.0 / (epsilon * epsilon)) * (
+            _math.floor(_math.log2(vd - 2)) + 1 + _math.log(1.0 / delta)
+        )
+        batch_size = max(32, int(_math.ceil(rk / 10.0)))
+
+    mapping = assign_dense_ids(
+        g.nodes.select(F.col("id").alias("key")), ["key"]
+    ).transform(pin)
+    edges = g.edges.select(F.col("src").alias("z"), F.col("dst").alias("cur"))
+
+    hits = None  # (id, h) accumulated path-interior counts
+    t = 0
+    for rnd in range(max_rounds):
+        samp = spark.range(batch_size).select(
+            (F.col("id") + F.lit(rnd * batch_size)).alias("pair")
+        )
+        iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+        iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+        iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
+        pairs = (
+            samp.select("pair", iu.alias("iu"), iv.alias("iv"))
+            .join(F.broadcast(mapping.select(F.col("id").alias("iu"), F.col("key").alias("u"))), "iu")
+            .join(F.broadcast(mapping.select(F.col("id").alias("iv"), F.col("key").alias("v"))), "iv")
+            .select("pair", "u", "v")
+            .transform(pin)
+        )
+        res = multi_source_bfs(g, pairs.select("u").distinct(), runner=runner)
+        vis = res.visited.select("root", "node", "dist", "sigma").localCheckpoint(
+            eager=True
+        )
+        active = pairs.join(
+            vis.filter(F.col("dist") > 0).select(
+                F.col("root").alias("u"), F.col("node").alias("v")
+            ),
+            ["u", "v"],
+            "left_semi",
+        ).select("pair", "u", F.col("v").alias("cur")).transform(pin)
+
+        contribs = []
+        M = 1_000_003
+        for step in range(1, vd + 2):
+            if active.isEmpty():
+                break
+            cand = (
+                active.join(edges, "cur")
+                .join(
+                    vis.select(
+                        F.col("root").alias("u"),
+                        F.col("node").alias("z"),
+                        F.col("dist").alias("dz"),
+                        F.col("sigma").alias("sz"),
+                    ),
+                    ["u", "z"],
+                )
+                .join(
+                    vis.select(
+                        F.col("root").alias("u"),
+                        F.col("node").alias("cur"),
+                        F.col("dist").alias("dc"),
+                    ),
+                    ["u", "cur"],
+                )
+                .filter(F.col("dz") == F.col("dc") - 1)
+            )
+            w_cum = Window.partitionBy("pair").orderBy("z")
+            w_tot = Window.partitionBy("pair")
+            x = (
+                F.pmod(
+                    F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
+                    F.lit(M),
+                )
+                / F.lit(float(M))
+            )
+            chosen = (
+                cand.withColumn("cum", F.sum("sz").over(w_cum))
+                .withColumn("tot", F.sum("sz").over(w_tot))
+                .filter(F.col("cum") / F.col("tot") > x)
+                .withColumn("rn", F.row_number().over(w_cum))
+                .filter(F.col("rn") == 1)
+                .select("pair", "u", F.col("z").alias("cur"))
+                .transform(pin)
+            )
+            contribs.append(
+                chosen.filter(F.col("cur") != F.col("u")).select(
+                    F.col("cur").alias("id")
+                )
+            )
+            active = chosen.filter(F.col("cur") != F.col("u"))
+
+        t += batch_size
+        if contribs:
+            allc = contribs[0]
+            for c in contribs[1:]:
+                allc = allc.unionByName(c)
+            batch_hits = allc.groupBy("id").agg(F.count(F.lit(1)).alias("h"))
+            hits = (
+                batch_hits
+                if hits is None
+                else hits.unionByName(batch_hits)
+                .groupBy("id")
+                .agg(F.sum("h").alias("h"))
+            )
+            hits = hits.transform(pin)
+
+        # empirical-Bernstein stop: max over nodes of err(v) <= epsilon
+        if hits is None:
+            worst = 7.0 * log_term / (3.0 * t)  # all-zero counts
+        else:
+            b_hat = F.col("h") / F.lit(float(t))
+            var = b_hat * (F.lit(1.0) - b_hat)
+            err = F.sqrt(F.lit(2.0 * log_term / t) * var) + F.lit(
+                7.0 * log_term / (3.0 * t)
+            )
+            worst = float(hits.agg(F.max(err)).collect()[0][0] or 0.0)
+            worst = max(worst, 7.0 * log_term / (3.0 * t))
+        if worst <= epsilon:
+            break
+
+    if hits is None:
+        return zeros
+    scores = hits.select("id", (F.col("h") / F.lit(float(t))).alias("s"))
+    return g.nodes.join(scores, "id", "left").select(
+        "id", F.coalesce("s", F.lit(0.0)).alias("score")
+    )
+
+
 def approx_betweenness(
     g: Graph,
     epsilon: float = 0.1,

