@@ -921,6 +921,18 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefix_jaccard_sub200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixJaccardScore on the <200 subgraph with triangle-count
+    attributes (edgescores/PrefixJaccardScore.cpp) — merged into
+    graph_sparsifiers as the 'prefix_jaccard' method."""
+    from networkit_spark.operators.sparsification import prefix_jaccard_scores
+
+    sub = _co_subgraph200(spark, sf_dir)
+    return prefix_jaccard_scores(sub).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
 def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge sparsifier/backbone scores in one table keyed by method
     (merged round-2 graph_sparsify / graph_local_degree /
@@ -950,6 +962,9 @@ def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q_graph_simmelian(spark, sf_dir).select(
             F.lit("simmelian").alias("method"), "src", "dst", "score"
+        ),
+        _q_prefix_jaccard_sub200(spark, sf_dir).select(
+            F.lit("prefix_jaccard").alias("method"), "src", "dst", "score"
         ),
     ]
     out = parts[0]
@@ -2268,6 +2283,9 @@ SELECT 'edge' AS kind, e.src AS u, e.dst AS v, e.score FROM (
 UNION ALL SELECT 'simmelian' AS method, s.src, s.dst, s.score FROM (
 {_SIMMELIAN_SUB200_SQL}
 ) s
+UNION ALL SELECT 'prefix_jaccard' AS method, p.src, p.dst, p.score FROM (
+{_PREFIX_JACCARD_SUB200_SQL}
+) p
 """
     )
     base["graph_msf"] = _MSF_SUB200_SQL
@@ -3043,6 +3061,46 @@ reach(eid, node) AS (
 SELECT w.src, w.dst, round(w.w, 6) AS weight
 FROM we w LEFT JOIN reach r ON r.eid = w.ord AND r.node = w.dst
 WHERE r.node IS NULL
+"""
+
+
+# PrefixJaccardScore on the <200 subgraph — mirrors
+# operators/sparsification.py::prefix_jaccard_scores with triangle-count
+# attributes: 0-based competition rank per ego (rank() - 1), partner
+# excluded from both prefixes, max over present rank thresholds of the
+# prefix Jaccard; the int/int division is exact in both engines.
+_PREFIX_JACCARD_SUB200_SQL = """
+WITH pj_e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+pj_edges AS MATERIALIZED (SELECT src, dst FROM pj_e0 UNION ALL SELECT dst, src FROM pj_e0),
+comm AS (SELECT a.src AS u, b.src AS v, count(*) AS n
+  FROM pj_edges a JOIN pj_edges b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2),
+ptri AS (SELECT e.src, e.dst, coalesce(c.n, 0) AS att
+  FROM pj_e0 e LEFT JOIN comm c ON c.u = e.src AND c.v = e.dst),
+pego AS (SELECT src AS ego, dst AS nbr, att FROM ptri
+  UNION ALL SELECT dst, src, att FROM ptri),
+prk AS MATERIALIZED (SELECT ego, nbr, rank() OVER (PARTITION BY ego ORDER BY att DESC) - 1 AS rk FROM pego),
+pmu AS (SELECT e.src, e.dst, r.nbr AS w1, r.rk AS ru FROM pj_e0 e
+  JOIN prk r ON r.ego = e.src WHERE r.nbr <> e.dst),
+pmv AS (SELECT e.src, e.dst, r.nbr AS w1, r.rk AS rv FROM pj_e0 e
+  JOIN prk r ON r.ego = e.dst WHERE r.nbr <> e.src),
+pm AS MATERIALIZED (SELECT coalesce(u.src, v.src) AS src, coalesce(u.dst, v.dst) AS dst,
+  coalesce(u.w1, v.w1) AS w1, u.ru, v.rv
+  FROM pmu u FULL JOIN pmv v ON u.src = v.src AND u.dst = v.dst AND u.w1 = v.w1),
+prs AS (SELECT DISTINCT src, dst, r FROM (
+  SELECT src, dst, ru AS r FROM pm UNION ALL SELECT src, dst, rv FROM pm) z
+  WHERE r IS NOT NULL),
+pper AS (SELECT m.src, m.dst, s.r,
+    sum(CASE WHEN m.ru <= s.r AND m.rv <= s.r THEN 1 ELSE 0 END) AS common,
+    sum(CASE WHEN m.ru <= s.r OR m.rv <= s.r THEN 1 ELSE 0 END) AS total
+  FROM pm m JOIN prs s ON s.src = m.src AND s.dst = m.dst GROUP BY 1, 2, 3),
+psc AS (SELECT src, dst,
+    max(CASE WHEN total > 0 THEN CAST(common AS DOUBLE) / total ELSE 0.0 END) AS score
+  FROM pper GROUP BY src, dst)
+SELECT e.src, e.dst, round(coalesce(p.score, 0.0), 6) AS score
+FROM pj_e0 e LEFT JOIN psc p ON p.src = e.src AND p.dst = e.dst
 """
 
 

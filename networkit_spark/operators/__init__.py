@@ -24,6 +24,7 @@ from networkit_spark.operators.sketches import (
 from networkit_spark.operators.sparsification import (
     global_threshold_filter,
     jaccard_similarity_scores,
+    prefix_jaccard_scores,
 )
 from networkit_spark.operators.spectral import eigenvector_centrality, katz_centrality
 from networkit_spark.operators.traversal import bfs
@@ -93,6 +94,7 @@ __all__ = [
     "neighborhood_function",
     "effective_diameter_approx",
     "jaccard_similarity_scores",
+    "prefix_jaccard_scores",
     "global_threshold_filter",
     "ranking",
     "articulation_points",

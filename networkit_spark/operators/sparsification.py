@@ -282,3 +282,82 @@ def forest_fire_scores(
     return e.join(counts, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("c", F.lit(0)).cast("double").alias("score")
     )
+
+
+def prefix_jaccard_scores(g: Graph, attribute: DataFrame | None = None) -> DataFrame:
+    """PrefixJaccardScore (``edgescores/PrefixJaccardScore.cpp:20-140``):
+    per canonical edge (u, v), the MAX over rank thresholds r of the
+    Jaccard similarity of the endpoints' rank-≤-r neighbor prefixes,
+    where each node's neighbors are ranked by ``attribute`` descending
+    (0-based competition rank — equal attributes share a rank) and the
+    partner endpoint is excluded from both prefixes.
+
+    ``attribute``: (src, dst, score-like column) per canonical edge;
+    defaults to the edge triangle count — the standard input when the
+    score feeds Simmelian backbones.
+
+    Plan shape: one per-ego rank window + a per-edge full-outer neighbor
+    merge + an (edge × present-rank) aggregation — per-edge work is
+    O(deg(u)+deg(v)) rows times the number of distinct ranks, with no
+    all-pairs blowup and no Python row path.
+    """
+    from networkit_spark.operators.triangles import triangle_count_per_edge
+
+    if attribute is None:
+        attribute = triangle_count_per_edge(g)
+    att_col = attribute.columns[2]
+    e = attribute.select("src", "dst")
+    ego = attribute.select(
+        F.col("src").alias("ego"), F.col("dst").alias("nbr"), F.col(att_col).alias("att")
+    ).unionByName(
+        attribute.select(
+            F.col("dst").alias("ego"), F.col("src").alias("nbr"), F.col(att_col).alias("att")
+        )
+    )
+    w = Window.partitionBy("ego").orderBy(F.desc("att"))
+    ranked = ego.withColumn("rk", F.rank().over(w) - 1).select("ego", "nbr", "rk")
+
+    mu = e.join(
+        ranked.select(F.col("ego").alias("src"), F.col("nbr").alias("w1"), F.col("rk").alias("ru")),
+        "src",
+    ).filter(F.col("w1") != F.col("dst"))
+    mv = e.join(
+        ranked.select(F.col("ego").alias("dst"), F.col("nbr").alias("w1"), F.col("rk").alias("rv")),
+        "dst",
+    ).filter(F.col("w1") != F.col("src"))
+    m = mu.join(mv, ["src", "dst", "w1"], "full")
+
+    ranks = (
+        m.select("src", "dst", F.col("ru").alias("r"))
+        .unionByName(m.select("src", "dst", F.col("rv").alias("r")))
+        .filter(F.col("r").isNotNull())
+        .distinct()
+    )
+    per_rank = (
+        m.join(ranks, ["src", "dst"])
+        .groupBy("src", "dst", "r")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ru") <= F.col("r")) & (F.col("rv") <= F.col("r")), 1
+                ).otherwise(0)
+            ).alias("common"),
+            F.sum(
+                F.when(
+                    (F.col("ru") <= F.col("r")) | (F.col("rv") <= F.col("r")), 1
+                ).otherwise(0)
+            ).alias("total"),
+        )
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("total") > 0, F.col("common") / F.col("total"))
+            .otherwise(F.lit(0.0))
+            .alias("jacc"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("jacc").alias("score"))
+    )
+    return e.join(per_rank, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

@@ -204,3 +204,59 @@ def test_tce_matches_python_oracle_and_recovers_clique(spark):
         g2 = Graph.of(spark, edges, n=n)
         got2 = {int(r["node"]) for r in tce(g2, seeds=[0]).collect()}
         assert got2 == _tce_python_oracle(edges, n, [0]), (seed, got2)
+
+
+def _prefix_jaccard_python(edges, atts):
+    """Transcription of edgescores/PrefixJaccardScore.cpp (unweighted)."""
+    nbrs = {}
+    att = {}
+    for (a, b), x in zip(edges, atts):
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+        att[(a, b)] = att[(b, a)] = x
+    rank = {}
+    for u in nbrs:
+        vals = sorted((att[(u, w)] for w in nbrs[u]), reverse=True)
+        for w in nbrs[u]:
+            rank[(u, w)] = sum(1 for v in vals if v > att[(u, w)])
+    out = {}
+    for (u, v) in edges:
+        best = 0.0
+        rs = {rank[(u, w)] for w in nbrs[u] if w != v} | {
+            rank[(v, w)] for w in nbrs[v] if w != u
+        }
+        for r in rs:
+            pu = {w for w in nbrs[u] if w != v and rank[(u, w)] <= r}
+            pv = {w for w in nbrs[v] if w != u and rank[(v, w)] <= r}
+            tot = len(pu | pv)
+            if tot:
+                best = max(best, len(pu & pv) / tot)
+        out[(u, v)] = best
+    return out
+
+
+def test_prefix_jaccard_matches_python_oracle(spark):
+    """prefix_jaccard_scores == reference transcription on seeded random
+    graphs with triangle-count attributes."""
+    import random
+
+    from networkit_spark.operators.sparsification import prefix_jaccard_scores
+    from networkit_spark.operators.triangles import triangle_count_per_edge
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(30)})
+        g = Graph.of(spark, edges, n=n)
+        tri = {
+            (r["src"], r["dst"]): r["triangles"]
+            for r in triangle_count_per_edge(g).collect()
+        }
+        atts = [tri[e] for e in edges]
+        want = _prefix_jaccard_python(edges, atts)
+        got = {
+            (r["src"], r["dst"]): round(r["score"], 9)
+            for r in prefix_jaccard_scores(g).collect()
+        }
+        assert got.keys() == want.keys()
+        assert all(abs(got[e] - want[e]) < 1e-9 for e in want), (seed, got, want)
