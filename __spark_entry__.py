@@ -904,9 +904,24 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         nmi_distance,
     )
 
+    from networkit_spark.operators.community_quality import overlapping_nmi_distance
+
     g = _co_graph(spark, sf_dir)
     a = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
     b = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 7).alias("label"))
+    # overlapping covers: the partitions above plus one extra overlapping
+    # subset each (id%3==0 / id%5==0) — exercises the Cover machinery
+    cx = a.select("node", F.col("label").alias("subset")).unionByName(
+        g.nodes.filter(F.col("id") % 3 == 0).select(
+            F.col("id").alias("node"), F.lit(10).alias("subset")
+        )
+    )
+    cy = b.select("node", F.col("label").alias("subset")).unionByName(
+        g.nodes.filter(F.col("id") % 5 == 0).select(
+            F.col("id").alias("node"), F.lit(7).alias("subset")
+        )
+    )
+    n = g.num_nodes()
     return spark.createDataFrame(
         [
             (
@@ -914,10 +929,11 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(adjusted_rand_dissimilarity(a, b), 6),
                 round(jaccard_dissimilarity(a, b), 6),
                 round(graph_structural_rand_dissimilarity(g, a, b), 6),
+                round(overlapping_nmi_distance(cx, cy, n), 6),
             )
         ],
         "nmi_distance double, ari_distance double, jaccard_distance double, "
-        "gs_rand_distance double",
+        "gs_rand_distance double, onmi_distance double",
     )
 
 
@@ -2288,6 +2304,13 @@ UNION ALL SELECT 'prefix_jaccard' AS method, p.src, p.dst, p.score FROM (
 ) p
 """
     )
+    base["graph_partition_dist"] = f"""
+SELECT t.*, o.onmi_distance FROM (
+{base["graph_partition_dist"]}
+) t CROSS JOIN (
+{_ONMI_SQL}
+) o
+"""
     base["graph_msf"] = _MSF_SUB200_SQL
     base["graph_matching"] = _matching_sql()
     base["graph_betweenness_w"] = _weighted_brandes_sql()
@@ -3061,6 +3084,74 @@ reach(eid, node) AS (
 SELECT w.src, w.dst, round(w.w, 6) AS weight
 FROM we w LEFT JOIN reach r ON r.eid = w.ord AND r.node = w.dst
 WHERE r.node IS NULL
+"""
+
+
+# Overlapping NMI (max normalization) between the two deterministic
+# covers of q_graph_partition_dist — mirrors community_quality.py::
+# overlapping_nmi_distance (McDaid NMI, adjusted conditional entropies
+# with the h(a)+h(d) >= h(b)+h(c) admissibility test, per-i minima
+# initialized at H(X_i)).
+_ONMI_SQL = """
+WITH on_e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+on_nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM (SELECT src FROM on_e0 UNION ALL SELECT dst FROM on_e0) z),
+on_n AS (SELECT count(*)::DOUBLE AS n FROM on_nodes),
+on_cx AS (SELECT id AS node, id % 10 AS i FROM on_nodes
+  UNION ALL SELECT id, 10 FROM on_nodes WHERE id % 3 = 0),
+on_cy AS (SELECT id AS node, id % 7 AS j FROM on_nodes
+  UNION ALL SELECT id, 7 FROM on_nodes WHERE id % 5 = 0),
+on_sx AS (SELECT i, count(*)::DOUBLE AS szx FROM on_cx GROUP BY i),
+on_sy AS (SELECT j, count(*)::DOUBLE AS szy FROM on_cy GROUP BY j),
+on_int AS (SELECT x.i, y.j, count(*)::DOUBLE AS isz
+  FROM on_cx x JOIN on_cy y ON y.node = x.node GROUP BY x.i, y.j),
+on_hx AS (SELECT sum(
+    CASE WHEN szx > 0 THEN -szx * log2(szx / n) ELSE 0 END
+  + CASE WHEN n - szx > 0 THEN -(n - szx) * log2((n - szx) / n) ELSE 0 END) AS v
+  FROM on_sx, on_n),
+on_hy AS (SELECT sum(
+    CASE WHEN szy > 0 THEN -szy * log2(szy / n) ELSE 0 END
+  + CASE WHEN n - szy > 0 THEN -(n - szy) * log2((n - szy) / n) ELSE 0 END) AS v
+  FROM on_sy, on_n),
+on_adj AS (SELECT t.i, t.j,
+    ha + hb + hc + hd AS h_joint,
+    CASE WHEN szy > 0 THEN -szy * log2(szy / n) ELSE 0 END
+  + CASE WHEN n - szy > 0 THEN -(n - szy) * log2((n - szy) / n) ELSE 0 END AS h_bj,
+    CASE WHEN szx > 0 THEN -szx * log2(szx / n) ELSE 0 END
+  + CASE WHEN n - szx > 0 THEN -(n - szx) * log2((n - szx) / n) ELSE 0 END AS h_ai,
+    ha, hb, hc, hd, szx, szy
+  FROM (SELECT g.i, g.j, g.isz, sx.szx, sy.szy, n,
+      CASE WHEN n + g.isz - sx.szx - sy.szy > 0
+           THEN -(n + g.isz - sx.szx - sy.szy) * log2((n + g.isz - sx.szx - sy.szy) / n) ELSE 0 END AS ha,
+      CASE WHEN sy.szy - g.isz > 0
+           THEN -(sy.szy - g.isz) * log2((sy.szy - g.isz) / n) ELSE 0 END AS hb,
+      CASE WHEN sx.szx - g.isz > 0
+           THEN -(sx.szx - g.isz) * log2((sx.szx - g.isz) / n) ELSE 0 END AS hc,
+      CASE WHEN g.isz > 0 THEN -g.isz * log2(g.isz / n) ELSE 0 END AS hd
+    FROM on_int g JOIN on_sx sx ON sx.i = g.i JOIN on_sy sy ON sy.j = g.j, on_n) t),
+on_cxy AS (SELECT sum(v) AS v FROM (
+  SELECT sx.i, least(
+      CASE WHEN sx.szx > 0 THEN -sx.szx * log2(sx.szx / n) ELSE 0 END
+    + CASE WHEN n - sx.szx > 0 THEN -(n - sx.szx) * log2((n - sx.szx) / n) ELSE 0 END,
+      coalesce(min(CASE WHEN a.ha + a.hd >= a.hb + a.hc
+                        THEN a.h_joint - a.h_bj ELSE a.h_ai END), CAST('inf' AS DOUBLE))
+    ) AS v
+  FROM on_sx sx LEFT JOIN on_adj a ON a.i = sx.i, on_n GROUP BY sx.i, sx.szx, n) z),
+on_cyx AS (SELECT sum(v) AS v FROM (
+  SELECT sy.j, least(
+      CASE WHEN sy.szy > 0 THEN -sy.szy * log2(sy.szy / n) ELSE 0 END
+    + CASE WHEN n - sy.szy > 0 THEN -(n - sy.szy) * log2((n - sy.szy) / n) ELSE 0 END,
+      coalesce(min(CASE WHEN a.ha + a.hd >= a.hb + a.hc
+                        THEN a.h_joint - a.h_ai ELSE a.h_bj END), CAST('inf' AS DOUBLE))
+    ) AS v
+  FROM on_sy sy LEFT JOIN on_adj a ON a.j = sy.j, on_n GROUP BY sy.j, sy.szy, n) z),
+on_mi AS (SELECT 0.5 * (((SELECT v FROM on_hx) - (SELECT v FROM on_cxy))
+                      + ((SELECT v FROM on_hy) - (SELECT v FROM on_cyx))) AS v)
+SELECT round(1.0 - least(greatest(
+  (SELECT v FROM on_mi) / greatest((SELECT v FROM on_hx), (SELECT v FROM on_hy)),
+  0.0), 1.0), 6) AS onmi_distance
 """
 
 

@@ -624,3 +624,102 @@ def permanence(g: Graph, labels: DataFrame) -> DataFrame:
         F.col("i") / (F.col("emax") * F.col("deg")) - (F.lit(1.0) - cin),
     ).otherwise(F.lit(0.0))
     return out.select("id", perm.alias("permanence"))
+
+
+def overlapping_nmi_distance(
+    cover_x: DataFrame,
+    cover_y: DataFrame,
+    n: int,
+    normalization: str = "max",
+) -> float:
+    """Overlapping NMI dissimilarity between two covers
+    (``community/OverlappingNMIDistance.cpp``, McDaid-Greene-Hurley NMI):
+    1 − NMI with the chosen normalization (``min`` / ``geometric_mean``
+    / ``arithmetic_mean`` / ``max`` / ``joint_entropy``; default max,
+    like the reference).
+
+    Covers are (node, subset) DataFrames — a node may belong to any
+    number of subsets. All statistics are three aggregations (per-subset
+    sizes ×2 + one intersection groupBy); the per-(i, j) adjusted
+    conditional entropies and the per-i minima are column expressions,
+    so nothing node-scaled ever reaches the driver.
+    """
+    import math
+
+    cx = cover_x.select(
+        F.col(cover_x.columns[0]).cast("long").alias("node"),
+        F.col(cover_x.columns[1]).cast("long").alias("i"),
+    ).dropDuplicates()
+    cy = cover_y.select(
+        F.col(cover_y.columns[0]).cast("long").alias("node"),
+        F.col(cover_y.columns[1]).cast("long").alias("j"),
+    ).dropDuplicates()
+    sx = cx.groupBy("i").agg(F.count(F.lit(1)).alias("szx"))
+    sy = cy.groupBy("j").agg(F.count(F.lit(1)).alias("szy"))
+    inter = cx.join(cy, "node").groupBy("i", "j").agg(F.count(F.lit(1)).alias("isz"))
+
+    def h(w, nn):  # column partial entropy -w*log2(w/n)
+        return F.when(w > 0, -w.cast("double") * F.log2(w.cast("double") / nn)).otherwise(0.0)
+
+    def entropy_col(size):
+        return h(size, float(n)) + h(F.lit(n) - size, float(n))
+
+    x_empty = sx.limit(1).count() == 0
+    y_empty = sy.limit(1).count() == 0
+    if x_empty != y_empty:
+        return 1.0
+    if x_empty and y_empty:
+        return 0.0
+
+    hx = float(sx.agg(F.sum(entropy_col(F.col("szx")))).collect()[0][0] or 0.0)
+    hy = float(sy.agg(F.sum(entropy_col(F.col("szy")))).collect()[0][0] or 0.0)
+
+    def cond_entropy(sizes_a, sizes_b, a_col, b_col, sz_a, sz_b):
+        """H(A|B) = Σ_i min(H(A_i), min_j H*(A_i|B_j) over intersecting j)."""
+        pairs = (
+            inter.join(sizes_a, a_col)
+            .join(sizes_b, b_col)
+        )
+        a = F.lit(n) + F.col("isz") - F.col(sz_a) - F.col(sz_b)
+        b = F.col(sz_b) - F.col("isz")
+        c = F.col(sz_a) - F.col("isz")
+        d = F.col("isz")
+        h_joint = h(a, float(n)) + h(b, float(n)) + h(c, float(n)) + h(d, float(n))
+        adjusted = F.when(
+            h(a, float(n)) + h(d, float(n)) >= h(b, float(n)) + h(c, float(n)),
+            h_joint - entropy_col(F.col(sz_b)),
+        ).otherwise(entropy_col(F.col(sz_a)))
+        best = pairs.groupBy(a_col).agg(F.min(adjusted).alias("m"))
+        per_i = (
+            sizes_a.join(best, a_col, "left")
+            .select(F.least(entropy_col(F.col(sz_a)), F.coalesce("m", F.lit(float("inf")))).alias("v"))
+        )
+        return float(per_i.agg(F.sum("v")).collect()[0][0] or 0.0)
+
+    h_x_given_y = cond_entropy(sx, sy, "i", "j", "szx", "szy")
+    h_y_given_x = cond_entropy(sy, sx, "j", "i", "szy", "szx")
+    mi = 0.5 * ((hx - h_x_given_y) + (hy - h_y_given_x))
+
+    hx_c = max(hx, 0.0)
+    hy_c = max(hy, 0.0)
+    if hx_c == 0.0 and hy_c == 0.0:
+        nmi = 1.0
+    elif (hx_c == 0.0 or hy_c == 0.0) and normalization in ("min", "geometric_mean"):
+        nmi = 0.0
+    else:
+        if normalization == "min":
+            nmi = mi / min(hx_c, hy_c)
+        elif normalization == "geometric_mean":
+            nmi = mi / math.sqrt(hx_c * hy_c)
+        elif normalization == "arithmetic_mean":
+            nmi = 2.0 * mi / (hx_c + hy_c)
+        elif normalization == "max":
+            nmi = mi / max(hx_c, hy_c)
+        elif normalization == "joint_entropy":
+            nmi = mi / (hx_c + hy_c - mi)
+        else:
+            raise ValueError(f"unknown normalization {normalization!r}")
+    if math.isnan(nmi):
+        nmi = 0.0
+    nmi = min(max(nmi, 0.0), 1.0)
+    return 1.0 - nmi

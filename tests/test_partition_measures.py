@@ -268,3 +268,41 @@ def test_stable_partition_nodes(spark):
     # node 4: nbrs 3,5 own 2 -> stable; node 5: nbrs 4,3 own 2 -> stable
     # 6,7,8 stable
     assert got2["stable_fraction"] == pytest.approx(6 / 9, abs=1e-12)
+
+
+def test_overlapping_nmi_distance_reference_fixtures(spark):
+    """CommunityGTest.testOverlappingNMIDistance fixtures, both
+    directions, plus the partial-cover MAX sweep."""
+    from networkit_spark.operators.community_quality import overlapping_nmi_distance
+
+    def cover(spark, subsets):
+        rows = [(u, i) for i, members in enumerate(subsets) for u in members]
+        return spark.createDataFrame(rows, "node long, subset long")
+
+    A = cover(spark, [[0, 1], [0]])
+    B = cover(spark, [[0]])
+    assert abs(overlapping_nmi_distance(A, B, 2)) < 1e-12
+    assert abs(overlapping_nmi_distance(B, A, 2)) < 1e-12
+
+    A = cover(spark, [[0, 1], [0]])
+    B = cover(spark, [[0], [1]])
+    assert abs(overlapping_nmi_distance(A, B, 2) - 0.5) < 1e-12
+    assert abs(overlapping_nmi_distance(B, A, 2) - 0.5) < 1e-12
+
+    A = cover(spark, [[0, 1]])
+    B = cover(spark, [[0], [1]])
+    assert abs(overlapping_nmi_distance(A, B, 2) - 1.0) < 1e-12
+
+    A = cover(spark, [[0, 1], [0], [0], [0]])
+    B = cover(spark, [[0]])
+    assert abs(overlapping_nmi_distance(A, B, 2) - 1.0 / 3.0) < 1e-12
+
+    # partial-cover sweep at n=100: MAX distance = 1 - i/10
+    full = [[u for u in range(i * 10, (i + 1) * 10)] for i in range(10)]
+    fc = cover(spark, full)
+    for i in (0, 3, 10):
+        pc = cover(spark, full[:i])
+        got = overlapping_nmi_distance(pc, fc, 100, normalization="max")
+        assert abs(got - (1.0 - i / 10.0)) < 1e-10, (i, got)
+        gmin = overlapping_nmi_distance(pc, fc, 100, normalization="min")
+        assert abs(gmin - (1.0 if i == 0 else 0.0)) < 1e-10, (i, gmin)
