@@ -3,11 +3,15 @@
 Media are carried as opaque ``binary`` columns plus typed metadata
 (modality, mime, width/height/duration). The Spark-side machinery —
 schemas, Arrow-batched ``mapInPandas`` UDF signatures, batch shaping,
-partition sizing — is real and tested; the actual codec step is STUBBED
-(this container ships no image/audio libraries): ``decode_stub`` either
-raises ``NotImplementedError`` (strict mode) or produces a deterministic
-fake feature vector derived from the bytes, so downstream operators
-(dedup-by-feature, ANN) are exercisable end-to-end.
+partition sizing — is real and tested. Decoding: uncompressed 24-bit
+BMP images are decoded FOR REAL in pure numpy (``decode_bmp`` — header
+parse, bottom-up row order, 4-byte row padding), so strict mode runs
+end-to-end on BMP payloads with features computed from actual pixels;
+jpeg/audio/video codecs are not present in this container, so those
+modalities keep the documented stub: strict mode raises
+``NotImplementedError``, non-strict produces a deterministic
+byte-derived feature so downstream operators (dedup-by-feature, ANN)
+stay exercisable end-to-end.
 
 Scale notes: binary payloads dominate row size, so the UDFs are
 ``mapInPandas`` (whole-batch Arrow transfer, no per-row overhead) and the
@@ -49,6 +53,83 @@ def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to an
+    (h, w, 3) uint8 RGB array — pure numpy, no codec libraries.
+    Raises ValueError on anything that is not such a BMP."""
+    b = bytes(payload or b"")
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        raise ValueError("truncated BMP payload")
+    raw = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (the inverse of :func:`decode_bmp`; used to synthesize test media)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    data = body.tobytes()
+    size = 54 + len(data)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + data
+
+
+def bmp_pixel_features(px: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real-pixel feature vector: per-channel mean/std (6), an 8-bin
+    grayscale histogram (8), aspect ratio and log-area (2) = 16 dims."""
+    f = px.astype(np.float64)
+    gray = f.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    hist = hist / max(gray.size, 1)
+    h, w = px.shape[0], px.shape[1]
+    out = np.concatenate(
+        [
+            f.reshape(-1, 3).mean(axis=0) / 255.0,
+            f.reshape(-1, 3).std(axis=0) / 255.0,
+            hist,
+            [w / max(h, 1), np.log1p(h * w) / 20.0],
+        ]
+    )
+    return out[:dim]
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real encoder: sha256-seeded unit vector."""
     h = hashlib.sha256(payload or b"").digest()
@@ -60,20 +141,35 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """(media_id, modality, n_bytes, feature array<double>): Arrow-batched
-    decode + feature extraction. strict=True raises NotImplementedError in
-    the decode step — the marked seam where a real codec plugs in."""
+    decode + feature extraction. Payloads with the BMP magic decode for
+    real (pure-numpy 24-bit parser; features from actual pixels); other
+    formats raise NotImplementedError under strict=True — the marked seam
+    where further codecs plug in — and fall back to the deterministic
+    byte-derived feature otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present in "
-                    "this environment; plug a real decoder into _fake_features"
-                )
-            feats = [
-                _fake_features(p if isinstance(p, (bytes, bytearray)) else bytes(p or b""))
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p, modality in zip(pdf["payload"], pdf["modality"]):
+                b = p if isinstance(p, (bytes, bytearray)) else bytes(p or b"")
+                decoded = None
+                if b[:2] == b"BM":
+                    try:
+                        decoded = decode_bmp(b)  # real pure-numpy decode
+                    except ValueError:
+                        if strict:
+                            raise
+                        decoded = None  # text that happens to start 'BM'
+                if decoded is not None:
+                    feats.append(bmp_pixel_features(decoded))
+                elif strict:
+                    raise NotImplementedError(
+                        f"{modality} decode requires codecs not present in "
+                        "this environment (only uncompressed 24-bit BMP "
+                        "decodes natively; see decode_bmp)"
+                    )
+                else:
+                    feats.append(_fake_features(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

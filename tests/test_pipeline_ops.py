@@ -130,3 +130,48 @@ def test_ivf_topk_default_is_kmeans(spark):
         ivf_topk(embs, qs, stride=20)
     out = ivf_topk(embs, qs, k=3, n_centroids=4, nprobe=2, seed=7)
     assert out.count() == 9
+
+
+def test_bmp_decode_roundtrip_and_strict_features(spark):
+    """decode_bmp really parses pixels (roundtrip through encode_bmp,
+    incl. non-multiple-of-4 row padding); strict extract_features
+    succeeds on BMP payloads with real-pixel features and still raises
+    for undecodable modalities."""
+    import numpy as np
+    import pytest
+
+    from networkit_spark.pipeline.multimodal import (
+        bmp_pixel_features,
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # w=7 -> padded rows
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMnot-really-a-bitmap-just-text")
+
+    rows = [
+        (0, "image", "image/bmp", bytearray(encode_bmp(px)), None, None, None),
+        (1, "image", "image/bmp", bytearray(encode_bmp(px[::-1])), None, None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r["feature"] for r in extract_features(media, strict=True).collect()}
+    want0 = bmp_pixel_features(px)
+    assert np.allclose(got[0], want0)
+    assert len(got[0]) == 16
+
+    # a non-BMP payload under strict mode still raises at the seam
+    bad = spark.createDataFrame(
+        [(2, "audio", "application/octet-stream", bytearray(b"\x00\x01"), None, None, None)],
+        "media_id long, modality string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(bad, strict=True).collect()
