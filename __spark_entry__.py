@@ -84,22 +84,30 @@ def _co_graph(spark: SparkSession, sf_dir: str) -> Graph:
         li = _lineitem(spark, sf_dir).select("l_orderkey", "l_partkey")
         a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
         b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-        e = (
+        # src != dst keeps BOTH orientations straight out of the self-join
+        # (the symmetrized relation the engine stores), so the whole load
+        # is two shuffles: the orderkey join and ONE repartition("src") —
+        # dropDuplicates after it runs shuffle-free because hash(src)
+        # partitioning already clusters every (src, dst) group. The old
+        # plan paid a third full shuffle for a canonical distinct before
+        # re-symmetrizing (round-3 load_graph drift, VERDICT r3 #5).
+        sym = (
             a.join(b, "l_orderkey")
-            .filter(F.col("src") < F.col("dst"))
+            .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
-            .distinct()
+            .withColumn("weight", F.lit(1.0))
         )
-        g = Graph.from_edges(e, directed=False)
-        # edges: eager (every query reads them); nodes: LAZY checkpoint —
-        # re-derivable, and eagerly materializing them was the round-2
-        # load_graph bench regression (+26%); first use pays it instead
-        return Graph(
-            nodes=g.nodes.localCheckpoint(eager=False),
-            edges=g.edges.repartition("src").localCheckpoint(eager=True),
-            directed=False,
-            weighted=False,
+        edges = (
+            sym.repartition("src")
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
         )
+        # nodes: LAZY checkpoint — re-derivable, and eagerly materializing
+        # them was the round-2 load_graph bench regression (+26%)
+        nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+            eager=False
+        )
+        return Graph(nodes=nodes, edges=edges, directed=False, weighted=False)
 
     return _memo(spark, sf_dir, "co_graph", build)
 
