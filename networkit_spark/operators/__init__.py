@@ -9,7 +9,7 @@ from networkit_spark.operators.triangles import (
     global_clustering_coefficient,
     avg_local_clustering_coefficient,
 )
-from networkit_spark.operators.degrees import degree_centrality
+from networkit_spark.operators.degrees import degree_centrality, local_partition_coverage
 from networkit_spark.operators.kcore import core_decomposition
 from networkit_spark.operators.ranking import ranking
 from networkit_spark.operators.linkprediction import (
@@ -41,6 +41,7 @@ from networkit_spark.operators.distance import (
     closeness_centrality,
     diameter_exact,
     estimate_betweenness,
+    incomplete_dijkstra,
     kadabra_betweenness,
     harmonic_closeness,
     multi_source_bfs,
@@ -84,6 +85,7 @@ __all__ = [
     "global_clustering_coefficient",
     "avg_local_clustering_coefficient",
     "degree_centrality",
+    "local_partition_coverage",
     "core_decomposition",
     "eigenvector_centrality",
     "katz_centrality",
@@ -107,6 +109,7 @@ __all__ = [
     "closeness_centrality",
     "diameter_exact",
     "estimate_betweenness",
+    "incomplete_dijkstra",
     "kadabra_betweenness",
     "harmonic_closeness",
     "multi_source_bfs",

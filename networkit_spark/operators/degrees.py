@@ -60,3 +60,32 @@ def sfigality(g):
     return g.nodes.join(j, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def local_partition_coverage(g: Graph, labels: DataFrame) -> DataFrame:
+    """(id, score): fraction of a node's weighted degree that stays inside
+    its own cluster (``centrality/LocalPartitionCoverage.cpp:11-29``) —
+    0 for isolated nodes, maximum 1.
+
+    One label join per edge endpoint + one keyed aggregation; the
+    partition table is dimension-sized and broadcast by Catalyst.
+    """
+    lab = labels.select(
+        F.col(labels.columns[0]).cast("long").alias("node"),
+        F.col(labels.columns[1]).cast("long").alias("label"),
+    )
+    sym = g.symmetrized_edges() if g.directed else g.edges
+    joined = (
+        sym.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "lu"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "lv"), "dst")
+    )
+    per = joined.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight")).otherwise(0.0)).alias("inw"),
+        F.sum("weight").alias("wdeg"),
+    )
+    return g.nodes.join(per, "id", "left").select(
+        "id",
+        F.when(F.col("inw") > 0, F.col("inw") / F.col("wdeg"))
+        .otherwise(0.0)
+        .alias("score"),
+    )

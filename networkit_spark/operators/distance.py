@@ -1553,3 +1553,66 @@ def betweenness_update_additions(
             ).alias("score"),
         )
     )
+
+
+def incomplete_dijkstra(
+    g: Graph,
+    sources: list[int],
+    explored: DataFrame | None = None,
+    max_dist: float | None = None,
+) -> DataFrame:
+    """(node, dist) — weighted distances from a source set, never entering
+    an ``explored`` node set and optionally stopping at ``max_dist``
+    (``distance/IncompleteDijkstra.cpp`` semantics at the fixed point:
+    the reference is a lazy heap iterator; the batch analogue returns
+    every settled node at once). Explored nodes neither receive nor
+    forward distances, matching the reference's skip-on-both-sides."""
+    spark = g.edges.sparkSession
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    )
+    if explored is not None:
+        ex = explored.select(F.col(explored.columns[0]).cast("long").alias("id"))
+        edges = edges.join(ex.withColumnRenamed("id", "src"), "src", "left_anti").join(
+            ex.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        )
+        src_rows = [
+            (int(s),)
+            for s in sources
+            if not ex.filter(F.col("id") == int(s)).limit(1).count()
+        ]
+    else:
+        src_rows = [(int(s),) for s in sources]
+    if not src_rows:
+        return spark.createDataFrame([], "node long, dist double")
+    edges = edges.transform(pin)
+    dist = spark.createDataFrame(src_rows, "node long").select(
+        "node", F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    n = g.num_nodes()
+    for _ in range(n + 1):
+        relax = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        if max_dist is not None:
+            relax = relax.filter(F.col("cand") <= float(max_dist))
+        merged = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("imp"),
+            )
+            .transform(pin)
+        )
+        frontier = merged.filter("imp").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

@@ -119,3 +119,41 @@ def test_katz_warm_start_dynamic_update(spark):
     w = {r["id"]: r["score"] for r in warm.scores.collect()}
     for v in range(31):
         assert w[v] == pytest.approx(c[v], abs=1e-5), v
+
+
+def test_local_partition_coverage(spark):
+    """LocalPartitionCoverage.cpp: in-cluster weight / weighted degree,
+    0 for isolated nodes, 1.0 max."""
+    from networkit_spark.operators.degrees import local_partition_coverage
+
+    # two triangles {0,1,2} {3,4,5} + bridge (2,3); node 6 isolated
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.of(spark, edges, n=7)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(7)], "node long, label long"
+    )
+    got = {r["id"]: r["score"] for r in local_partition_coverage(g, labels).collect()}
+    assert got[0] == 1.0 and got[1] == 1.0
+    assert abs(got[2] - 2.0 / 3.0) < 1e-12  # 2 of 3 edges internal
+    assert abs(got[3] - 2.0 / 3.0) < 1e-12
+    assert got[6] == 0.0
+
+
+def test_incomplete_dijkstra_explored_and_bound(spark):
+    """IncompleteDijkstra.cpp: explored nodes are never entered; max_dist
+    truncates; unrestricted run matches sssp."""
+    from networkit_spark.operators.distance import incomplete_dijkstra, sssp
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (0, 3, 5.0), (3, 4, 1.0), (2, 4, 1.0)]
+    g = Graph.of(spark, edges, n=5, weighted=True)
+    full = {r["node"]: r["dist"] for r in sssp(g, 0).collect()}
+    got = {r["node"]: r["dist"] for r in incomplete_dijkstra(g, [0]).collect()}
+    assert got == {k: v for k, v in full.items() if v != float("inf")} or got == full
+
+    # exclude node 1: 2 and 4 only reachable the long way
+    ex = spark.createDataFrame([(1,)], "id long")
+    got2 = {r["node"]: r["dist"] for r in incomplete_dijkstra(g, [0], explored=ex).collect()}
+    assert got2[3] == 5.0 and got2[4] == 6.0 and got2[2] == 7.0 and 1 not in got2
+
+    got3 = {r["node"]: r["dist"] for r in incomplete_dijkstra(g, [0], max_dist=3.0).collect()}
+    assert set(got3) == {0, 1, 2} and got3[2] == 3.0
