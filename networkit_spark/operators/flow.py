@@ -40,6 +40,51 @@ def max_flow(
     Undirected graphs get capacity in both directions, as in the
     reference's undirected EdmondsKarp.
     """
+    _, excess, t = _push_relabel(g, source, sink, cap_col, max_rounds)
+    val = excess.filter(F.col("id") == t).collect()
+    return float(val[0]["e"]) if val else 0.0
+
+
+def min_cut_source_side(
+    g: Graph,
+    source: int,
+    sink: int,
+    cap_col: str = "weight",
+    max_rounds: int | None = None,
+) -> tuple[float, DataFrame]:
+    """(flow value, source-side node set) of a minimum s-t cut
+    (``flow/EdmondsKarp.cpp`` getSourceSet): after the push-relabel
+    fixed point, the source side is everything reachable from s over
+    residual arcs with res > 0 — one BFS over the residual relation."""
+    arcs, excess, t = _push_relabel(g, source, sink, cap_col, max_rounds)
+    val = excess.filter(F.col("id") == t).collect()
+    value = float(val[0]["e"]) if val else 0.0
+    spark = g.edges.sparkSession
+    res = arcs.filter(F.col("res") > 1e-12).select("src", "dst").transform(pin)
+    reach = spark.createDataFrame([(int(source),)], "id long").transform(pin)
+    while True:
+        nxt = (
+            res.join(reach.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reach, "id", "left_anti")
+            .transform(pin)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(nxt).transform(pin)
+    return value, reach
+
+
+def _push_relabel(
+    g: Graph,
+    source: int,
+    sink: int,
+    cap_col: str = "weight",
+    max_rounds: int | None = None,
+):
+    """Shared push-relabel engine: returns (residual arcs, excess, sink id)
+    at the max-flow fixed point."""
     spark = g.edges.sparkSession
     n = g.num_nodes()
     s, t = int(source), int(sink)
@@ -132,8 +177,7 @@ def max_flow(
     else:
         raise RuntimeError(f"max_flow did not terminate in {max_rounds} rounds")
 
-    val = excess.filter(F.col("id") == t).collect()
-    return float(val[0]["e"]) if val else 0.0
+    return arcs, excess, t
 
 
 def _apply_pushes(arcs: DataFrame, pushes: DataFrame) -> DataFrame:
@@ -149,4 +193,56 @@ def _apply_pushes(arcs: DataFrame, pushes: DataFrame) -> DataFrame:
             "dst",
             (F.coalesce("res", F.lit(0.0)) + F.coalesce("d", F.lit(0.0))).alias("res"),
         )
+    )
+
+
+def cut_clustering(g: Graph, alpha: float) -> DataFrame:
+    """CutClustering (``community/CutClustering.cpp``, Flake-Tarjan-
+    Tsioutsiouliklis): augment the graph with a sink t connected to every
+    node by weight ``alpha``; process nodes in degree-descending order;
+    for each still-unlabeled node u, the source side of a minimum u-t cut
+    becomes u's cluster (source sides are nested, so later cuts never
+    split earlier clusters). Returns (node, label) with label = the
+    cluster's defining node.
+
+    Like the reference, this runs one max-flow per cluster discovered —
+    each flow is the distributed push-relabel kernel; the driver loop is
+    over clusters, not nodes (labeled nodes are skipped)."""
+    spark = g.edges.sparkSession
+    ids = [int(r["id"]) for r in g.nodes.collect()]
+    if not ids:
+        return spark.createDataFrame([], "node long, label long")
+    t = max(ids) + 1
+    base = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    sink_edges = g.nodes.select(
+        F.col("id").alias("src"), F.lit(t).alias("dst"), F.lit(float(alpha)).alias("weight")
+    )
+    aug = Graph(
+        nodes=g.nodes.unionByName(spark.createDataFrame([(t,)], "id long")),
+        edges=base.unionByName(sink_edges).unionByName(
+            sink_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        ),
+        directed=False,
+        weighted=True,
+    )
+    deg = {
+        int(r["id"]): int(r["d"])
+        for r in base.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    order = sorted(ids, key=lambda u: (-deg.get(u, 0), u))
+    labels: dict[int, int] = {}
+    for u in order:
+        if u in labels:
+            continue
+        _, side = min_cut_source_side(aug, u, t)
+        members = [int(r["id"]) for r in side.collect()]
+        for v in members:
+            if v != t:
+                labels[v] = u
+    return spark.createDataFrame(
+        sorted(labels.items()), "node long, label long"
     )

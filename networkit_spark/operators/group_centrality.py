@@ -221,3 +221,151 @@ def group_closeness(
 
     farness = float(best.agg(F.sum("bd")).collect()[0][0] or 0.0) if best is not None else 0.0
     return group, farness
+
+
+def ged_walk_score(
+    g: Graph, group: list[int], alpha: float, levels: int = 5
+) -> float:
+    """Exact GED-Walk score of a group (``centrality/GedWalk.cpp``
+    evaluateGroup): Σ_{ℓ=1..L} α^ℓ · (# length-ℓ walks that touch the
+    group), via the hit/miss walk DP — pathsHit/pathsMiss per node, one
+    edge join-agg per level. The reference adapts L with spectral or
+    geometric tail bounds; here L is a fixed parameter (documented
+    deviation — the α^ℓ tail is geometric, so a few levels dominate)."""
+    spark = g.edges.sparkSession
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    ).transform(pin)
+    grp = spark.createDataFrame([(int(x),) for x in group], "id long")
+    state = g.nodes.join(
+        grp.withColumn("ing", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        F.coalesce("ing", F.lit(False)).alias("ing"),
+        F.when(F.coalesce("ing", F.lit(False)), 1.0).otherwise(0.0).alias("hit"),
+        F.when(F.coalesce("ing", F.lit(False)), 0.0).otherwise(1.0).alias("miss"),
+    ).transform(pin)
+    score = 0.0
+    for lvl in range(1, levels + 1):
+        gathered = (
+            edges.join(
+                state.select(
+                    F.col("id").alias("src"),
+                    F.col("hit").alias("ph"),
+                    F.col("miss").alias("pm"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.col("weight") * F.col("ph")).alias("gh"),
+                F.sum(F.col("weight") * F.col("pm")).alias("gm"),
+            )
+        )
+        state = (
+            state.select("id", "ing")
+            .join(gathered, "id", "left")
+            .select(
+                "id",
+                "ing",
+                F.when(
+                    F.col("ing"),
+                    F.coalesce("gh", F.lit(0.0)) + F.coalesce("gm", F.lit(0.0)),
+                )
+                .otherwise(F.coalesce("gh", F.lit(0.0)))
+                .alias("hit"),
+                F.when(F.col("ing"), 0.0)
+                .otherwise(F.coalesce("gm", F.lit(0.0)))
+                .alias("miss"),
+            )
+            .transform(pin)
+        )
+        lvl_hit = float(state.agg(F.sum("hit")).collect()[0][0] or 0.0)
+        score += (alpha ** lvl) * lvl_hit
+    return score
+
+
+def ged_walk_group(
+    g: Graph,
+    k: int,
+    alpha: float | None = None,
+    levels: int = 5,
+    candidates_per_round: int = 8,
+) -> list[int]:
+    """Greedy GED-Walk-maximizing group of size k
+    (``centrality/GedWalk.cpp`` run, lazy-greedy strategy): per round,
+    rank the non-members by the in×out walk-product UPPER BOUND on their
+    marginal gain (the reference's gainBound), evaluate the top
+    ``candidates_per_round`` exactly with the hit/miss DP, and add the
+    best. Ties break by smallest node id. Default α = 1/(1+maxdeg), the
+    same convention as our Katz default."""
+    spark = g.edges.sparkSession
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    ).transform(pin)
+    if alpha is None:
+        max_deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0] or 0
+        alpha = 1.0 / (1.0 + max_deg)
+
+    group: list[int] = []
+    cur_score = 0.0
+    for _ in range(k):
+        grp = (
+            spark.createDataFrame([(int(x),) for x in group], "id long")
+            if group
+            else spark.createDataFrame([], "id long")
+        )
+        # miss-graph DP: walks avoiding the current group, inbound and
+        # outbound per node per level
+        non = g.nodes.join(grp, "id", "left_anti")
+        inw = {0: non.select("id", F.lit(1.0).alias("v"))}
+        outw = {0: non.select("id", F.lit(1.0).alias("v"))}
+        for lvl in range(1, levels + 1):
+            inw[lvl] = (
+                edges.join(inw[lvl - 1].withColumnRenamed("id", "src"), "src")
+                .join(non.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("weight") * F.col("v")).alias("v"))
+                .transform(pin)
+            )
+            outw[lvl] = (
+                edges.join(outw[lvl - 1].withColumnRenamed("id", "dst"), "dst")
+                .join(non.withColumnRenamed("id", "src"), "src", "left_semi")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum(F.col("weight") * F.col("v")).alias("v"))
+                .transform(pin)
+            )
+        # upper bound: Σ_ℓ α^ℓ Σ_{a+b=ℓ} in_a(x)·out_b(x)
+        ub = None
+        for lvl in range(1, levels + 1):
+            for a in range(0, lvl + 1):
+                term = (
+                    inw[a]
+                    .join(outw[lvl - a].withColumnRenamed("v", "w2"), "id")
+                    .select(
+                        "id",
+                        (F.lit(alpha**lvl) * F.col("v") * F.col("w2")).alias("t"),
+                    )
+                )
+                ub = term if ub is None else ub.unionByName(term)
+        top = (
+            ub.groupBy("id")
+            .agg(F.sum("t").alias("bound"))
+            .orderBy(F.desc("bound"), F.asc("id"))
+            .limit(candidates_per_round)
+            .collect()
+        )
+        best_node, best_gain = None, -1.0
+        for r in top:
+            cand = int(r["id"])
+            s = ged_walk_score(g, group + [cand], alpha, levels)
+            gain = s - cur_score
+            if gain > best_gain + 1e-15 or (
+                abs(gain - best_gain) <= 1e-15 and (best_node is None or cand < best_node)
+            ):
+                best_node, best_gain = cand, gain
+        if best_node is None:
+            break
+        group.append(best_node)
+        cur_score += best_gain
+    return group

@@ -225,3 +225,111 @@ def plm(
             weighted=cg.weighted,
         )
     return PLMResult(labels=mapping, levels=levels, moves=all_moves)
+
+
+def agglomerative_clusterer(
+    g: Graph,
+    min_communities: int = 2,
+    rel_repeat_threshold: float = 5e-3,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """ParallelAgglomerativeClusterer
+    (``community/ParallelAgglomerativeClusterer.cpp``): repeatedly score
+    edges by the modularity merge gain
+    Δmod(u,v) = (2ω(E)·ω(u,v) − ω(u)·ω(v)) / (2ω(E))², compute a heavy
+    matching on those scores, contract matched pairs, and stop when the
+    contraction shrinks the graph by less than ``rel_repeat_threshold``
+    or fewer than ``min_communities`` remain. Coarsest supernodes are the
+    clusters, projected back to the finest nodes as (node, label).
+
+    Matching: the reference uses the sequential PathGrowingMatcher; the
+    distributed analogue is :func:`~networkit_spark.operators.matching.
+    local_max_matching` (locally-dominant edges — the same
+    approximation family, documented deviation). Each round is one
+    score join + the matching's O(log n) dominant-edge rounds + one
+    contraction aggregation — all join-shaped.
+    """
+    from networkit_spark.operators.community_quality import coarsen
+    from networkit_spark.operators.matching import local_max_matching
+
+    current = g
+    mapping = g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    for _ in range(max_rounds):
+        n = current.num_nodes()
+        if n < min_communities:
+            break
+        tw = current.total_edge_weight()
+        if tw <= 0:
+            break
+        sym = (
+            current.symmetrized_edges() if current.directed else current.edges
+        ).filter(F.col("src") != F.col("dst"))
+        vol = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("vol"))
+        canon_w = sym.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).dropDuplicates(["src", "dst"])
+        scored_edges = (
+            canon_w
+            .join(vol.withColumnRenamed("id", "src").withColumnRenamed("vol", "vu"), "src")
+            .join(vol.withColumnRenamed("id", "dst").withColumnRenamed("vol", "vv"), "dst")
+            .select(
+                "src",
+                "dst",
+                (
+                    (2.0 * tw * F.col("weight") - F.col("vu") * F.col("vv"))
+                    / (4.0 * tw * tw)
+                ).alias("weight"),
+            )
+        )
+        sg = Graph(
+            nodes=current.nodes,
+            edges=scored_edges.unionByName(
+                scored_edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            ),
+            directed=False,
+            weighted=True,
+        )
+        m = local_max_matching(sg)
+        n_matched = m.count()
+        if n_matched == 0:
+            break
+        cn = n - n_matched
+        # the reference DISCARDS the contraction that would shrink the
+        # graph below min_communities (or below the relative threshold):
+        # repeat is decided BEFORE Gcombined is adopted
+        if cn < min_communities or (n - cn) / float(n) <= rel_repeat_threshold:
+            break
+        labels = (
+            current.nodes.join(
+                m.select(F.col("u").alias("id"), F.col("u").alias("rep")).unionByName(
+                    m.select(F.col("v").alias("id"), F.col("u").alias("rep"))
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                F.col("id").alias("node"),
+                F.coalesce("rep", F.col("id")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        mapping = (
+            mapping.join(
+                labels.withColumnRenamed("node", "l2").withColumnRenamed("label", "new"),
+                mapping.label == F.col("l2"),
+            )
+            .select("node", F.col("new").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cg = coarsen(current, labels)
+        current = Graph(
+            nodes=cg.nodes.localCheckpoint(eager=True),
+            edges=cg.edges.localCheckpoint(eager=True),
+            directed=False,
+            weighted=True,
+        )
+    return mapping

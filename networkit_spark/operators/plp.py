@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -136,3 +137,71 @@ def plp(
             break
 
     return PLPResult(labels=labels, iterations=iterations)
+
+
+def lp_degree_ordered(g: Graph, max_sweeps: int = 32) -> DataFrame:
+    """LPDegreeOrdered (``community/LPDegreeOrdered.cpp``): label
+    propagation where lower-degree nodes move BEFORE higher-degree ones
+    inside each sweep, so hubs see their periphery's fresh labels.
+
+    The reference's sweep is sequential over a degree-sorted node list;
+    the distributed analogue serializes between DEGREE CLASSES and
+    parallelizes within one (same-degree nodes read the pre-class
+    labels) — the degree ordering that names the algorithm is preserved
+    across classes. Dominant-label ties break to the SMALLEST label
+    (the reference's unordered_map makes its tie pick unspecified —
+    documented determinization). Sweeps repeat until no node moves
+    (theta = n/1e5 rounds to 0 at any tested scale). Returns
+    (node, label)."""
+    spark = g.edges.sparkSession
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst"
+    ).filter(F.col("src") != F.col("dst")).transform(pin)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    degree_classes = sorted(
+        int(r["deg"]) for r in deg.select("deg").distinct().collect()
+    )
+    nodes_deg = g.nodes.join(deg, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    ).transform(pin)
+    labels = g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    n = g.num_nodes()
+    theta = n // 100_000
+    for _ in range(max_sweeps):
+        sweep_updates = 0
+        for d in degree_classes:
+            cls = nodes_deg.filter(F.col("deg") == d).select(F.col("id").alias("node"))
+            counts = (
+                edges.join(cls.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .join(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label").alias("nl")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"), "nl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+            dominant = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .select("node", F.col("nl").alias("dom"))
+            )
+            new_labels = (
+                labels.join(dominant, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("dom", F.col("label")).alias("label"),
+                    (F.col("dom").isNotNull() & (F.col("dom") != F.col("label"))).alias(
+                        "chg"
+                    ),
+                )
+                .transform(pin)
+            )
+            sweep_updates += new_labels.filter("chg").count()
+            labels = new_labels.select("node", "label")
+        if sweep_updates <= theta:
+            break
+    return labels

@@ -82,3 +82,29 @@ def test_node2vec_biased_walks_valid(spark):
     for r in walks:
         for a, b in zip(r["seq"], r["seq"][1:]):
             assert (a, b) in adj
+
+
+def test_havel_hakimi_realizes_sequence_and_rejects_non_graphical(spark):
+    """HavelHakimiGenerator.cpp: exact degree-sequence realization,
+    simple graph, non-graphical rejection."""
+    import pytest
+
+    from networkit_spark.generators import havel_hakimi
+    from pyspark.sql import functions as F
+
+    seq = [3, 3, 2, 2, 2, 2]
+    g = havel_hakimi(spark, seq)
+    deg = {
+        r["id"]: r["d"]
+        for r in g.edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert [deg.get(i, 0) for i in range(len(seq))] == seq
+    # simplicity: no duplicate canonical edges, no self-loops
+    ce = g.canonical_undirected_edges()
+    assert ce.count() == ce.dropDuplicates(["src", "dst"]).count()
+    assert ce.filter("src = dst").count() == 0
+
+    with pytest.raises(ValueError):
+        havel_hakimi(spark, [3, 1, 0, 0])

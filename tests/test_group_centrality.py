@@ -65,3 +65,52 @@ def test_group_degree_greedy_is_exact_marginal(spark):
     group, score = group_degree(g, k=1)
     assert group == [0]
     assert score == 3
+
+
+def _ged_walk_python(edges, n, group, alpha, levels):
+    """Transcription of GedWalk.cpp evaluateGroup (unweighted sym)."""
+    nbrs = {u: [] for u in range(n)}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    ing = set(group)
+    hit = [1.0 if u in ing else 0.0 for u in range(n)]
+    miss = [0.0 if u in ing else 1.0 for u in range(n)]
+    score = 0.0
+    for lvl in range(1, levels + 1):
+        nh, nm = [0.0] * n, [0.0] * n
+        for u in range(n):
+            if u in ing:
+                nh[u] = sum(hit[v] + miss[v] for v in nbrs[u])
+            else:
+                nh[u] = sum(hit[v] for v in nbrs[u])
+                nm[u] = sum(miss[v] for v in nbrs[u])
+        hit, miss = nh, nm
+        score += (alpha ** lvl) * sum(hit)
+    return score
+
+
+def test_ged_walk_score_and_greedy_group(spark):
+    """ged_walk_score == reference DP transcription; the greedy group
+    picks the walk-central bridge first on a barbell."""
+    from networkit_spark.operators.group_centrality import (
+        ged_walk_group,
+        ged_walk_score,
+    )
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = k4a + k4b + [(3, 4), (4, 5)]
+    n = 9
+    g = Graph.of(spark, edges, n=n)
+    alpha = 0.2
+    for group in ([4], [0, 4], [2, 7]):
+        got = ged_walk_score(g, group, alpha, levels=4)
+        want = _ged_walk_python(edges, n, group, alpha, 4)
+        assert abs(got - want) < 1e-9, (group, got, want)
+
+    grp = ged_walk_group(g, k=2, alpha=alpha, levels=4)
+    assert len(grp) == 2
+    # greedy must beat any singleton-extension baseline it considered
+    s_grp = ged_walk_score(g, grp, alpha, levels=4)
+    assert s_grp >= ged_walk_score(g, [0, 5], alpha, levels=4) - 1e-9

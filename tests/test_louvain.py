@@ -34,3 +34,27 @@ def test_plm_improves_modularity_vs_singletons(spark):
     res = plm(g, max_rounds=10)
     singletons = g.nodes.selectExpr("id AS node", "id AS label")
     assert modularity(g, res.labels) > modularity(g, singletons) + 0.2
+
+
+def test_agglomerative_clusterer_recovers_planted_partition(spark):
+    """ParallelAgglomerativeClusterer: disconnected planted cliques
+    agglomerate into exactly their components; a bridged variant yields
+    a valid >=2-community clustering with positive modularity (the
+    reference's own tests grade this algorithm by quality, since its
+    maximal matching may legitimately merge across a bridge)."""
+    from networkit_spark.operators.community_quality import modularity
+    from networkit_spark.operators.louvain import agglomerative_clusterer
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    g0 = Graph.of(spark, k5a + k5b, n=10)
+    got0 = {r["node"]: r["label"] for r in agglomerative_clusterer(g0).collect()}
+    assert {got0[i] for i in range(5)}.isdisjoint({got0[i] for i in range(5, 10)})
+
+    g = Graph.of(spark, k5a + k5b + [(4, 5)], n=10)
+    labels = agglomerative_clusterer(g)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got) == set(range(10))
+    assert len(set(got.values())) >= 2
+    q = modularity(g, labels)
+    assert q > 0.25, q

@@ -84,3 +84,93 @@ def test_suitor_matching_is_maximal_on_increasing_path(spark):
     # maximality: no live edge between two unmatched nodes remains
     for u, v, _ in edges:
         assert u in matched or v in matched, (u, v, sorted(pairs))
+
+
+def _cut_clustering_python(edges, n, alpha):
+    """Transcription of community/CutClustering.cpp over a python
+    Edmonds-Karp (augmented sink t = n, capacity alpha to every node)."""
+    from collections import defaultdict, deque
+
+    cap = defaultdict(float)
+    adj = defaultdict(set)
+
+    def add(u, v, w):
+        cap[(u, v)] += w
+        cap[(v, u)] += w
+        adj[u].add(v)
+        adj[v].add(u)
+
+    for a, b in edges:
+        add(a, b, 1.0)
+    t = n
+    for u in range(n):
+        add(u, t, alpha)
+
+    def min_cut_source_side(s):
+        res = dict(cap)
+        while True:
+            # BFS augmenting path
+            par = {s: None}
+            q = deque([s])
+            while q and t not in par:
+                x = q.popleft()
+                for y in adj[x]:
+                    if y not in par and res.get((x, y), 0) > 1e-12:
+                        par[y] = x
+                        q.append(y)
+            if t not in par:
+                break
+            path = []
+            y = t
+            while par[y] is not None:
+                path.append((par[y], y))
+                y = par[y]
+            aug = min(res[(a, b)] for a, b in path)
+            for a, b in path:
+                res[(a, b)] -= aug
+                res[(b, a)] = res.get((b, a), 0) + aug
+        seen = {s}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen and res.get((x, y), 0) > 1e-12:
+                    seen.add(y)
+                    q.append(y)
+        return seen - {t}
+
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    labels = {}
+    for u in sorted(range(n), key=lambda x: (-deg[x], x)):
+        if u in labels:
+            continue
+        for v in min_cut_source_side(u):
+            labels[v] = u
+    return labels
+
+
+def test_cut_clustering_matches_python_oracle(spark):
+    """cut_clustering == reference-transcribed min-cut oracle on a
+    planted two-clique graph and a seeded random graph."""
+    import random
+
+    from networkit_spark.operators.flow import cut_clustering
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    planted = k5a + k5b + [(4, 5)]
+    g = Graph.of(spark, planted, n=10)
+    got = {r["node"]: r["label"] for r in cut_clustering(g, alpha=0.3).collect()}
+    want = _cut_clustering_python(planted, 10, 0.3)
+    assert got == want
+    # the two cliques separate at this alpha
+    assert {got[i] for i in range(5)}.isdisjoint({got[i] for i in range(5, 10)})
+
+    rng = random.Random(4)
+    edges = sorted({tuple(sorted(rng.sample(range(10), 2))) for _ in range(16)})
+    g2 = Graph.of(spark, edges, n=10)
+    got2 = {r["node"]: r["label"] for r in cut_clustering(g2, alpha=0.4).collect()}
+    assert got2 == _cut_clustering_python(edges, 10, 0.4)

@@ -67,3 +67,53 @@ def test_plp_active_set_equals_full(spark):
     a = _labels(plp(g, active_set=True, max_iterations=6, theta=-1).labels, 80)
     b = _labels(plp(g, active_set=False, max_iterations=6, theta=-1).labels, 80)
     assert (a == b).all()
+
+
+def _lp_degree_ordered_python(edges, n, max_sweeps=32):
+    """Class-serialized transcription of the lp_degree_ordered contract."""
+    nbrs = {u: [] for u in range(n)}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    deg = {u: len(nbrs[u]) for u in range(n)}
+    classes = sorted({d for d in deg.values() if d > 0})
+    labels = {u: u for u in range(n)}
+    for _ in range(max_sweeps):
+        updates = 0
+        for d in classes:
+            snapshot = dict(labels)
+            for v in [u for u in range(n) if deg[u] == d]:
+                counts = {}
+                for w in nbrs[v]:
+                    counts[snapshot[w]] = counts.get(snapshot[w], 0) + 1
+                if counts:
+                    dom = max(counts, key=lambda l: (counts[l], -l))
+                    if dom != labels[v]:
+                        labels[v] = dom
+                        updates += 1
+        if updates == 0:
+            break
+    return labels
+
+
+def test_lp_degree_ordered_matches_transcription_and_planted(spark):
+    """lp_degree_ordered follows its class-serialized contract exactly
+    and recovers a planted two-clique split."""
+    import random
+
+    from networkit_spark.operators.plp import lp_degree_ordered
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    planted = k4a + k4b + [(0, 4)]
+    g = Graph.of(spark, planted, n=8)
+    got = {r["node"]: r["label"] for r in lp_degree_ordered(g).collect()}
+    assert got == _lp_degree_ordered_python(planted, 8)
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(4, 8)}) == 1
+
+    rng = random.Random(9)
+    edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(20)})
+    g2 = Graph.of(spark, edges, n=12)
+    got2 = {r["node"]: r["label"] for r in lp_degree_ordered(g2).collect()}
+    assert got2 == _lp_degree_ordered_python(edges, 12)
