@@ -1,6 +1,7 @@
 from networkit_spark.operators.pagerank import PageRankResult, pagerank
 from networkit_spark.operators.components import connected_components
-from networkit_spark.operators.plp import plp
+from networkit_spark.operators.louvain import agglomerative_clusterer, plm
+from networkit_spark.operators.plp import lp_degree_ordered, plp
 from networkit_spark.operators.triangles import (
     triangle_count_per_node,
     triangle_count_per_edge,
@@ -47,8 +48,13 @@ from networkit_spark.operators.distance import (
     multi_source_bfs,
     sssp,
 )
-from networkit_spark.operators.flow import max_flow
-from networkit_spark.operators.group_centrality import group_closeness, group_degree
+from networkit_spark.operators.flow import cut_clustering, max_flow, min_cut_source_side
+from networkit_spark.operators.group_centrality import (
+    ged_walk_group,
+    ged_walk_score,
+    group_closeness,
+    group_degree,
+)
 from networkit_spark.operators.matching import (
     local_max_matching,
     luby_independent_set,
@@ -78,6 +84,9 @@ __all__ = [
     "PageRankResult",
     "connected_components",
     "plp",
+    "lp_degree_ordered",
+    "plm",
+    "agglomerative_clusterer",
     "triangles",
     "triangle_count_per_node",
     "triangle_count_per_edge",
@@ -115,7 +124,11 @@ __all__ = [
     "multi_source_bfs",
     "sssp",
     "max_flow",
+    "min_cut_source_side",
+    "cut_clustering",
     "group_closeness",
+    "ged_walk_group",
+    "ged_walk_score",
     "group_degree",
     "local_max_matching",
     "luby_independent_set",
