@@ -410,3 +410,112 @@ def havel_hakimi(spark: SparkSession, degrees: list[int]) -> Graph:
     )
     nodes = spark.range(n).select(F.col("id").cast("long"))
     return Graph.from_edges(e, directed=False, nodes=nodes)
+
+
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    alpha: float = 1.0,
+    seed: int = 42,
+    radius: float | None = None,
+    bands: int = 16,
+    buckets: int | None = None,
+) -> Graph:
+    """Hyperbolic random graph, threshold model
+    (``generators/HyperbolicGenerator.cpp`` with T=0): node i gets polar
+    coordinates (r_i, θ_i) — θ uniform, r from the quasi-uniform
+    hyperbolic density acosh(1 + u·(cosh(αR)−1))/α — and an edge joins
+    every pair at hyperbolic distance ≤ R. Degrees follow a power law
+    with exponent 2α+1.
+
+    Scale shape (the reference uses in-memory band data structures;
+    this is the join rephrasing): nodes land in (radial band, angular
+    bucket) cells; a BROADCAST band-pair table precomputes the maximal
+    angular separation at which two nodes of those bands can still be
+    within R, so candidate pairs come from one bucket-offset join and
+    only candidates pay the exact cosh-distance test — no all-pairs
+    blowup (periphery bands, which hold nearly all nodes, admit only a
+    handful of adjacent buckets).
+
+    ``radius``: override R (default: the standard R = 2·ln(8n/(π·k̄))
+    approximation for α=1-ish regimes).
+    """
+    import math
+
+    if radius is None:
+        radius = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    R = float(radius)
+    if buckets is None:
+        buckets = max(8, int(math.sqrt(n)))
+    K, B = int(buckets), int(bands)
+
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    u_t = _uniform(F.col("id"), seed * 7 + 1)
+    u_r = _uniform(F.col("id"), seed * 7 + 2)
+    cosh_aR = math.cosh(alpha * R)
+    coords = nodes.select(
+        "id",
+        (u_t * F.lit(2.0 * math.pi)).alias("theta"),
+        (F.acosh(F.lit(1.0) + u_r * F.lit(cosh_aR - 1.0)) / F.lit(alpha)).alias("r"),
+    ).localCheckpoint(eager=True)
+
+    cells = coords.select(
+        "id",
+        "theta",
+        "r",
+        F.least(
+            F.lit(B - 1), F.floor(F.col("r") / F.lit(R / B)).cast("int")
+        ).alias("band"),
+        F.floor(F.col("theta") / F.lit(2.0 * math.pi / K)).cast("int").alias("bucket"),
+    )
+
+    # band-pair → max bucket offset (inclusive), from the bands' MIN radii
+    # (the most permissive members); +1 bucket of slack for the floor
+    pair_rows = []
+    for b1 in range(B):
+        for b2 in range(B):  # ORDERED pairs: a's band vs b's band
+            r1, r2 = b1 * R / B, b2 * R / B
+            if r1 <= 0 or r2 <= 0:
+                dmax = K // 2
+            else:
+                c = (math.cosh(r1) * math.cosh(r2) - math.cosh(R)) / (
+                    math.sinh(r1) * math.sinh(r2)
+                )
+                if c <= -1.0:
+                    dmax = K // 2
+                elif c >= 1.0:
+                    dmax = 0
+                else:
+                    dmax = int(math.acos(c) / (2.0 * math.pi / K)) + 1
+            dmax = min(dmax, K // 2)
+            for off in range(-dmax, dmax + 1):
+                pair_rows.append((b1, b2, off))
+    offsets = spark.createDataFrame(pair_rows, "b1 int, b2 int, off int")
+
+    a = cells.select(
+        F.col("id").alias("ida"), F.col("theta").alias("ta"), F.col("r").alias("ra"),
+        F.col("band").alias("b1"), F.col("bucket").alias("ka"),
+    )
+    b = cells.select(
+        F.col("id").alias("idb"), F.col("theta").alias("tb"), F.col("r").alias("rb"),
+        F.col("band").alias("b2"), F.col("bucket").alias("kb"),
+    )
+    cand = (
+        a.join(F.broadcast(offsets), "b1")
+        .withColumn("kb", F.pmod(F.col("ka") + F.col("off"), F.lit(K)))
+        .join(b, ["b2", "kb"])
+        .filter(F.col("ida") < F.col("idb"))
+    )
+    dtheta = F.abs(F.col("ta") - F.col("tb"))
+    dtheta = F.least(dtheta, F.lit(2.0 * math.pi) - dtheta)
+    cosh_d = (
+        F.cosh("ra") * F.cosh("rb") - F.sinh("ra") * F.sinh("rb") * F.cos(dtheta)
+    )
+    edges = (
+        cand.filter(cosh_d <= F.lit(math.cosh(R)))
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph.from_edges(edges, directed=False, nodes=nodes)

@@ -723,3 +723,22 @@ def overlapping_nmi_distance(
         nmi = 0.0
     nmi = min(max(nmi, 0.0), 1.0)
     return 1.0 - nmi
+
+
+def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """PartitionIntersection (``community/PartitionIntersection.cpp``):
+    the coarsest partition refining both inputs — nodes share a cluster
+    iff they share one in A AND in B. Returns (node, label) with label =
+    the smallest node id of each intersection cell (the same canonical
+    labeling as the component kernels)."""
+    pa = a.select(
+        F.col(a.columns[0]).cast("long").alias("node"),
+        F.col(a.columns[1]).cast("long").alias("la"),
+    )
+    pb = b.select(
+        F.col(b.columns[0]).cast("long").alias("node"),
+        F.col(b.columns[1]).cast("long").alias("lb"),
+    )
+    cells = pa.join(pb, "node")
+    reps = cells.groupBy("la", "lb").agg(F.min("node").alias("label"))
+    return cells.join(reps, ["la", "lb"]).select("node", "label")

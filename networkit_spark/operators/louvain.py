@@ -333,3 +333,159 @@ def agglomerative_clusterer(
             weighted=True,
         )
     return mapping
+
+
+def louvain_map_equation(
+    g: Graph,
+    max_rounds: int = 32,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """LouvainMapEquation (``community/LouvainMapEquation.cpp``,
+    synchronous variant): local moving that MINIMIZES the map equation —
+    per candidate move the reference's fitnessChange terms
+    (totalCut', cluster cut', cut+volume') are evaluated under the
+    p·log(p/totalVolume) normalization and the node takes the strictly
+    better target, ties to the smaller cluster id. Cluster cut/volume
+    tables are |labels|-sized aggregations recomputed per round; moves
+    are gated to a seeded random half per round — the same oscillation
+    determinization as our PLM (the reference's synchronous mode applies
+    batched moves instead; documented deviation). Returns (node, label).
+    """
+    import math
+
+    spark = g.edges.sparkSession
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    )
+    loops = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg((F.sum("weight")).alias("loop_w"))
+    )
+    nonloop = edges.filter(F.col("src") != F.col("dst")).cache()
+    nonloop.count()
+    vol_node = (
+        g.degrees()
+        .join(loops, "id", "left")
+        .select(
+            "id",
+            (F.col("wdeg") + F.coalesce("loop_w", F.lit(0.0))).alias("vol"),
+            F.coalesce("loop_w", F.lit(0.0)).alias("loop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total_volume = float(vol_node.agg(F.sum("vol")).collect()[0][0] or 0.0)
+    if total_volume <= 0:
+        return g.nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+
+    labels = vol_node.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    def plogp(col):
+        x = col / F.lit(total_volume)
+        return F.when(col > 0, x * F.log(x)).otherwise(0.0)
+
+    for rnd in range(max_rounds):
+        lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("lu"))
+        lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("lv"))
+        le = nonloop.join(lab_src, "src").join(lab_dst, "dst")
+        ccut = (
+            le.filter(F.col("lu") != F.col("lv"))
+            .groupBy(F.col("lu").alias("label"))
+            .agg(F.sum("weight").alias("cut"))
+        )
+        cvol = (
+            labels.join(vol_node.withColumnRenamed("id", "node"), "node")
+            .groupBy("label")
+            .agg(F.sum("vol").alias("cvol"))
+        )
+        cstate = cvol.join(ccut, "label", "left").select(
+            "label", "cvol", F.coalesce("cut", F.lit(0.0)).alias("cut")
+        )
+        total_cut = float(cstate.agg(F.sum("cut")).collect()[0][0] or 0.0)
+
+        aff = (
+            nonloop.join(lab_dst, "dst")
+            .groupBy(F.col("src").alias("node"), F.col("lv").alias("cand"))
+            .agg(F.sum("weight").alias("aff"))
+        )
+        if portable_hash:
+            from networkit_spark.functions.porthash import md5_mod
+
+            movable = md5_mod(F.col("node"), salt=f"lme{rnd}:") % 2 == 0
+        else:
+            movable = F.xxhash64(F.col("node"), F.lit(rnd), F.lit(5711)) % 2 == 0
+
+        cur = labels.withColumnRenamed("label", "cur")
+        joined = (
+            aff.join(cur, "node")
+            .filter(movable)
+            .join(
+                aff.select("node", F.col("cand").alias("cur"), F.col("aff").alias("w_cur")),
+                ["node", "cur"],
+                "left",
+            )
+            .join(vol_node.withColumnRenamed("id", "node"), "node")
+            .join(
+                cstate.select(
+                    F.col("label").alias("cur"),
+                    F.col("cvol").alias("vol_cur"),
+                    F.col("cut").alias("cut_cur"),
+                ),
+                "cur",
+            )
+            .join(
+                cstate.select(
+                    F.col("label").alias("cand"),
+                    F.col("cvol").alias("vol_t"),
+                    F.col("cut").alias("cut_t"),
+                ),
+                "cand",
+            )
+            .withColumn("w_cur", F.coalesce("w_cur", F.lit(0.0)))
+        )
+        # fitnessChange(current → target), reference formula
+        cdc = 2.0 * F.col("w_cur") - F.col("vol") + 2.0 * F.col("loop")
+        cdt = F.col("vol") - 2.0 * F.col("aff") - 2.0 * F.col("loop")
+        move_change = (
+            plogp(F.lit(total_cut) + cdc + cdt)
+            + (
+                (plogp(F.col("cut_t") + cdt + F.col("vol_t") + F.col("vol"))
+                 - plogp(F.col("cut_t") + F.col("vol_t")))
+                - 2.0 * (plogp(F.col("cut_t") + cdt) - plogp(F.col("cut_t")))
+            )
+        )
+        # fitnessChange(current → current) — the stay baseline
+        stay_change = (
+            plogp(F.lit(total_cut))
+            + (
+                (plogp(F.col("cut_cur") + F.col("vol_cur"))
+                 - plogp(F.col("cut_cur") + cdc + F.col("vol_cur") - F.col("vol")))
+                - 2.0 * (plogp(F.col("cut_cur")) - plogp(F.col("cut_cur") + cdc))
+            )
+        )
+        scored = joined.filter(F.col("cand") != F.col("cur")).select(
+            "node",
+            "cand",
+            (move_change - stay_change).alias("delta"),
+        )
+        w_best = Window.partitionBy("node").orderBy(F.asc("delta"), F.asc("cand"))
+        moves = (
+            scored.withColumn("rn", F.row_number().over(w_best))
+            .filter((F.col("rn") == 1) & (F.col("delta") < -1e-15))
+            .select("node", F.col("cand").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(moves, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                F.col("new_label").isNotNull().alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_moved = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "label")
+        if n_moved == 0:
+            break
+    return labels

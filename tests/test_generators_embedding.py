@@ -108,3 +108,57 @@ def test_havel_hakimi_realizes_sequence_and_rejects_non_graphical(spark):
 
     with pytest.raises(ValueError):
         havel_hakimi(spark, [3, 1, 0, 0])
+
+
+def test_hyperbolic_generator_matches_bruteforce(spark):
+    """Hyperbolic threshold model: the band/bucket candidate join must
+    find EXACTLY the pairs within hyperbolic distance R (brute-force
+    all-pairs oracle at small n), deterministically."""
+    import math
+
+    from networkit_spark.generators import hyperbolic
+
+    n, avg_k, alpha, seed = 120, 6.0, 1.0, 11
+    g = hyperbolic(spark, n, avg_degree=avg_k, alpha=alpha, seed=seed)
+    got = {
+        (r["src"], r["dst"])
+        for r in g.canonical_undirected_edges().select("src", "dst").collect()
+    }
+
+    # brute force from the same seeded coordinates
+    R = 2.0 * math.log(8.0 * n / (math.pi * avg_k))
+
+    from pyspark.sql import functions as F
+    from networkit_spark.generators import _uniform
+
+    coords = {
+        r["id"]: (r["t"], r["r"])
+        for r in spark.range(n)
+        .select(
+            "id",
+            (_uniform(F.col("id"), seed * 7 + 1) * 2 * math.pi).alias("t"),
+            (
+                F.acosh(1.0 + _uniform(F.col("id"), seed * 7 + 2) * (math.cosh(alpha * R) - 1.0))
+                / alpha
+            ).alias("r"),
+        )
+        .collect()
+    }
+    want = set()
+    for u in range(n):
+        for v in range(u + 1, n):
+            dt = abs(coords[u][0] - coords[v][0])
+            dt = min(dt, 2 * math.pi - dt)
+            cd = math.cosh(coords[u][1]) * math.cosh(coords[v][1]) - math.sinh(
+                coords[u][1]
+            ) * math.sinh(coords[v][1]) * math.cos(dt)
+            if cd <= math.cosh(R):
+                want.add((u, v))
+    assert got == want, (len(got), len(want), list(got ^ want)[:10])
+    # determinism
+    g2 = hyperbolic(spark, n, avg_degree=avg_k, alpha=alpha, seed=seed)
+    got2 = {
+        (r["src"], r["dst"])
+        for r in g2.canonical_undirected_edges().select("src", "dst").collect()
+    }
+    assert got2 == got

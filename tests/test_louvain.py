@@ -58,3 +58,20 @@ def test_agglomerative_clusterer_recovers_planted_partition(spark):
     assert len(set(got.values())) >= 2
     q = modularity(g, labels)
     assert q > 0.25, q
+
+
+def test_louvain_map_equation_planted_partition(spark):
+    """LouvainMapEquation: planted two-clique graph minimizes the map
+    equation into the two cliques; deterministic across runs."""
+    from networkit_spark.operators.louvain import louvain_map_equation
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    g = Graph.of(spark, k5a + k5b + [(4, 5)], n=10)
+    labels = louvain_map_equation(g)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(5, 10)}) == 1
+    assert {got[i] for i in range(5)}.isdisjoint({got[i] for i in range(5, 10)})
+    got2 = {r["node"]: r["label"] for r in louvain_map_equation(g).collect()}
+    assert got2 == got

@@ -306,3 +306,16 @@ def test_overlapping_nmi_distance_reference_fixtures(spark):
         assert abs(got - (1.0 - i / 10.0)) < 1e-10, (i, got)
         gmin = overlapping_nmi_distance(pc, fc, 100, normalization="min")
         assert abs(gmin - (1.0 if i == 0 else 0.0)) < 1e-10, (i, gmin)
+
+
+def test_partition_intersection(spark):
+    """PartitionIntersection.cpp: cells = pairwise label intersections,
+    canonically labeled by min member."""
+    from networkit_spark.operators.community_quality import partition_intersection
+
+    a = spark.createDataFrame([(i, i % 2) for i in range(8)], "node long, label long")
+    b = spark.createDataFrame([(i, i // 4) for i in range(8)], "node long, label long")
+    got = {r["node"]: r["label"] for r in partition_intersection(a, b).collect()}
+    # cells: {0,2},{1,3},{4,6},{5,7}
+    assert got[0] == got[2] == 0 and got[1] == got[3] == 1
+    assert got[4] == got[6] == 4 and got[5] == got[7] == 5
