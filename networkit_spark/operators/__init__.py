@@ -1,6 +1,6 @@
 from networkit_spark.operators.pagerank import PageRankResult, pagerank
 from networkit_spark.operators.components import connected_components
-from networkit_spark.operators.louvain import agglomerative_clusterer, plm
+from networkit_spark.operators.louvain import agglomerative_clusterer, louvain_map_equation, plm
 from networkit_spark.operators.plp import lp_degree_ordered, plp
 from networkit_spark.operators.triangles import (
     triangle_count_per_node,
@@ -87,6 +87,7 @@ __all__ = [
     "lp_degree_ordered",
     "plm",
     "agglomerative_clusterer",
+    "louvain_map_equation",
     "triangles",
     "triangle_count_per_node",
     "triangle_count_per_edge",
