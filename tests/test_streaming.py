@@ -51,3 +51,58 @@ def test_run_event_stream_folds_batches(spark):
         for r in g.edges.filter(F.col("src") < F.col("dst")).collect()
     }
     assert edges == {(0, 1): 5.0, (2, 3): 2.0}, edges
+
+
+def test_streaming_degree_counts_stateful(spark):
+    """applyInPandasWithState degree maintenance: two micro-batches of
+    edge add/remove events; state carries across batches and the final
+    emitted values equal the batch-computed degrees."""
+    import tempfile
+    import time
+
+    from networkit_spark.streaming.stateful import streaming_degree_counts
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "edges")
+    ck = os.path.join(tmp, "ck")
+    os.makedirs(src)
+    b1 = [
+        {"src": 0, "dst": 1, "weight": 1.0, "sign": 1},
+        {"src": 1, "dst": 2, "weight": 2.0, "sign": 1},
+    ]
+    b2 = [
+        {"src": 0, "dst": 1, "weight": 1.0, "sign": -1},
+        {"src": 2, "dst": 3, "weight": 4.0, "sign": 1},
+    ]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b2))
+    now = 1_700_000_000
+    os.utime(os.path.join(src, "a.json"), (now, now))
+    os.utime(os.path.join(src, "b.json"), (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = streaming_degree_counts(stream)
+    q = (
+        out.writeStream.queryName(f"deg_state_{int(time.time())}")
+        .outputMode("update")
+        .format("memory")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {q.name}").collect()
+    # last emission per id wins
+    final = {}
+    for r in rows:
+        final[r["id"]] = (r["degree"], r["wdeg"])
+    assert final[0] == (0, 0.0)  # added then removed
+    assert final[1][0] == 1 and abs(final[1][1] - 2.0) < 1e-12
+    assert final[2][0] == 2 and abs(final[2][1] - 6.0) < 1e-12
+    assert final[3] == (1, 4.0)
