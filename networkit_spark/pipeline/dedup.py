@@ -24,7 +24,7 @@ non-alphanumerics, drop empties.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.functions.porthash import md5_mod
@@ -233,4 +233,63 @@ def simhash_signatures(
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "longest",
+    text_col: str = "text",
+) -> DataFrame:
+    """Resolve verified near-duplicate PAIRS into clusters and pick one
+    canonical document per cluster — the step that turns pairwise dedup
+    output (exact digests, LSH+Jaccard verification, embedding cosine)
+    into an actual training-set filter.
+
+    ``pairs``: two id columns of near-duplicate links; ``keep``:
+    ``longest`` (longest text wins, ties to smallest id — the common
+    near-dup policy) or ``smallest_id``. Returns
+    (doc_id, cluster, is_canonical) for EVERY document — singletons are
+    their own canonical cluster.
+
+    Scale shape: clustering is the connected-components kernel over the
+    near-dup link graph (O(log n) hash-to-min rounds — dedup clusters
+    are shallow, typically 2-3 rounds); the canonical pick is one
+    window over clusters. Only (id, cluster)-shaped rows shuffle; text
+    lengths join in from the docs scan.
+    """
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import connected_components
+
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = pairs.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    )
+    nodes = docs.select(F.col(id_col).cast("long").alias("id"))
+    g = Graph.from_edges(
+        edges.withColumn("weight", F.lit(1.0)), directed=False, nodes=nodes
+    )
+    labels = connected_components(g).select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster")
+    )
+    if keep == "longest":
+        ranked = labels.join(
+            docs.select(
+                F.col(id_col), F.length(F.col(text_col)).alias("_len")
+            ),
+            id_col,
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.desc("_len"), F.asc(id_col)
+        )
+    elif keep == "smallest_id":
+        ranked = labels.withColumn("_len", F.lit(0))
+        w = Window.partitionBy("cluster").orderBy(F.asc(id_col))
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .select(id_col, "cluster", (F.col("_rn") == 1).alias("is_canonical"))
     )

@@ -175,3 +175,34 @@ def test_bmp_decode_roundtrip_and_strict_features(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(bad, strict=True).collect()
+
+
+def test_dedup_clusters_canonical_pick(spark):
+    """dedup_clusters: near-dup pairs resolve into transitive clusters
+    (CC over the link graph); longest text wins, ties to smallest id;
+    singletons are canonical."""
+    from networkit_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa"),
+            (1, "aaaaaaaa"),
+            (2, "aa"),
+            (3, "bbbb"),
+            (4, "bbbb"),
+            (5, "standalone"),
+        ],
+        "doc_id long, text string",
+    )
+    # 0-1 and 1-2 chain transitively; 3-4 pair; 5 alone
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"]) for r in dedup_clusters(pairs, docs).collect()}
+    assert out[0][0] == out[1][0] == out[2][0]
+    assert out[3][0] == out[4][0] != out[0][0]
+    # canonical: longest text (doc 1) in the chain; tie 3 vs 4 -> id 3
+    assert out[1][1] and not out[0][1] and not out[2][1]
+    assert out[3][1] and not out[4][1]
+    assert out[5][1]
+    # filter keeps exactly one doc per cluster
+    kept = [k for k, (_, c) in out.items() if c]
+    assert sorted(kept) == [1, 3, 5]
