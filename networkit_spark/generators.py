@@ -519,3 +519,134 @@ def hyperbolic(
         .withColumn("weight", F.lit(1.0))
     )
     return Graph.from_edges(edges, directed=False, nodes=nodes)
+
+
+def mocnik(
+    spark: SparkSession,
+    n: int,
+    dim: int = 2,
+    k: float = 2.0,
+    seed: int = 42,
+) -> Graph:
+    """Mocnik random spatial graph (``generators/MocnikGenerator.cpp``,
+    base layer): n nodes uniform in [0,1]^dim; node i points a DIRECTED
+    edge at every j with dist(i,j) ≤ k · d_min(i), where d_min(i) is
+    i's nearest-neighbor distance.
+
+    Exact distributed evaluation via a cell grid: nearest-neighbor
+    distances come from an expanding-ring cell search (a node resolves
+    once its best-found distance ≤ searched-radius × cell-size, the
+    ring guarantee — unresolved stragglers re-search with a doubled
+    ring, a handful of rounds); edge candidates are generated per
+    ring-radius class so an isolated node's big radius never inflates
+    everyone else's candidate set. Only candidates pay the exact
+    distance test — no all-pairs scan.
+    """
+    import itertools
+    import math
+
+    cells_per_axis = max(1, int(math.ceil(n ** (1.0 / dim) / 2.0)))
+    s = 1.0 / cells_per_axis
+
+    axes = [f"x{a}" for a in range(dim)]
+    pos = spark.range(n).select(
+        F.col("id").cast("long"),
+        *[
+            _uniform(F.col("id"), seed * 31 + 7 * a + 1).alias(f"x{a}")
+            for a in range(dim)
+        ],
+    )
+    cellcols = [
+        F.least(F.lit(cells_per_axis - 1), F.floor(F.col(ax) / F.lit(s)).cast("int")).alias(f"c{a}")
+        for a, ax in enumerate(axes)
+    ]
+    pts = pos.select("id", *axes, *cellcols).localCheckpoint(eager=True)
+
+    def offsets_df(q: int, ring_only: bool = False):
+        rows = [
+            tuple(off)
+            for off in itertools.product(range(-q, q + 1), repeat=dim)
+            if (max(abs(o) for o in off) == q if ring_only and q > 0 else True)
+        ]
+        return spark.createDataFrame(
+            rows, ", ".join(f"o{a} int" for a in range(dim))
+        )
+
+    def candidates(points_a, q: int):
+        """Pairs (a-node, b-node) with b in any cell within Chebyshev
+        cell-radius q of a's cell."""
+        a = points_a.select(
+            F.col("id").alias("ia"),
+            *[F.col(ax).alias(f"a{i}") for i, ax in enumerate(axes)],
+            *[F.col(f"c{i}").alias(f"ca{i}") for i in range(dim)],
+        )
+        b = pts.select(
+            F.col("id").alias("ib"),
+            *[F.col(ax).alias(f"b{i}") for i, ax in enumerate(axes)],
+            *[F.col(f"c{i}").alias(f"cb{i}") for i in range(dim)],
+        )
+        off = offsets_df(q)
+        j = a.join(F.broadcast(off))
+        for i in range(dim):
+            j = j.withColumn(f"cb{i}", F.col(f"ca{i}") + F.col(f"o{i}"))
+        j = j.join(b, [f"cb{i}" for i in range(dim)])
+        return j.filter(F.col("ia") != F.col("ib"))
+
+    def with_dist(cand):
+        d2 = None
+        for i in range(dim):
+            t = (F.col(f"a{i}") - F.col(f"b{i}")) ** 2
+            d2 = t if d2 is None else d2 + t
+        return cand.withColumn("d", F.sqrt(d2))
+
+    # nearest-neighbor distances with the ring guarantee
+    unresolved = pts
+    dm = None
+    q = 1
+    while True:
+        cand = with_dist(candidates(unresolved, q))
+        found = cand.groupBy(F.col("ia").alias("id")).agg(F.min("d").alias("m"))
+        joined = unresolved.join(found, "id", "left")
+        ok = joined.filter(F.col("m").isNotNull() & (F.col("m") <= q * s)).select(
+            "id", F.col("m").alias("dm")
+        ).localCheckpoint(eager=True)
+        dm = ok if dm is None else dm.unionByName(ok)
+        unresolved = joined.join(ok, "id", "left_anti").select(pts.columns).localCheckpoint(
+            eager=True
+        )
+        if unresolved.limit(1).count() == 0:
+            break
+        q *= 2
+        if q > 2 * cells_per_axis:
+            # everything within one full-grid search is exact
+            cand = with_dist(candidates(unresolved, cells_per_axis))
+            found = cand.groupBy(F.col("ia").alias("id")).agg(F.min("d").alias("dm"))
+            dm = dm.unionByName(unresolved.select("id").join(found, "id"))
+            break
+
+    # per-node edge radius R = k*dm; candidate rings per radius class
+    radii = pts.join(dm, "id").withColumn("R", F.lit(float(k)) * F.col("dm"))
+    radii = radii.withColumn(
+        "q", F.least(F.lit(cells_per_axis), F.ceil(F.col("R") / F.lit(s)).cast("int") + 1)
+    ).localCheckpoint(eager=True)
+    classes = [int(r["q"]) for r in radii.select("q").distinct().collect()]
+    parts = []
+    for qc in classes:
+        pts_q = radii.filter(F.col("q") == qc)
+        cand = with_dist(candidates(pts_q.select(pts.columns + ["R"]), qc))
+        parts.append(
+            cand.join(radii.select(F.col("id").alias("ia"), "R"), "ia")
+            .filter(F.col("d") <= F.col("R"))
+            .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.withColumn("weight", F.lit(1.0))
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(
+        nodes=nodes,
+        edges=edges.localCheckpoint(eager=True),
+        directed=True,
+        weighted=False,
+    )

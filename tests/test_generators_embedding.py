@@ -162,3 +162,38 @@ def test_hyperbolic_generator_matches_bruteforce(spark):
         for r in g2.canonical_undirected_edges().select("src", "dst").collect()
     }
     assert got2 == got
+
+
+def test_mocnik_generator_matches_bruteforce(spark):
+    """Mocnik spatial model: the ring-search NN distances and the
+    k*d_min edge rule must match a brute-force all-pairs oracle on the
+    same seeded coordinates."""
+    import math
+
+    from pyspark.sql import functions as F
+    from networkit_spark.generators import _uniform, mocnik
+
+    n, dim, k, seed = 150, 2, 2.0, 13
+    g = mocnik(spark, n, dim=dim, k=k, seed=seed)
+    got = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+
+    coords = {
+        r["id"]: tuple(r[f"x{a}"] for a in range(dim))
+        for r in spark.range(n)
+        .select(
+            "id",
+            *[_uniform(F.col("id"), seed * 31 + 7 * a + 1).alias(f"x{a}") for a in range(dim)],
+        )
+        .collect()
+    }
+
+    def dist(u, v):
+        return math.sqrt(sum((coords[u][a] - coords[v][a]) ** 2 for a in range(dim)))
+
+    want = set()
+    for u in range(n):
+        dm = min(dist(u, v) for v in range(n) if v != u)
+        for v in range(n):
+            if v != u and dist(u, v) <= k * dm:
+                want.add((u, v))
+    assert got == want, (len(got), len(want), list(got ^ want)[:8])
