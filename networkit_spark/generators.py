@@ -650,3 +650,138 @@ def mocnik(
         directed=True,
         weighted=False,
     )
+
+
+def pubweb(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.1,
+    max_neighbors: int = 4,
+    seed: int = 42,
+) -> Graph:
+    """PubWeb peer-to-peer generator
+    (``generators/PubWebGenerator.cpp``): nodes on the UNIT TORUS —
+    most clustered inside dense areas (anti-quadratic radius
+    distribution, per-area counts ∝ rad^1.5, the remaining ~2/(k+2)
+    share uniform background) — and an undirected edge joins u and v
+    iff EACH is among the other's ``max_neighbors`` nearest in-range
+    neighbors (the reference's eligible-edge two-pass = mutual kNN
+    within ``neighborhood_radius``); weight = 0.01 / d² like the
+    reference's BASE_WEIGHT rule. Seeded hash draws replace the
+    reference's sequential RNG (model-level parity, like our
+    WattsStrogatz/ChungLu).
+
+    Scale shape: torus grid cells of side ≥ radius, one 3×3-cell
+    candidate join, one per-node rank window bounded by the in-range
+    neighborhood — the quadratic loop the reference's own TODO wants
+    removed."""
+    import math
+
+    from pyspark.sql import Window
+
+    MAX_R, FACT, BASE_W = 0.2, 5.0, 0.01
+
+    # driver-side: area centers, radii, per-area counts (k+2 shares)
+    import hashlib as _h
+
+    def _du(tag: str) -> float:  # deterministic uniform from the seed
+        d = _h.md5(f"pw{seed}:{tag}".encode()).digest()
+        return int.from_bytes(d[:8], "big") / float(1 << 64)
+
+    areas = []
+    for a in range(num_dense_areas):
+        f = _du(f"rad{a}") * FACT + 1.0
+        rad = (MAX_R * f * f) / (FACT * FACT)
+        areas.append({"x": _du(f"cx{a}"), "y": _du(f"cy{a}"), "rad": rad})
+    mass = sum(c["rad"] ** 1.5 for c in areas)
+    scale = (n * (num_dense_areas / (num_dense_areas + 2.0))) / mass if mass else 0.0
+    counts = [int(round(c["rad"] ** 1.5 * scale)) for c in areas]
+    while sum(counts) > n:
+        counts[counts.index(max(counts))] -= 1
+    bounds, acc = [], 0
+    for c in counts:
+        acc += c
+        bounds.append(acc)
+
+    area_rows = []
+    for a, c in enumerate(areas):
+        lo = bounds[a - 1] if a else 0
+        area_rows.append((lo, bounds[a], c["x"], c["y"], c["rad"]))
+    area_df = spark.createDataFrame(
+        area_rows, "lo long, hi long, ax double, ay double, rad double"
+    )
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    assigned = nodes.join(
+        F.broadcast(area_df),
+        (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
+        "left",
+    )
+    ang = _uniform(F.col("id"), seed * 13 + 1) * (2.0 * math.pi)
+    dst = _uniform(F.col("id"), seed * 13 + 2) * F.col("rad")
+    ux = _uniform(F.col("id"), seed * 13 + 3)
+    uy = _uniform(F.col("id"), seed * 13 + 4)
+    wrap = lambda c: F.pmod(c, F.lit(1.0))  # noqa: E731 — torus
+    pos = assigned.select(
+        "id",
+        wrap(
+            F.when(F.col("rad").isNotNull(), F.col("ax") + F.cos(ang) * dst).otherwise(ux)
+        ).alias("x"),
+        wrap(
+            F.when(F.col("rad").isNotNull(), F.col("ay") + F.sin(ang) * dst).otherwise(uy)
+        ).alias("y"),
+    ).localCheckpoint(eager=True)
+
+    cells = max(1, int(math.floor(1.0 / neighborhood_radius)))
+    s = 1.0 / cells
+    pts = pos.select(
+        "id", "x", "y",
+        F.least(F.lit(cells - 1), F.floor(F.col("x") / F.lit(s)).cast("int")).alias("cx"),
+        F.least(F.lit(cells - 1), F.floor(F.col("y") / F.lit(s)).cast("int")).alias("cy"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "ox int, oy int"
+    )
+    a = pts.select(
+        F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        "cx", "cy",
+    )
+    b = pts.select(
+        F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+    )
+    cand = (
+        a.join(F.broadcast(offs))
+        .select(
+            "ia", "xa", "ya",
+            F.pmod(F.col("cx") + F.col("ox"), F.lit(cells)).alias("bx"),
+            F.pmod(F.col("cy") + F.col("oy"), F.lit(cells)).alias("by"),
+        )
+        .join(b, ["bx", "by"])
+        .filter(F.col("ia") != F.col("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+    dx = F.abs(F.col("xa") - F.col("xb"))
+    dx = F.least(dx, F.lit(1.0) - dx)
+    dy = F.abs(F.col("ya") - F.col("yb"))
+    dy = F.least(dy, F.lit(1.0) - dy)
+    ranged = cand.withColumn("d2", dx * dx + dy * dy).filter(
+        F.col("d2") <= F.lit(neighborhood_radius**2)
+    )
+    w = Window.partitionBy("ia").orderBy(
+        "d2", F.least("ia", "ib"), F.greatest("ia", "ib")
+    )
+    topk = ranged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_neighbors
+    )
+    # mutual: both endpoints keep the canonical pair in their top-k
+    ce = topk.select(
+        F.least("ia", "ib").alias("src"), F.greatest("ia", "ib").alias("dst"), "d2"
+    )
+    edges = (
+        ce.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("d2").alias("d2"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst", (F.lit(BASE_W) / F.col("d2")).alias("weight"))
+    )
+    return Graph.from_edges(edges, directed=False, nodes=nodes, )
