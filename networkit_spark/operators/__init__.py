@@ -75,7 +75,7 @@ from networkit_spark.operators.randomization import (
     edge_switching,
     global_curveball,
 )
-from networkit_spark.operators.reachability import reachable_nodes
+from networkit_spark.operators.reachability import all_simple_paths, reachable_nodes
 from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble, tce
 from networkit_spark.operators.spectral import laplacian_centrality
 
@@ -146,6 +146,7 @@ __all__ = [
     "edge_switching",
     "global_curveball",
     "reachable_nodes",
+    "all_simple_paths",
     "clique_detect",
     "gce",
     "tce",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.pin import pin
 
 
 def reachable_nodes(g: Graph, sources: DataFrame | None = None) -> DataFrame:
@@ -30,3 +31,56 @@ def reachable_nodes(g: Graph, sources: DataFrame | None = None) -> DataFrame:
     return base.join(counts, "id", "left").select(
         "id", F.coalesce("reachable", F.lit(1)).alias("reachable")
     )
+
+
+def all_simple_paths(
+    g: Graph,
+    source: int,
+    target: int,
+    cutoff: int | None = None,
+) -> DataFrame:
+    """(path ARRAY<LONG>) — every simple source→target path of length ≤
+    ``cutoff`` (``reachability/AllSimplePaths.cpp`` contract; cutoff
+    defaults to n−1, the longest possible simple path).
+
+    Frontier expansion over path-state rows: each round extends every
+    open path by the out-edges whose head is not already on it —
+    O(cutoff) rounds, each one edge join + an array-membership filter.
+    The OUTPUT is inherently exponential in the worst case (the
+    reference shares that), so cutoff is the scale lever: bounded-hop
+    queries stay bounded; the frontier holds only open paths.
+    """
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    cutoff = int(cutoff) if cutoff is not None else max(n - 1, 0)
+    s, t = int(source), int(target)
+    edges = (g.symmetrized_edges() if not g.directed else g.edges).select(
+        "src", "dst"
+    ).transform(pin)
+    if s == t:
+        return spark.createDataFrame([([s],)], "path array<long>")
+    open_paths = spark.createDataFrame(
+        [([s], s)], "path array<long>, last long"
+    )
+    done = None
+    for _ in range(cutoff):
+        ext = (
+            open_paths.join(edges.withColumnRenamed("src", "last"), "last")
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                F.col("dst").alias("last"),
+            )
+            .transform(pin)
+        )
+        arrived = ext.filter(F.col("last") == t).select("path")
+        if done is None:
+            done = arrived
+        else:
+            done = done.unionByName(arrived)
+        open_paths = ext.filter(F.col("last") != t)
+        if open_paths.limit(1).count() == 0:
+            break
+    if done is None:
+        return spark.createDataFrame([], "path array<long>")
+    return done

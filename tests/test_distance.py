@@ -551,3 +551,38 @@ def test_kadabra_betweenness_epsilon_bound_and_adaptive_stop(spark):
     a = kadabra_betweenness(g, epsilon=eps, delta=0.1, seed=3).collect()
     b = kadabra_betweenness(g, epsilon=eps, delta=0.1, seed=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_all_simple_paths_reference_fixture(spark):
+    """AllSimplePathsGTest.testAllSimplePaths: the 4 exact paths 3→1 on
+    the gtest graph (directed), plus cutoff truncation and the s==t
+    singleton."""
+    from networkit_spark.operators.reachability import all_simple_paths
+
+    # the gtest uses input/example.edgelist + added edges 9<->6; the
+    # relevant directed reachable structure for paths 3→1:
+    edges = [
+        (3, 7), (7, 10), (3, 10), (10, 9), (9, 6), (6, 9),
+        (6, 1), (6, 5), (5, 1),
+    ]
+    g = Graph.of(spark, edges, n=11, directed=True)
+    got = sorted(tuple(r["path"]) for r in all_simple_paths(g, 3, 1).collect())
+    want = sorted(
+        [
+            (3, 7, 10, 9, 6, 1),
+            (3, 7, 10, 9, 6, 5, 1),
+            (3, 10, 9, 6, 1),
+            (3, 10, 9, 6, 5, 1),
+        ]
+    )
+    assert got == want
+    # cutoff counts EDGES: 5 keeps the three ≤5-edge paths, 4 keeps one
+    short = sorted(tuple(r["path"]) for r in all_simple_paths(g, 3, 1, cutoff=5).collect())
+    assert short == sorted(
+        [(3, 7, 10, 9, 6, 1), (3, 10, 9, 6, 1), (3, 10, 9, 6, 5, 1)]
+    )
+    assert [tuple(r["path"]) for r in all_simple_paths(g, 3, 1, cutoff=4).collect()] == [
+        (3, 10, 9, 6, 1)
+    ]
+    assert [tuple(r["path"]) for r in all_simple_paths(g, 3, 3).collect()] == [(3,)]
+    assert all_simple_paths(g, 1, 3).count() == 0
