@@ -682,10 +682,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from networkit_spark.pipeline.dedup import ngram_jaccard_pairs
+    """Verified n-gram Jaccard near-dup pairs PLUS the resolved cluster
+    decision (round-4 ``dedup_clusters``) in one table: kind='pair' rows
+    carry (id_a, id_b, jaccard); kind='cluster' rows carry one row per
+    document — id_a=doc_id, id_b=cluster label (min doc_id in the
+    near-dup component), jaccard=1.0 iff the doc is the canonical keep
+    under the keep='longest' policy (longest text, ties to smallest
+    id)."""
+    from networkit_spark.pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100)
+    a = pairs.select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    cl = dedup_clusters(
+        pairs.select("id_a", "id_b"), docs, id_col="doc_id", keep="longest"
+    )
+    b = cl.select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.col("is_canonical").cast("double").alias("jaccard"),
+    )
+    return a.unionByName(b)
 
 
 # --------------------------------------------------------------------------
@@ -1330,17 +1353,82 @@ def q_graph_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+PATH_TARGETS = (7, 50, 199)  # reachable from 0 at every driver sf
+
+
 def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Path queries in one (variant, node, dist) table: BFS hop distances
-    from node 0 on the full co-graph + weighted SSSP from node 0 on the
-    <200 subgraph (merged graph_bfs + graph_sssp)."""
+    """Path queries in one (variant, node, dist) table:
+    - bfs: hop distances from node 0 on the full co-graph;
+    - sssp: weighted SSSP from 0 on the <200 subgraph ((u+v)%5+1);
+    - bibfs: BidirectionalBFS point-to-point hop distances 0→t for
+      t ∈ PATH_TARGETS on the full co-graph (round 4 operator;
+      unreachable targets emit no row, matching the bfs contract);
+    - bidijkstra: BidirectionalDijkstra 0→t on the %5+1 weighted
+      subgraph (round 5 operator; same absent-when-unreachable rule);
+    - inc_dijkstra: IncompleteDijkstra from 0 on the %3+1 weighted
+      subgraph with explored={5,7} and max_dist=4 — only nodes settled
+      within the bound appear (round 4 operator);
+    - simple_paths: AllSimplePaths 0→50 on the <200 subgraph with
+      cutoff 4, aggregated to per-hop-count path counts
+      (node=hops, dist=count) so the enumeration has a finite row shape
+      (round 4 operator)."""
+    from networkit_spark.operators.distance import (
+        bidirectional_bfs,
+        bidirectional_dijkstra,
+        incomplete_dijkstra,
+    )
+    from networkit_spark.operators.reachability import all_simple_paths
+
     a = q_graph_bfs(spark, sf_dir).select(
         F.lit("bfs").alias("variant"), "node", F.col("dist").cast("double").alias("dist")
     )
     b = q_graph_sssp(spark, sf_dir).select(
         F.lit("sssp").alias("variant"), "node", "dist"
     )
-    return a.unionByName(b)
+    g = _co_graph(spark, sf_dir)
+    sub = _co_subgraph200(spark, sf_dir)
+    w5 = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    bibfs_rows = [
+        (t, float(d))
+        for t in PATH_TARGETS
+        for d in [bidirectional_bfs(g, 0, t)]
+        if d != float("inf")
+    ]
+    c = spark.createDataFrame(bibfs_rows, "node long, dist double").select(
+        F.lit("bibfs").alias("variant"), "node", "dist"
+    )
+    bidij_rows = [
+        (t, float(d))
+        for t in PATH_TARGETS
+        for d in [bidirectional_dijkstra(w5, 0, t)]
+        if d != float("inf")
+    ]
+    d = spark.createDataFrame(bidij_rows, "node long, dist double").select(
+        F.lit("bidijkstra").alias("variant"), "node", "dist"
+    )
+    e = incomplete_dijkstra(
+        _sub200_weighted(spark, sf_dir),
+        sources=[0],
+        explored=spark.createDataFrame([(5,), (7,)], "id long"),
+        max_dist=4.0,
+    ).select(F.lit("inc_dijkstra").alias("variant"), "node", F.round("dist", 6).alias("dist"))
+    f = (
+        all_simple_paths(sub, source=0, target=50, cutoff=4)
+        .select((F.size("path") - 1).cast("long").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("dist"))
+        .select(F.lit("simple_paths").alias("variant"), "node", "dist")
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(f)
 
 
 def q_graph_lp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,7 +2176,7 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """,
         "dedup_jaccard": f"""
-WITH {_TOKS_SQL}, {_shingle_sql(3)},
+WITH RECURSIVE {_TOKS_SQL}, {_shingle_sql(3)},
 keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
 shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
 sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
@@ -2096,11 +2184,32 @@ co AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         round(common::DOUBLE / (x.sz + y.sz - common), 6) AS jaccard
+  FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE common::DOUBLE / (x.sz + y.sz - common) >= 0.5
+),
+pedges AS (SELECT id_a AS u, id_b AS v FROM jpairs
+           UNION ALL SELECT id_b, id_a FROM jpairs),
+cwalk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.node, e.v FROM cwalk w JOIN pedges e ON w.reach = e.u
+),
+lab AS (SELECT node AS doc_id, min(reach) AS cluster FROM cwalk GROUP BY node),
+cranked AS (
+  SELECT l.doc_id, l.cluster,
+         row_number() OVER (PARTITION BY l.cluster
+                            ORDER BY length(d.text) DESC, l.doc_id) AS rn
+  FROM lab l JOIN documents d USING (doc_id)
 )
-SELECT id_a, id_b,
-       round(common::DOUBLE / (x.sz + y.sz - common), 6) AS jaccard
-FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-WHERE common::DOUBLE / (x.sz + y.sz - common) >= 0.5
+SELECT 'pair' AS kind, id_a, id_b, jaccard FROM jpairs
+UNION ALL
+SELECT 'cluster' AS kind, doc_id AS id_a, cluster AS id_b,
+       CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS jaccard
+FROM cranked
 """,
         "text_tokens": r"""
 SELECT doc_id,
@@ -2265,6 +2374,7 @@ SELECT CAST(-1 AS BIGINT) AS id, CAST(d.diameter AS BIGINT) AS ecc FROM (
         ("katz", base["graph_katz"]),
         ("eigenvector", base["graph_eigenvector"]),
     ])
+    path_targets = ", ".join(str(t) for t in PATH_TARGETS)
     base["graph_paths"] = f"""
 SELECT 'bfs' AS variant, t.node, CAST(t.dist AS DOUBLE) AS dist FROM (
 {base["graph_bfs"]}
@@ -2273,6 +2383,51 @@ UNION ALL
 SELECT 'sssp' AS variant, s.node, s.dist FROM (
 {base["graph_sssp"]}
 ) s
+UNION ALL
+SELECT 'bibfs' AS variant, t.node, CAST(t.dist AS DOUBLE) AS dist FROM (
+{base["graph_bfs"]}
+) t WHERE t.node IN ({path_targets})
+UNION ALL
+SELECT 'bidijkstra' AS variant, s.node, s.dist FROM (
+{base["graph_sssp"]}
+) s WHERE s.node IN ({path_targets})
+UNION ALL
+SELECT 'inc_dijkstra' AS variant, i.node, i.dist FROM (
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+fedges AS (SELECT * FROM edges WHERE src NOT IN (5, 7) AND dst NOT IN (5, 7)),
+wedges AS (SELECT src, dst, (src + dst) % 3 + 1 AS w FROM fedges),
+wk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, wk.dist + e.w FROM wk JOIN wedges e ON wk.node = e.src
+  WHERE wk.dist + e.w <= 4
+)
+SELECT node, round(CAST(min(dist) AS DOUBLE), 6) AS dist FROM wk GROUP BY node
+) i
+UNION ALL
+SELECT 'simple_paths' AS variant, p.node, p.dist FROM (
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+sp(path, last) AS (
+  SELECT [CAST(0 AS BIGINT)], CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT list_append(sp.path, e.dst), e.dst FROM sp JOIN edges e ON sp.last = e.src
+  WHERE NOT list_contains(sp.path, e.dst) AND len(sp.path) <= 4 AND sp.last <> 50
+)
+SELECT CAST(len(path) - 1 AS BIGINT) AS node, count(*)::DOUBLE AS dist
+FROM sp WHERE last = 50 GROUP BY 1
+) p
 """
     base["graph_lp_scores"] = f"""
 SELECT 'katz' AS metric, t.u, t.v, t.katz AS score FROM (

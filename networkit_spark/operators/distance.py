@@ -486,6 +486,88 @@ def bidirectional_bfs(g: Graph, source: int, target: int) -> float:
             best = min(best, float(meet))
 
 
+def bidirectional_dijkstra(g: Graph, source: int, target: int) -> float:
+    """Weighted point-to-point distance
+    (``distance/BidirectionalDijkstra.cpp:30-150`` contract: the μ ≤
+    top_f + top_b stopping rule on two alternating Dijkstra balls;
+    returns inf when unreachable).
+
+    Batch analogue: alternate one relax round on the side with the
+    smaller open frontier, keep the best meeting sum μ, and prune every
+    tentative label ≥ μ — with non-negative weights a pruned label can
+    never improve a meeting, so the touched volume is the two balls of
+    radius ≈ μ/2 instead of one full SSSP ball of radius μ. Each round
+    is the same frontier⋈edges + min-agg shuffle as ``sssp``, so the
+    plan scales identically; only the frontier volume shrinks.
+    """
+    if int(source) == int(target):
+        return 0.0
+    spark = g.edges.sparkSession
+    fwd = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    )
+    bwd = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    edges = {"a": fwd.transform(pin), "b": bwd.transform(pin)}
+
+    def init(node: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(node), 0.0)], "node long, dist double"
+        ).localCheckpoint(eager=True)
+
+    dist = {"a": init(source), "b": init(target)}
+    frontier = dict(dist)
+    fsize = {"a": 1, "b": 1}
+    best = float("inf")
+    cap = 2 * (g.num_nodes() + 1)
+    for _ in range(cap):
+        if fsize["a"] == 0 and fsize["b"] == 0:
+            return best
+        side = (
+            "a"
+            if (fsize["b"] == 0 or (fsize["a"] != 0 and fsize["a"] <= fsize["b"]))
+            else "b"
+        )
+        other = "b" if side == "a" else "a"
+        relax = (
+            edges[side]
+            .join(frontier[side].withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        if best != float("inf"):
+            relax = relax.filter(F.col("cand") < F.lit(best))
+        merged = (
+            dist[side]
+            .join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias(
+                    "imp"
+                ),
+            )
+            .transform(pin)
+        )
+        frontier[side] = merged.filter("imp").select("node", "dist")
+        fsize[side] = frontier[side].count()
+        dist[side] = merged.select("node", "dist")
+        if fsize[side]:
+            meet = (
+                frontier[side]
+                .join(dist[other].withColumnRenamed("dist", "od"), "node")
+                .agg(F.min(F.col("dist") + F.col("od")))
+                .collect()[0][0]
+            )
+            if meet is not None:
+                best = min(best, float(meet))
+    return best
+
+
 # --------------------------------------------------------------------------
 # Weighted SSSP (Bellman-Ford relax loop)
 # --------------------------------------------------------------------------

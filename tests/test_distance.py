@@ -526,6 +526,34 @@ def test_bidirectional_bfs_matches_full_bfs(spark):
     assert bidirectional_bfs(g2, 0, 2) == float("inf")
 
 
+def test_bidirectional_dijkstra_matches_sssp(spark):
+    """BidirectionalDijkstra == full weighted SSSP distance on seeded
+    random weighted graphs, incl. unreachable + same-node cases
+    (distance/BidirectionalDijkstra.cpp:30-150 stopping rule)."""
+    import random
+
+    from networkit_spark.operators.distance import bidirectional_dijkstra, sssp
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 20
+        edges = sorted(
+            {
+                (*sorted(rng.sample(range(n), 2)), float(rng.randint(1, 9)))
+                for _ in range(34)
+            }
+        )
+        g = Graph.of(spark, edges, n=n, weighted=True)
+        full = {r["node"]: r["dist"] for r in sssp(g, 0).collect()}
+        for t in (1, 7, n - 1):
+            want = float(full.get(t, float("inf")))
+            got = bidirectional_dijkstra(g, 0, t)
+            assert got == pytest.approx(want, abs=1e-9), (seed, t, got, want)
+    g2 = Graph.of(spark, [(0, 1, 2.0)], n=3, weighted=True)
+    assert bidirectional_dijkstra(g2, 1, 1) == 0.0
+    assert bidirectional_dijkstra(g2, 0, 2) == float("inf")
+
+
 def test_kadabra_betweenness_epsilon_bound_and_adaptive_stop(spark):
     """Kadabra: within-epsilon of exact normalized betweenness across
     seeds, and the empirical-Bernstein stop uses FEWER samples than the
