@@ -203,8 +203,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree table in one (variant, id, deg) shape:
+    - deg: per-node degree of the full co-graph (id = node);
+    - hh: the degree sequence REALIZED by the HavelHakimi generator fed
+      the <200 subgraph's degree sequence, sorted descending (id = rank,
+      1-based). HavelHakimi realizes any graphical sequence exactly
+      (generators/HavelHakimiGenerator.cpp), and a real graph's sequence
+      is graphical, so the oracle is the sub200 degree sequence itself —
+      the row equality checks realization, not just plumbing."""
+    from networkit_spark.generators import havel_hakimi
+
     g = _co_graph(spark, sf_dir)
-    return g.degrees().select("id", "deg")
+    a = g.degrees().select(F.lit("deg").alias("variant"), "id", "deg")
+    sub = _co_subgraph200(spark, sf_dir)
+    seq = [int(r["deg"]) for r in sub.degrees().orderBy("id").collect()]
+    hh = havel_hakimi(spark, seq)
+    b = (
+        hh.degrees()
+        .select(
+            F.lit("hh").alias("variant"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("deg"), F.asc("id")))
+            .cast("long")
+            .alias("id"),
+            "deg",
+        )
+    )
+    return a.unionByName(b)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,19 +1232,40 @@ def q_graph_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.canonical_undirected_edges().select("src", "dst")
 
 
+KADABRA_BATCH = 64
+
+
 def q_graph_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ApproxBetweenness ε-δ sampling (centrality/ApproxBetweenness.cpp,
-    Riondato-Kornaropoulos bound) on the <200 subgraph — rows-only
-    (pytest pins the |score − exact| ≤ ε property across seeds)."""
-    from networkit_spark.operators.distance import approx_betweenness
+    """Sampled-path betweenness estimators in one (method, id, score)
+    table on the <200 subgraph, both with portable md5 draws (pair
+    sampling + per-step σ-weighted path choice) so the DuckDB oracle
+    replays the identical sampled paths:
+    - rk: ApproxBetweenness ε-δ (centrality/ApproxBetweenness.cpp,
+      Riondato-Kornaropoulos fixed sample bound);
+    - kadabra: KadabraBetweenness
+      (centrality/KadabraBetweenness.cpp) pinned to ONE fixed batch of
+      64 samples (max_rounds=1) — the adaptive empirical-Bernstein stop
+      is exercised in pytest; the gate row checks the sampling and
+      path-walk machinery exactly."""
+    from networkit_spark.operators.distance import (
+        approx_betweenness,
+        kadabra_betweenness,
+    )
 
     sub = _co_subgraph200(spark, sf_dir)
-    # portable md5 draws (pair sampling + per-step path choice) so the
-    # DuckDB oracle replays the identical sampled paths
-    out = approx_betweenness(
+    a = approx_betweenness(
         sub, epsilon=0.2, delta=0.1, seed=42, portable_hash=True
+    ).select(F.lit("rk").alias("method"), "id", F.round("score", 6).alias("score"))
+    b = kadabra_betweenness(
+        sub,
+        seed=42,
+        batch_size=KADABRA_BATCH,
+        max_rounds=1,
+        portable_hash=True,
+    ).select(
+        F.lit("kadabra").alias("method"), "id", F.round("score", 6).alias("score")
     )
-    return out.select("id", F.round("score", 6).alias("score"))
+    return a.unionByName(b)
 
 
 
@@ -1328,29 +1374,108 @@ def q_graph_eccentricity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecc.unionByName(dia)
 
 
+GEDWALK_GROUP = (0, 3, 7)
+GEDWALK_ALPHA = 0.25  # a power of two: every α^ℓ·(integer walk count)
+GEDWALK_LEVELS = 4  # product is exact in FP, so the replay is bit-identical
+
+
 def q_graph_group_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy group centralities in one (method, rank, id) table
-    (merged graph_group_degree + graph_group_closeness)."""
+    """Group/partition centralities in one (method, rank, id, score)
+    table (merged graph_group_degree + graph_group_closeness, plus the
+    round-4 operators gate-folded round 5):
+    - degree / closeness: greedy picks, (rank, id), score NULL;
+    - lpc: LocalPartitionCoverage of the id%10 partition on the full
+      co-graph (centrality/LocalPartitionCoverage.cpp) — rank=-1,
+      id=node, score=coverage;
+    - gedwalk: exact GED-Walk score of the fixed group {0,3,7} on the
+      <200 subgraph (centrality/GedWalk.cpp evaluateGroup hit/miss DP,
+      α=0.25, 4 levels) — one (rank=-1, id=-1, score) row. Walk counts
+      are integers and α^ℓ is a power of two, so the arithmetic is
+      exact and cross-engine bit-identical."""
+    from networkit_spark.operators.degrees import local_partition_coverage
+    from networkit_spark.operators.group_centrality import ged_walk_score
+
+    nulld = F.lit(None).cast("double")
     a = q_graph_group_degree(spark, sf_dir).select(
-        F.lit("degree").alias("method"), "rank", "id"
+        F.lit("degree").alias("method"), "rank", "id", nulld.alias("score")
     )
     b = q_graph_group_closeness(spark, sf_dir).select(
-        F.lit("closeness").alias("method"), "rank", "id"
+        F.lit("closeness").alias("method"), "rank", "id", nulld.alias("score")
     )
-    return a.unionByName(b)
+    g = _co_graph(spark, sf_dir)
+    l10 = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
+    c = local_partition_coverage(g, l10).select(
+        F.lit("lpc").alias("method"),
+        F.lit(-1).cast("int").alias("rank"),
+        "id",
+        F.round("score", 6).alias("score"),
+    )
+    sub = _co_subgraph200(spark, sf_dir)
+    gw = ged_walk_score(
+        sub, list(GEDWALK_GROUP), alpha=GEDWALK_ALPHA, levels=GEDWALK_LEVELS
+    )
+    # no rounding: the value is exact (see docstring), and Python round()
+    # vs SQL round() tie rules differ — raw doubles compare bit-identical
+    d = spark.createDataFrame(
+        [("gedwalk", -1, -1, float(gw))],
+        "method string, rank int, id long, score double",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+DYN_KATZ_INIT_ITERS = 10
+DYN_KATZ_UPDATE_ITERS = 5
+
+
+def q_graph_dyn_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynKatzCentrality warm-start maintenance
+    (centrality/DynKatzCentrality.cpp dynamic contract): initialize on
+    the co-graph MINUS the edges with (src+dst)%7==0 (fixed 10
+    iterations, tol=0, α pinned from that base graph), then stream the
+    removed edges back in as one EDGE_ADDITION batch and re-converge
+    warm-started for a fixed 5 iterations. Fixed budgets + tol=0 make
+    the whole init→update trajectory a deterministic recurrence the
+    DuckDB oracle replays round by round (15 chained CTE rounds)."""
+    from networkit_spark.streaming.dynamics import EDGE_ADDITION, DynKatzCentrality
+
+    g = _co_graph(spark, sf_dir)
+    keep = g.edges.filter((F.col("src") + F.col("dst")) % 7 != 0)
+    g0 = Graph(nodes=g.nodes, edges=keep.localCheckpoint(eager=True),
+               directed=False, weighted=False)
+    dk = DynKatzCentrality(g0, beta=0.1, tol=0.0,
+                           max_iterations=DYN_KATZ_INIT_ITERS)
+    # the removed edges, canonical orientation, as an addition batch —
+    # built distributively (no collect; seq only needs per-pair uniqueness
+    # because all events are distinct additions)
+    batch = (
+        g.edges.filter(((F.col("src") + F.col("dst")) % 7 == 0)
+                       & (F.col("src") < F.col("dst")))
+        .select(
+            (F.col("src") * 1000000 + F.col("dst")).alias("seq"),
+            F.lit(EDGE_ADDITION).alias("type"),
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    out = dk.update_batch(batch, max_iterations=DYN_KATZ_UPDATE_ITERS)
+    return out.select("id", F.round("score", 6).alias("score"))
 
 
 def q_graph_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral centralities in one (method, id, score) table
     (merged graph_katz + graph_eigenvector + the round-4 DynKatz
-    warm-start variant)."""
+    warm-start variant, gate-folded round 5)."""
     a = q_graph_katz(spark, sf_dir).select(
         F.lit("katz").alias("method"), "id", "score"
     )
     b = q_graph_eigenvector(spark, sf_dir).select(
         F.lit("eigenvector").alias("method"), "id", "score"
     )
-    return a.unionByName(b)
+    c = q_graph_dyn_katz(spark, sf_dir).select(
+        F.lit("dyn_katz").alias("method"), "id", "score"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 PATH_TARGETS = (7, 50, 199)  # reachable from 0 at every driver sf
@@ -1482,13 +1607,28 @@ def q_graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective community detection in one (method, node) table:
-    PageRankNibble + GCE communities around seed 0 on the <200 subgraph
-    (merged graph_nibble + graph_gce)."""
+    PageRankNibble + GCE + TCE communities around seed 0 on the <200
+    subgraph (merged graph_nibble + graph_gce; TCE gate-folded round 5).
+    TCE runs in portable_sum mode (ordered per-term fold) so its float
+    score sums are bit-identical to the DuckDB list_reduce replay."""
+    from networkit_spark.operators.scd import tce
+
     a = q_graph_nibble(spark, sf_dir).select(
         F.lit("nibble").alias("method"), F.col("id").alias("node")
     )
     b = q_graph_gce(spark, sf_dir).select(F.lit("gce").alias("method"), "node")
-    return a.unionByName(b)
+    sub = _co_subgraph200(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        c = tce(
+            sub, seeds=[0], max_iterations=TCE_ROUNDS, portable_sum=True
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return a.unionByName(b).unionByName(
+        c.select(F.lit("tce").alias("method"), "node")
+    )
 
 
 def q_graph_randomized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,8 +1805,25 @@ def oracle_sql() -> dict[str, str]:
 
     base = {
         "graph_degree": f"""
-WITH {GRAPH_PRELUDE_SQL}
-SELECT id, deg FROM deg
+WITH {GRAPH_PRELUDE_SQL},
+s0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+subdeg AS (
+  SELECT n.id, coalesce(d.c, 0) AS deg
+  FROM (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i)) n
+  LEFT JOIN (SELECT src AS id, count(*) AS c
+             FROM (SELECT src, dst FROM s0 UNION ALL SELECT dst, src FROM s0)
+             GROUP BY src) d USING (id))
+SELECT 'deg' AS variant, id, deg FROM deg
+UNION ALL
+-- HavelHakimi realizes a graphical sequence exactly, so the realized
+-- sorted degree sequence IS the input sequence (sub200's degrees)
+SELECT 'hh' AS variant,
+       CAST(row_number() OVER (ORDER BY deg DESC, id ASC) AS BIGINT) AS id,
+       deg
+FROM subdeg
 """,
         "graph_pagerank": f"""
 WITH RECURSIVE {GRAPH_PRELUDE_SQL},
@@ -2373,6 +2530,7 @@ SELECT CAST(-1 AS BIGINT) AS id, CAST(d.diameter AS BIGINT) AS ecc FROM (
     base["graph_spectral"] = _variant_union("method", [
         ("katz", base["graph_katz"]),
         ("eigenvector", base["graph_eigenvector"]),
+        ("dyn_katz", _dyn_katz_sql()),
     ])
     path_targets = ", ".join(str(t) for t in PATH_TARGETS)
     base["graph_paths"] = f"""
@@ -2452,9 +2610,23 @@ SELECT 'edge' AS kind, e.src AS u, e.dst AS v, e.score FROM (
 {base["graph_edge_betweenness"]}
 ) e
 """
+    lpc_sql = f"""
+WITH {GRAPH_PRELUDE_SQL}
+SELECT CAST(-1 AS INT) AS rank, src AS id,
+       round(CASE WHEN inw > 0 THEN inw / wdeg ELSE 0.0 END, 6) AS score
+FROM (SELECT src,
+             sum(CASE WHEN src % 10 = dst % 10 THEN 1.0 ELSE 0.0 END) AS inw,
+             sum(1.0) AS wdeg
+      FROM edges GROUP BY src)
+"""
     base["graph_group_centrality"] = _variant_union("method", [
-        ("degree", base["graph_group_degree"]),
-        ("closeness", base["graph_group_closeness"]),
+        ("degree", f"SELECT t.rank, t.id, CAST(NULL AS DOUBLE) AS score "
+                   f"FROM (\n{base['graph_group_degree']}\n) t"),
+        ("closeness", f"SELECT t.rank, t.id, CAST(NULL AS DOUBLE) AS score "
+                      f"FROM (\n{base['graph_group_closeness']}\n) t"),
+        ("lpc", lpc_sql),
+        ("gedwalk", f"SELECT CAST(-1 AS INT) AS rank, CAST(-1 AS BIGINT) AS id, "
+                    f"t.score FROM (\n{_gedwalk_sql()}\n) t"),
     ])
     base["graph_sparsifiers"] = (
         base["graph_sparsifiers"]
@@ -2479,7 +2651,10 @@ SELECT t.*, o.onmi_distance FROM (
     base["graph_betweenness_w"] = _weighted_brandes_sql()
     base["graph_anf"] = _anf_sql()
     base["graph_randomized"] = _randomized_sql()
-    base["graph_approx_betweenness"] = _approx_betweenness_sql()
+    base["graph_approx_betweenness"] = _variant_union("method", [
+        ("rk", _approx_betweenness_sql()),
+        ("kadabra", _approx_betweenness_sql(r=KADABRA_BATCH, tag="kb")),
+    ])
     base["graph_scd"] = _scd_sql()
     base["graph_plm"] = _plm_sql()
     base["graph_ctd"] = _ctd_sql()
@@ -2544,6 +2719,75 @@ def _variant_union(colname: str, parts: list[tuple[str, str]]) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT '{v}' AS {colname}, t.* FROM (\n{sql}\n) t" for v, sql in parts
     )
+
+
+def _dyn_katz_sql(
+    init_iters: int = DYN_KATZ_INIT_ITERS, upd_iters: int = DYN_KATZ_UPDATE_ITERS
+) -> str:
+    """(id, score) oracle for the dyn_katz spectral variant: exact replay
+    of q_graph_dyn_katz — ``init_iters`` Katz rounds on the co-graph
+    minus the (src+dst)%7==0 edges (α pinned from that base graph), then
+    ``upd_iters`` warm-started rounds on the full edge set, l2-normalized
+    once at the end (mirror of operators/spectral.py::katz_centrality's
+    β + Σ w·α·(1+score) gather, chained CTE per round)."""
+    ctes = [
+        GRAPH_PRELUDE_SQL.strip(),
+        "ke AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src + dst) % 7 <> 0)",
+        """alpha0 AS (SELECT CAST(1.0 AS DOUBLE) / (1 + max(c)) AS a
+  FROM (SELECT src, count(*) AS c FROM ke GROUP BY src))""",
+        "dk0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM nodes)",
+    ]
+    for r in range(1, init_iters + upd_iters + 1):
+        rel = "ke" if r <= init_iters else "edges"
+        ctes.append(f"""dk{r} AS MATERIALIZED (
+  SELECT n.id, 0.1 + coalesce(g.s, 0.0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS id, sum((SELECT a FROM alpha0) * (1.0 + k.score)) AS s
+    FROM {rel} e JOIN dk{r - 1} k ON k.id = e.dst GROUP BY e.src) g
+  ON g.id = n.id)""")
+    last = f"dk{init_iters + upd_iters}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, round(score / sqrt((SELECT sum(score * score) FROM {last})), 6) AS score
+FROM {last}
+"""
+    )
+
+
+def _gedwalk_sql(
+    group: tuple = GEDWALK_GROUP,
+    alpha: float = GEDWALK_ALPHA,
+    levels: int = GEDWALK_LEVELS,
+) -> str:
+    """Single-value oracle for the gedwalk group-centrality variant:
+    exact replay of ged_walk_score's hit/miss walk DP over the sub200
+    graph, unrolled per level. Walk counts are integers and α^ℓ is a
+    power of two, so every operation is exact in FP — bit-identical
+    across engines with no rounding."""
+    grp = ", ".join(str(int(x)) for x in group)
+    ctes = [
+        SUB200_PRELUDE_NOWALK_SQL.strip(),
+        f"""gw0 AS (SELECT id, (id IN ({grp})) AS ing,
+    CASE WHEN id IN ({grp}) THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS hit,
+    CASE WHEN id IN ({grp}) THEN CAST(0.0 AS DOUBLE) ELSE 1.0 END AS miss
+  FROM nodes)""",
+    ]
+    for r in range(1, levels + 1):
+        ctes.append(f"""gw{r} AS MATERIALIZED (
+  SELECT s.id, s.ing,
+    CASE WHEN s.ing THEN coalesce(t.gh, 0.0) + coalesce(t.gm, 0.0)
+         ELSE coalesce(t.gh, 0.0) END AS hit,
+    CASE WHEN s.ing THEN 0.0 ELSE coalesce(t.gm, 0.0) END AS miss
+  FROM gw{r - 1} s LEFT JOIN (
+    SELECT e.dst AS id, sum(p.hit) AS gh, sum(p.miss) AS gm
+    FROM edges e JOIN gw{r - 1} p ON p.id = e.src GROUP BY e.dst) t
+  ON t.id = s.id)""")
+    terms = " + ".join(
+        f"{alpha ** r!r} * (SELECT sum(hit) FROM gw{r})" for r in range(1, levels + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT {terms} AS score\n"
 
 
 def _weighted_brandes_sql(k_rounds: int = 10) -> str:
@@ -2795,6 +3039,7 @@ def _approx_betweenness_sql(
     seed: int = 42,
     levels: int = 9,
     m_mod: int = 1_000_003,
+    tag: str = "ab",  # porthash salt prefix: "ab" = approx_betweenness, "kb" = kadabra
 ) -> str:
     """(id, score) oracle for graph_approx_betweenness: exact replay of
     the RK sampled-path estimator (operators/distance.py::
@@ -2812,8 +3057,8 @@ def _approx_betweenness_sql(
         "nodes AS MATERIALIZED (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
         f"""prs AS MATERIALIZED (SELECT p, iu AS u, CASE WHEN iv0 >= iu THEN iv0 + 1 ELSE iv0 END AS v FROM (
     SELECT CAST(u.i AS BIGINT) AS p,
-           {_porthash_sql('u.i', f'ab{seed}:u:')} % {n} AS iu,
-           {_porthash_sql('u.i', f'ab{seed}:v:')} % {n - 1} AS iv0
+           {_porthash_sql('u.i', f'{tag}{seed}:u:')} % {n} AS iu,
+           {_porthash_sql('u.i', f'{tag}{seed}:v:')} % {n - 1} AS iv0
     FROM UNNEST(range({r})) AS u(i)))""",
         "roots AS (SELECT DISTINCT u AS id FROM prs)",
         """wk(root, node, dist) AS (
@@ -2838,7 +3083,7 @@ def _approx_betweenness_sql(
   WHERE EXISTS (SELECT 1 FROM sp WHERE sp.root = p.u AND sp.node = p.v AND sp.dist > 0))""")
     contribs = []
     for st in range(1, vd + 2):
-        x = f"({_porthash_sql('pair', f'ab{seed}:x:{st}:')} % {m_mod}) / {float(m_mod)}"
+        x = f"({_porthash_sql('pair', f'{tag}{seed}:x:{st}:')} % {m_mod}) / {float(m_mod)}"
         ctes.append(f"""cd{st} AS (
   SELECT a.pair, a.u, e.src AS z, vz.sigma AS sz
   FROM act{st - 1} a
@@ -2963,16 +3208,98 @@ def _gce_sql(rounds: int = GCE_ROUNDS) -> str:
     return ",\n".join(ctes)
 
 
+TCE_ROUNDS = 8  # mirrors q_graph_scd's tce max_iterations cap
+
+
+def _tce_sql(rounds: int = TCE_ROUNDS) -> str:
+    """CTE text replaying tce (operators/scd.py, portable_sum mode) from
+    seed 0: per round every shell node is scored by its triangle-
+    reinforced attachment Σ_u (w + common)/(min(wdeg)·deg), the best
+    (ties → smallest id) joins iff conductance improves, rejects are
+    benched until an accepted neighbor re-opens them. The per-node score
+    folds its per-u terms in ascending-u order (list_reduce), exactly
+    the ordered fold Spark's portable_sum mode runs — so the float sums
+    are bit-identical across engines; every other quantity is an
+    integer-valued double. Ends in ``tcom{rounds}``; expects e0, gsym,
+    ggwdeg (from _gce_sql) to exist."""
+    ctes = [
+        "tdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM gsym GROUP BY src)",
+        "tcom0 AS (SELECT CAST(0 AS BIGINT) AS node)",
+        "trej0 AS (SELECT CAST(NULL AS BIGINT) AS v WHERE 1 = 0)",
+        """tst0 AS (SELECT
+    coalesce((SELECT sum(s.weight) FROM gsym s
+       WHERE s.src IN (SELECT node FROM tcom0)), 0.0) AS vol,
+    coalesce((SELECT sum(s.weight) FROM gsym s
+       WHERE s.src IN (SELECT node FROM tcom0)
+         AND s.dst NOT IN (SELECT node FROM tcom0)), 0.0) AS cut)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(f"""tsh{k} AS MATERIALIZED (
+  SELECT s.src AS u, s.dst AS v, s.weight AS wuv FROM gsym s
+  WHERE s.src IN (SELECT node FROM tcom{p})
+    AND s.dst NOT IN (SELECT node FROM tcom{p})
+    AND s.dst NOT IN (SELECT v FROM trej{p}))""")
+        ctes.append(f"""ttr{k} AS (
+  SELECT sh.u, sh.v, sum(least(b.weight, a.weight)) AS ts
+  FROM tsh{k} sh
+  JOIN gsym a ON a.src = sh.u
+  JOIN gsym b ON b.src = sh.v AND b.dst = a.dst
+  GROUP BY sh.u, sh.v)""")
+        ctes.append(f"""tsc{k} AS MATERIALIZED (
+  SELECT v,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY u)),
+                (a, b) -> a + b) AS score,
+    sum(wuv) AS cut_v
+  FROM (
+    SELECT sh.v, sh.u, sh.wuv,
+      (sh.wuv + coalesce(t.ts, 0.0))
+        / (least(wv.wdeg, wu.wdeg) * dv.deg) AS s
+    FROM tsh{k} sh
+    LEFT JOIN ttr{k} t ON t.u = sh.u AND t.v = sh.v
+    JOIN ggwdeg wu ON wu.id = sh.u
+    JOIN ggwdeg wv ON wv.id = sh.v
+    JOIN tdeg dv ON dv.id = sh.v) z
+  GROUP BY v)""")
+        ctes.append(f"""tbs{k} AS MATERIALIZED (
+  SELECT z.v, z.score, z.cut_v, w.wdeg AS vvol
+  FROM tsc{k} z JOIN ggwdeg w ON w.id = z.v
+  ORDER BY z.score DESC, z.v ASC LIMIT 1)""")
+        ctes.append(f"""tac{k} AS MATERIALIZED (
+  SELECT b.* FROM tbs{k} b, tst{p} q
+  WHERE q.vol > 0
+    AND (q.cut + b.vvol - 2 * b.cut_v) / (q.vol + b.vvol) < q.cut / q.vol)""")
+        ctes.append(
+            f"tcom{k} AS MATERIALIZED (SELECT node FROM tcom{p} "
+            f"UNION ALL SELECT v AS node FROM tac{k})"
+        )
+        ctes.append(f"""trej{k} AS MATERIALIZED (
+  SELECT r.v FROM trej{p} r
+  WHERE NOT EXISTS (SELECT 1 FROM tac{k} a JOIN gsym e
+                    ON e.src = a.v AND e.dst = r.v)
+  UNION ALL
+  SELECT b.v FROM tbs{k} b WHERE NOT EXISTS (SELECT 1 FROM tac{k}))""")
+        ctes.append(f"""tst{k} AS MATERIALIZED (
+  SELECT q.vol + coalesce((SELECT vvol FROM tac{k}), 0.0) AS vol,
+         q.cut + coalesce((SELECT vvol - 2 * cut_v FROM tac{k}), 0.0) AS cut
+  FROM tst{p} q)""")
+    return ",\n".join(ctes)
+
+
 def _scd_sql() -> str:
-    """(method, node) oracle for graph_scd: PageRankNibble + GCE replay."""
+    """(method, node) oracle for graph_scd: PageRankNibble + GCE + TCE
+    replay."""
     return f"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       WHERE a.l_partkey < 200 AND b.l_partkey < 200),
 {_nibble_sql()},
-{_gce_sql()}
+{_gce_sql()},
+{_tce_sql()}
 SELECT 'nibble' AS method, id AS node FROM nibble
 UNION ALL
 SELECT 'gce' AS method, node FROM com{GCE_ROUNDS}
+UNION ALL
+SELECT 'tce' AS method, node FROM tcom{TCE_ROUNDS}
 """
 
 

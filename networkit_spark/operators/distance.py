@@ -1015,6 +1015,7 @@ def kadabra_betweenness(
     batch_size: int | None = None,
     max_rounds: int = 64,
     runner: SuperstepRunner | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Adaptive-sampling betweenness
     (``centrality/KadabraBetweenness.cpp:40-200`` absolute-error mode):
@@ -1064,8 +1065,16 @@ def kadabra_betweenness(
         samp = spark.range(batch_size).select(
             (F.col("id") + F.lit(rnd * batch_size)).alias("pair")
         )
-        iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
-        iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+        if portable_hash:
+            # md5-porthash draws a DuckDB oracle can replay exactly
+            # (same convention as approx_betweenness, salt tag "kb")
+            from networkit_spark.functions.porthash import md5_mod
+
+            iu = F.pmod(md5_mod(F.col("pair"), salt=f"kb{seed}:u:"), F.lit(n))
+            iv0 = F.pmod(md5_mod(F.col("pair"), salt=f"kb{seed}:v:"), F.lit(n - 1))
+        else:
+            iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+            iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
         iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
         pairs = (
             samp.select("pair", iu.alias("iu"), iv.alias("iv"))
@@ -1114,13 +1123,20 @@ def kadabra_betweenness(
             )
             w_cum = Window.partitionBy("pair").orderBy("z")
             w_tot = Window.partitionBy("pair")
-            x = (
-                F.pmod(
-                    F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
-                    F.lit(M),
+            if portable_hash:
+                from networkit_spark.functions.porthash import md5_mod
+
+                x = F.pmod(
+                    md5_mod(F.col("pair"), salt=f"kb{seed}:x:{step}:"), F.lit(M)
+                ) / F.lit(float(M))
+            else:
+                x = (
+                    F.pmod(
+                        F.xxhash64(F.lit(seed), F.lit(2), F.col("pair"), F.lit(step)),
+                        F.lit(M),
+                    )
+                    / F.lit(float(M))
                 )
-                / F.lit(float(M))
-            )
             chosen = (
                 cand.withColumn("cum", F.sum("sz").over(w_cum))
                 .withColumn("tot", F.sum("sz").over(w_tot))

@@ -385,6 +385,7 @@ def tce(
     seeds: list[int],
     use_jaccard: bool = False,
     max_iterations: int = 200,
+    portable_sum: bool = False,
 ) -> DataFrame:
     """TCE — triangle-weighted community expansion (``scd/TCE.cpp``):
     shell nodes are scored by their triangle-reinforced attachment to the
@@ -469,6 +470,7 @@ def tce(
             )
             .select(
                 "v",
+                "u",
                 "wuv",
                 (
                     (F.col("wuv") + F.coalesce("ts", F.lit(0.0)))
@@ -483,7 +485,22 @@ def tce(
                 ).alias("s"),
             )
             .groupBy("v")
-            .agg(F.sum("s").alias("score"), F.sum("wuv").alias("cut_v"))
+            .agg(
+                # portable_sum: fold the per-u terms in ascending-u order —
+                # a deterministic reduction a SQL replay (and any cluster
+                # size) reproduces bit-identically; default keeps the
+                # commutative parallel sum
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("u", "s"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["s"],
+                    )
+                    if portable_sum
+                    else F.sum("s")
+                ).alias("score"),
+                F.sum("wuv").alias("cut_v"),
+            )
         )
         best = (
             scored.join(wdeg.select(F.col("id").alias("v"), F.col("wdeg").alias("vvol")), "v")

@@ -309,6 +309,7 @@ class DynKatzCentrality:
         alpha: float | None = None,
         beta: float = 0.1,
         tol: float = 1e-8,
+        max_iterations: int | None = None,
         runner: SuperstepRunner | None = None,
     ) -> None:
         from networkit_spark.operators.spectral import katz_centrality
@@ -322,14 +323,27 @@ class DynKatzCentrality:
         self.alpha = float(alpha)
         self.beta = beta
         self.tol = tol
+        # fixed-budget mode (tol=0 + max_iterations) makes the whole
+        # init→update trajectory a deterministic recurrence that a SQL
+        # replay oracle can chain round by round
+        self.max_iterations = max_iterations
         self.graph = g
         self.runner = runner or SuperstepRunner(g.edges.sparkSession)
-        res = katz_centrality(g, alpha=self.alpha, beta=beta, tol=tol, runner=self.runner)
+        res = katz_centrality(
+            g,
+            alpha=self.alpha,
+            beta=beta,
+            tol=tol,
+            max_iterations=max_iterations,
+            runner=self.runner,
+        )
         self.scores = res.scores
         self._raw = res.raw_scores.localCheckpoint(eager=True)
         self.iterations = res.iterations
 
-    def update_batch(self, events: DataFrame) -> DataFrame:
+    def update_batch(
+        self, events: DataFrame, max_iterations: int | None = None
+    ) -> DataFrame:
         from networkit_spark.operators.spectral import katz_centrality
 
         self.graph = apply_events(self.graph, events)
@@ -338,6 +352,9 @@ class DynKatzCentrality:
             alpha=self.alpha,
             beta=self.beta,
             tol=self.tol,
+            max_iterations=(
+                max_iterations if max_iterations is not None else self.max_iterations
+            ),
             runner=self.runner,
             initial_scores=self._raw,
         )

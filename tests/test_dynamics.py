@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.components import connected_components
 from networkit_spark.streaming.dynamics import (
@@ -158,3 +160,34 @@ def test_dyn_katz_matches_fresh_run(spark):
         for r in katz_centrality(dyn.graph, alpha=alpha, tol=1e-9).scores.collect()
     }
     assert got2 == want2
+
+
+def test_dyn_katz_fixed_budget_replayable(spark):
+    """DynKatzCentrality with tol=0 + max_iterations runs a fixed,
+    deterministic iteration budget (the gate's SQL-replayable mode):
+    init 10 rounds on the base graph, update 5 warm rounds on the grown
+    graph — identical to driving katz_centrality manually with
+    initial_scores (centrality/DynKatzCentrality.cpp update contract)."""
+    from networkit_spark.operators.spectral import katz_centrality
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        DynKatzCentrality,
+        events_of,
+    )
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    g0 = Graph.of(spark, base, n=4)
+    g1 = Graph.of(spark, base + [(0, 2)], n=4)
+    dyn = DynKatzCentrality(g0, alpha=0.2, tol=0.0, max_iterations=10)
+    assert dyn.iterations == 10
+    out = dyn.update_batch(
+        events_of(spark, [(1, EDGE_ADDITION, 0, 2, 1.0)]), max_iterations=5
+    )
+    assert dyn.iterations == 5
+    got = {r["id"]: r["score"] for r in out.collect()}
+    r0 = katz_centrality(g0, alpha=0.2, tol=0.0, max_iterations=10)
+    r1 = katz_centrality(
+        g1, alpha=0.2, tol=0.0, max_iterations=5, initial_scores=r0.raw_scores
+    )
+    want = {r["id"]: r["score"] for r in r1.scores.collect()}
+    assert got == pytest.approx(want, abs=1e-15)
