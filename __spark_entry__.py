@@ -362,14 +362,26 @@ def q_graph_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plp(g, max_iterations=PLP_STEPS).labels
 
 
+LPDO_SWEEPS = 2
+
+
 def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLM / Louvain (deterministic seeded move gating) on the nodes < 200
-    subgraph — exact two-level move-round replay oracle (_plm_sql).
+    """Community detection on the nodes < 200 subgraph in one
+    (variant, node, label) table:
+    - plm: PLM / Louvain (deterministic seeded move gating, portable md5)
+      — exact two-level move-round replay oracle (_plm_sql);
+    - lpdo: LPDegreeOrdered with log2 degree buckets (the at-scale
+      default — O(log maxdeg) jobs per sweep), 2 sweeps — exact
+      class-serialized replay (_lpdo_sql), all-integer arithmetic;
+    - lme: LouvainMapEquation, 3 synchronous rounds with portable md5
+      move gating AND the portable 1e-12 delta quantization (absorbs
+      cross-engine ln() ulps) — full fitnessChange replay (_lme_sql).
 
     Gate budget: the subgraph is tiny (≤200 nodes), so shuffle width is
-    dropped to 4 around the call — per-round Spark overhead, not data,
+    dropped to 4 around the calls — per-round Spark overhead, not data,
     is the cost driver here."""
-    from networkit_spark.operators.louvain import plm
+    from networkit_spark.operators.louvain import louvain_map_equation, plm
+    from networkit_spark.operators.plp import lp_degree_ordered
 
     sub = _co_subgraph200(spark, sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -379,9 +391,19 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # move rounds exactly (_plm_sql)
         labels = plm(sub, max_rounds=4, max_levels=2, portable_hash=True).labels
         labels = labels.localCheckpoint(eager=True)
+        lpdo = lp_degree_ordered(
+            sub, max_sweeps=LPDO_SWEEPS, degree_buckets="log2"
+        ).localCheckpoint(eager=True)
+        lme = louvain_map_equation(
+            sub, max_rounds=LME_ROUNDS, portable_hash=True
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return labels
+    return (
+        labels.select(F.lit("plm").alias("variant"), "node", "label")
+        .unionByName(lpdo.select(F.lit("lpdo").alias("variant"), "node", "label"))
+        .unionByName(lme.select(F.lit("lme").alias("variant"), "node", "label"))
+    )
 
 
 def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,11 +1367,21 @@ def q_graph_ctd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+APPROX_CLOSENESS_K = 8
+APPROX_CLOSENESS_EPS = 0.5
+
+
 def q_graph_closeness_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness family in one (variant, id, score) table: standard,
     harmonic, and weighted closeness on the <200 subgraph (merged from
     the round-3 graph_closeness / graph_harmonic / graph_closeness_w
-    rows to free oracle-window slots; same operators)."""
+    rows to free oracle-window slots; same operators), plus (round 5)
+    - approx: ApproxCloseness (centrality/ApproxCloseness.cpp, Cohen
+      pivot estimator), k=8 md5-drawn samples, ε=0.5 — full set-form
+      replay oracle; all sums are integer hop distances so the replay
+      is exact."""
+    from networkit_spark.operators.distance import approx_closeness
+
     a = q_graph_closeness(spark, sf_dir).select(
         F.lit("standard").alias("variant"), "id", "score"
     )
@@ -1359,7 +1391,15 @@ def q_graph_closeness_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = q_graph_closeness_w(spark, sf_dir).select(
         F.lit("weighted").alias("variant"), "id", "score"
     )
-    return a.unionByName(b).unionByName(c)
+    sub = _co_subgraph200(spark, sf_dir)
+    d = approx_closeness(
+        sub,
+        n_samples=APPROX_CLOSENESS_K,
+        epsilon=APPROX_CLOSENESS_EPS,
+        seed=42,
+        portable_hash=True,
+    ).select(F.lit("approx").alias("variant"), "id", F.round("score", 6).alias("score"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_graph_eccentricity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2517,6 +2557,7 @@ FROM events GROUP BY 1, 2
         ("standard", base["graph_closeness"]),
         ("harmonic", base["graph_harmonic"]),
         ("weighted", base["graph_closeness_w"]),
+        ("approx", _approx_closeness_sql()),
     ])
     base["graph_eccentricity"] = f"""
 SELECT t.id, CAST(t.ecc AS BIGINT) AS ecc FROM (
@@ -2656,7 +2697,11 @@ SELECT t.*, o.onmi_distance FROM (
         ("kadabra", _approx_betweenness_sql(r=KADABRA_BATCH, tag="kb")),
     ])
     base["graph_scd"] = _scd_sql()
-    base["graph_plm"] = _plm_sql()
+    base["graph_plm"] = _variant_union("variant", [
+        ("plm", _plm_sql()),
+        ("lpdo", _lpdo_sql()),
+        ("lme", _lme_sql()),
+    ])
     base["graph_ctd"] = _ctd_sql()
 
     # maximal cliques (size >= 3): enumerate ALL cliques by ordered list
@@ -2901,6 +2946,80 @@ fin AS (SELECT v FROM ests, stop WHERE hop = stop.s)
 SELECT CAST(min(hop) AS DOUBLE) AS effective_diameter
 FROM ests, stop, fin WHERE ests.hop <= stop.s AND ests.v >= 0.9 * fin.v
 """
+
+
+def _approx_closeness_sql(
+    n: int = 200,
+    k: int = APPROX_CLOSENESS_K,
+    eps: float = APPROX_CLOSENESS_EPS,
+    seed: int = 42,
+) -> str:
+    """(id, score) oracle for the approx closeness variant: exact replay
+    of operators/distance.py::approx_closeness's set-form Cohen
+    estimator over the sub200 walk-CTE distances — same md5 sample draw,
+    same pivot tie-break, the LC/HC/dropped classification, the per-
+    pivot tail suffix sums, and the reference estimator formula. All
+    sums are integer hop distances, every threshold is delta·(1/ε−1) or
+    delta/ε with ε=0.5 (exact dyadics), so the replay is bit-exact."""
+    inv1 = 1.0 / eps - 1.0
+    ctes = [
+        SUB200_PRELUDE_SQL.strip(),
+        f"""acs AS MATERIALIZED (SELECT id FROM nodes
+  ORDER BY {_porthash_sql('id', f'ac{seed}:')} ASC, id ASC LIMIT {k})""",
+        """avis AS MATERIALIZED (SELECT root, node, CAST(dist AS DOUBLE) AS dist
+  FROM sp WHERE root IN (SELECT id FROM acs))""",
+        "aex AS (SELECT root AS id, sum(dist) AS farness FROM avis GROUP BY root)",
+        """apiv AS MATERIALIZED (SELECT node, root AS pvt, dist AS delta FROM (
+  SELECT node, root, dist,
+    row_number() OVER (PARTITION BY node ORDER BY dist ASC, root ASC) AS rn
+  FROM avis) z WHERE rn = 1)""",
+        "ans AS MATERIALIZED (SELECT * FROM avis WHERE node NOT IN (SELECT id FROM acs))",
+        """adp AS (SELECT root AS i, node AS ps, dist AS dp FROM avis
+  WHERE node IN (SELECT id FROM acs))""",
+        f"""apr AS (
+  SELECT p.node, p.dist, v.pvt, v.delta, d.dp,
+    (p.dist <= v.delta * {inv1!r}) OR (d.dp <= v.delta / {eps!r}) AS lc
+  FROM ans p JOIN apiv v ON v.node = p.node
+  LEFT JOIN adp d ON d.i = p.root AND d.ps = v.pvt)""",
+        """apn AS MATERIALIZED (SELECT node,
+  sum(CASE WHEN lc THEN dist ELSE 0.0 END) AS lcsum,
+  sum(CASE WHEN lc THEN 1 ELSE 0 END) AS lcnum,
+  sum(CASE WHEN (NOT lc) AND dp >= dist THEN dist ELSE 0.0 END) AS hcsum,
+  min(delta) AS delta, min(pvt) AS pvt
+  FROM apr GROUP BY node)""",
+        """alev AS (SELECT root AS pvt, dist AS dval, sum(dist) AS dsum,
+  count(*) AS dcnt FROM ans GROUP BY root, dist)""",
+        """asuf AS MATERIALIZED (SELECT pvt, dval,
+  sum(dsum) OVER (PARTITION BY pvt ORDER BY dval DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssum,
+  sum(dcnt) OVER (PARTITION BY pvt ORDER BY dval DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scnt
+  FROM alev)""",
+        f"""aht AS (SELECT node, ssum AS hsum, scnt AS hnum FROM (
+  SELECT a.node, s.ssum, s.scnt,
+    row_number() OVER (PARTITION BY a.node ORDER BY s.dval ASC) AS rn
+  FROM apn a JOIN asuf s ON s.pvt = a.pvt AND s.dval > a.delta / {eps!r}) z
+  WHERE rn = 1)""",
+        f"""aest AS (SELECT a.node AS id,
+  CASE WHEN a.lcnum > 0 THEN
+    coalesce(h.hsum, 0.0) + a.hcsum
+    + a.lcsum / (CAST(a.lcnum AS DOUBLE)
+                 / ({float(n - 1)!r} - CAST(coalesce(h.hnum, 0) AS DOUBLE)
+                    - {float(k)!r} + CAST(a.lcnum AS DOUBLE)))
+  END AS farness
+  FROM apn a LEFT JOIN aht h ON h.node = a.node)""",
+        "afar AS (SELECT * FROM aest UNION ALL SELECT id, farness FROM aex)",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT n.id,
+       round(CASE WHEN f.farness > 0 THEN 1.0 / f.farness ELSE 0.0 END, 6)
+         AS score
+FROM nodes n LEFT JOIN afar f ON f.id = n.id
+"""
+    )
 
 
 def _porthash_sql(expr: str, salt: str) -> str:
@@ -3393,6 +3512,119 @@ def _plm_sql(rounds: int = PLM_ROUNDS, gamma: float = 1.0) -> str:
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT f.node, l2.label FROM flab f JOIN lab2_{rounds} l2 ON l2.node = f.label
 """
+
+
+def _lpdo_sql(sweeps: int = LPDO_SWEEPS, buckets: int = 10) -> str:
+    """(node, label) oracle for the lpdo graph_plm variant: exact replay
+    of lp_degree_ordered(degree_buckets='log2') — per sweep, the 10
+    possible ⌊log2(deg)⌋ classes fire in ascending order (empty classes
+    are no-ops), each class reading the labels left by the previous one;
+    dominant-label counts are integers, so the replay is exact."""
+    ctes = [
+        SUB200_PRELUDE_NOWALK_SQL.strip(),
+        """ldg AS MATERIALIZED (SELECT n.id,
+    CASE WHEN coalesce(d.c, 0) >= 1
+         THEN length(bin(coalesce(d.c, 0))) - 1 ELSE -1 END AS bucket
+  FROM nodes n LEFT JOIN (SELECT src AS id, count(*) AS c
+                          FROM edges GROUP BY src) d USING (id))""",
+        "ll0 AS (SELECT id AS node, id AS label FROM nodes)",
+    ]
+    idx = 0
+    for _s in range(sweeps):
+        for b in range(buckets):
+            idx += 1
+            ctes.append(f"""lc{idx} AS (
+  SELECT e.dst AS node, l.label AS nl, count(*) AS c
+  FROM edges e JOIN ll{idx - 1} l ON l.node = e.src
+  WHERE e.dst IN (SELECT id FROM ldg WHERE bucket = {b})
+  GROUP BY e.dst, l.label)""")
+            ctes.append(f"""ld{idx} AS (SELECT node, nl AS dom FROM (
+  SELECT node, nl,
+    row_number() OVER (PARTITION BY node ORDER BY c DESC, nl ASC) AS rn
+  FROM lc{idx}) z WHERE rn = 1)""")
+            ctes.append(f"""ll{idx} AS MATERIALIZED (
+  SELECT l.node, coalesce(d.dom, l.label) AS label
+  FROM ll{idx - 1} l LEFT JOIN ld{idx} d ON d.node = l.node)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM ll{idx}\n"
+
+
+LME_ROUNDS = 3
+
+
+def _lme_sql(rounds: int = LME_ROUNDS) -> str:
+    """(node, label) oracle for the lme graph_plm variant: exact replay
+    of louvain_map_equation(portable_hash=True) on sub200 — per round
+    the cluster cut/volume tables, the md5 half-gating, and the
+    reference fitnessChange formula under p·log(p/totalVolume). Every
+    plogp INPUT is an integer-valued double (exact), and the operator's
+    portable mode quantizes the delta to 1e-12 before compare — wide
+    enough to absorb the ≤1-ulp cross-engine ln() difference, tight
+    enough that distinct deltas never collide. sub200 has no self-loops,
+    so the loop terms are literal zero."""
+
+    def P(e: str) -> str:
+        return (
+            f"CASE WHEN ({e}) > 0 THEN (({e}) / t.tv) * ln(({e}) / t.tv) "
+            f"ELSE 0.0 END"
+        )
+
+    move = (
+        P("tc.tc + cdc + cdt")
+        + f" + (({P('cut_t + cdt + vol_t + vol')} - {P('cut_t + vol_t')})"
+        + f" - 2.0 * ({P('cut_t + cdt')} - {P('cut_t')}))"
+    )
+    stay = (
+        P("tc.tc")
+        + f" + (({P('cut_cur + vol_cur')} - {P('cut_cur + cdc + vol_cur - vol')})"
+        + f" - 2.0 * ({P('cut_cur')} - {P('cut_cur + cdc')}))"
+    )
+    ctes = [
+        SUB200_PRELUDE_NOWALK_SQL.strip(),
+        "mle AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM edges)",
+        """mvol AS MATERIALIZED (SELECT n.id, coalesce(d.w, 0.0) AS vol
+  FROM nodes n LEFT JOIN (SELECT src AS id, sum(weight) AS w
+                          FROM mle GROUP BY src) d USING (id))""",
+        "mtv AS (SELECT sum(vol) AS tv FROM mvol)",
+        "mlab0 AS (SELECT id AS node, id AS label FROM nodes)",
+    ]
+    for r in range(rounds):
+        p = f"mlab{r}"
+        ctes.append(f"""mcc{r} AS (SELECT a.label, sum(e.weight) AS cut
+  FROM mle e JOIN {p} a ON a.node = e.src JOIN {p} b ON b.node = e.dst
+  WHERE a.label <> b.label GROUP BY a.label)""")
+        ctes.append(f"""mcs{r} AS MATERIALIZED (
+  SELECT cv.label, cv.cvol, coalesce(cc.cut, 0.0) AS cut
+  FROM (SELECT l.label, sum(v.vol) AS cvol
+        FROM {p} l JOIN mvol v ON v.id = l.node GROUP BY l.label) cv
+  LEFT JOIN mcc{r} cc USING (label))""")
+        ctes.append(f"mtc{r} AS (SELECT coalesce(sum(cut), 0.0) AS tc FROM mcs{r})")
+        ctes.append(f"""maf{r} AS MATERIALIZED (
+  SELECT e.src AS node, b.label AS cand, sum(e.weight) AS aff
+  FROM mle e JOIN {p} b ON b.node = e.dst GROUP BY e.src, b.label)""")
+        ctes.append(f"""mjn{r} AS (
+  SELECT a.node, a.cand, a.aff, coalesce(own.aff, 0.0) AS w_cur, v.vol,
+         sc.cvol AS vol_cur, sc.cut AS cut_cur,
+         st.cvol AS vol_t, st.cut AS cut_t
+  FROM maf{r} a
+  JOIN {p} c ON c.node = a.node
+  LEFT JOIN maf{r} own ON own.node = a.node AND own.cand = c.label
+  JOIN mvol v ON v.id = a.node
+  JOIN mcs{r} sc ON sc.label = c.label
+  JOIN mcs{r} st ON st.label = a.cand
+  WHERE ({_porthash_sql('a.node', f'lme{r}:')} % 2 = 0) AND a.cand <> c.label)""")
+        ctes.append(f"""mdl{r} AS MATERIALIZED (
+  SELECT j.node, j.cand, round(({move}) - ({stay}), 12) AS delta
+  FROM (SELECT *, 2.0 * w_cur - vol + 2.0 * 0.0 AS cdc,
+               vol - 2.0 * aff - 2.0 * 0.0 AS cdt FROM mjn{r}) j
+  CROSS JOIN mtv t CROSS JOIN mtc{r} tc)""")
+        ctes.append(f"""mmv{r} AS MATERIALIZED (SELECT node, cand AS new_label FROM (
+  SELECT node, cand, delta,
+    row_number() OVER (PARTITION BY node ORDER BY delta ASC, cand ASC) AS rn
+  FROM mdl{r}) z WHERE rn = 1 AND delta < -1e-15)""")
+        ctes.append(f"""mlab{r + 1} AS MATERIALIZED (
+  SELECT l.node, coalesce(m.new_label, l.label) AS label
+  FROM {p} l LEFT JOIN mmv{r} m ON m.node = l.node)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM mlab{rounds}\n"
 
 
 CG_ITERS = 20  # measured CG convergence at sf0.01 = 12 iterations (rs/bn 2.7e-9)

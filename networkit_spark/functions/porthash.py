@@ -46,3 +46,13 @@ def md5_mod_sql(expr: str, salt: str = "", prime: int = DEFAULT_PRIME) -> str:
     """DuckDB SQL string computing the identical value."""
     x = f"('{salt}' || CAST({expr} AS VARCHAR))" if salt else f"CAST({expr} AS VARCHAR)"
     return f"CAST(md5_number_lower({x}) % {prime} AS BIGINT)"
+
+
+def md5_mod_py(value, salt: str = "", prime: int = DEFAULT_PRIME) -> int:
+    """Pure-Python equivalent (driver-side sampling, test transcriptions):
+    last 8 md5 bytes little-endian, mod prime — bit-identical to
+    :func:`md5_mod` and :func:`md5_mod_sql`."""
+    import hashlib
+
+    h = hashlib.md5((salt + str(value)).encode()).digest()
+    return int.from_bytes(h[8:16], "little") % prime

@@ -785,3 +785,67 @@ def pubweb(
         .select("src", "dst", (F.lit(BASE_W) / F.col("d2")).alias("weight"))
     )
     return Graph.from_edges(edges, directed=False, nodes=nodes, )
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    n: int,
+    affinity: list[list[float]],
+    membership: "list[int] | DataFrame | None" = None,
+    seed: int = 42,
+) -> tuple[Graph, DataFrame]:
+    """StochasticBlockmodel (``generators/StochasticBlockmodel.cpp``):
+    every unordered pair (u, v) kept with probability
+    affinity[block(u)][block(v)]. Returns (graph, (node, block) truth).
+
+    ``membership`` may be a per-node block list (the reference's
+    signature), a (node, block) DataFrame (the at-scale form — nothing
+    node-sized touches the driver), or None for balanced ``id % k``
+    blocks. The affinity matrix is k×k and broadcast; the pair relation
+    is the same hash-thinned cross join as :func:`erdos_renyi`, so the
+    plan is one broadcast join + a filter — no driver loop. The
+    reference draws from its serial RNG; draws here are the seeded
+    xxhash uniform keyed by the pair, deterministic at any parallelism
+    (documented determinization, same policy as every generator in this
+    module).
+    """
+    k = len(affinity)
+    if any(len(row) != k for row in affinity):
+        raise ValueError("affinity matrix must be square (nBlocks x nBlocks)")
+    if membership is None:
+        mem = spark.range(n).select("id", (F.col("id") % k).alias("block"))
+    elif isinstance(membership, list):
+        if len(membership) != n:
+            raise ValueError("membership list must be of size n")
+        mem = spark.createDataFrame(
+            [(i, int(b)) for i, b in enumerate(membership)], "id long, block long"
+        )
+    else:
+        mem = membership.select(
+            F.col(membership.columns[0]).cast("long").alias("id"),
+            F.col(membership.columns[1]).cast("long").alias("block"),
+        )
+    aff = spark.createDataFrame(
+        [(i, j, float(affinity[i][j])) for i in range(k) for j in range(k)],
+        "bu long, bv long, p double",
+    )
+    pairs = (
+        spark.range(n)
+        .alias("a")
+        .crossJoin(spark.range(n).alias("b"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    key = F.col("src") * F.lit(n) + F.col("dst")
+    edges = (
+        pairs.join(mem.select(F.col("id").alias("src"), F.col("block").alias("bu")), "src")
+        .join(mem.select(F.col("id").alias("dst"), F.col("block").alias("bv")), "dst")
+        .join(F.broadcast(aff), ["bu", "bv"])
+        # reference keeps the pair when r <= p (Random::real inclusive)
+        .filter(_uniform(key, seed) <= F.col("p"))
+        .select("src", "dst")
+    )
+    nodes = spark.range(n).select("id")
+    return Graph.from_edges(edges, directed=False, nodes=nodes), mem.select(
+        F.col("id").alias("node"), F.col("block").alias("label")
+    )

@@ -36,6 +36,7 @@ from networkit_spark.operators.bicc import (
 from networkit_spark.operators.components import weakly_connected_components
 from networkit_spark.operators.distance import (
     approx_betweenness,
+    approx_closeness,
     bidirectional_bfs,
     apsp_update_additions,
     betweenness,
@@ -116,6 +117,7 @@ __all__ = [
     "bidirectional_bfs",
     "apsp_update_additions",
     "betweenness",
+    "approx_closeness",
     "closeness_centrality",
     "diameter_exact",
     "estimate_betweenness",

@@ -993,6 +993,209 @@ def sssp_update_additions(
     raise RuntimeError("sssp_update_additions did not converge")
 
 
+def approx_closeness(
+    g: Graph,
+    n_samples: int,
+    epsilon: float = 0.0,
+    seed: int = 42,
+    normalized: bool = False,
+    runner: SuperstepRunner | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """ApproxCloseness (``centrality/ApproxCloseness.cpp:70-160``, the
+    Cohen-Kaplan pivoting estimator, undirected path): (id, score) with
+    sampled nodes scored EXACTLY and every other node scored by the
+    close/far hybrid estimator.
+
+    The reference sweeps each pivot's distance order sequentially,
+    deferring far nodes into per-pivot lists and threshold bins. That
+    order-dependent machinery reduces to set semantics, which is what
+    runs here — one batched multi-source BFS plus joins:
+
+    - S = ``n_samples`` seeded hash-drawn nodes; D(i, u) from one
+      shared-frontier BFS (k SSSPs when weighted);
+    - pivot(u) = the closest sample (ties → smallest sample id — the
+      reference's simultaneous-Dijkstra pop order is unspecified),
+      delta(u) = that distance;
+    - a (u, i) contribution is CLOSE (exact) iff
+      D(i,u) ≤ delta(u)·(1/ε − 1) OR D(i, s_pivot(u)) ≤ delta(u)/ε;
+      otherwise it is FAR and counted (HC) only when the pivot-sample
+      comes at-or-after u in i's distance order (DP ≥ D) — far pairs
+      whose pivot was swept earlier land in an already-flushed list in
+      the reference and are silently dropped, which is mirrored. This is
+      algebraically equivalent to the defer-and-flush branches; ε=0
+      makes every reached pair CLOSE (the Eppstein-Wang estimator);
+    - HSum(u)/HNum(u) = the tail Σ/# of D(p, w) over non-sample w with
+      D(p, w) > D(p, u)/ε, p = pivot(u) (the reference's bin suffix
+      sums, without their 1e-9 bin-merge tolerance — documented
+      deviation);
+    - farness(u) = HSum + HCSum + LCSum/p̂, p̂ = LCNum/LNum,
+      LNum = n − 1 − HNum − k + LCNum (ApproxCloseness.cpp:92-104);
+      sampled nodes use their exact BFS farness; nodes reaching no
+      sample score 0 (the reference emits NaN there — documented
+      deviation);
+    - score = (n−1)/farness if ``normalized`` else 1/farness.
+
+    Scale shape: the BFS levels are the only O(m) shuffles; every
+    estimator table is (node)- or (node, sample)-keyed, and the tail
+    suffix table is |pivots|·diameter rows. ``portable_hash`` draws the
+    sample set by the md5 porthash so a SQL oracle replays it.
+    """
+    from networkit_spark.functions.porthash import md5_mod
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    zeros = g.nodes.select("id", F.lit(0.0).alias("score"))
+    if n < 2:
+        return zeros
+    k = min(int(n_samples), n)
+    order = (
+        [md5_mod(F.col("id"), salt=f"ac{seed}:").asc(), F.col("id").asc()]
+        if portable_hash
+        else [F.xxhash64("id", F.lit(seed)).asc()]
+    )
+    samples = (
+        g.nodes.orderBy(*order).limit(k).select("id").localCheckpoint(eager=True)
+    )
+
+    if g.weighted:
+        parts = []
+        for r in samples.collect():
+            s = int(r["id"])
+            parts.append(
+                sssp(g, source=s).select(
+                    F.lit(s).alias("root"), "node", "dist"
+                )
+            )
+        vis = parts[0]
+        for p in parts[1:]:
+            vis = vis.unionByName(p)
+        vis = vis.localCheckpoint(eager=True)
+    else:
+        vis = (
+            multi_source_bfs(g, samples, runner=runner, with_sigma=False)
+            .visited.select("root", "node", F.col("dist").cast("double").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    # exact farness for the samples themselves
+    exact = (
+        vis.groupBy(F.col("root").alias("id"))
+        .agg(F.sum("dist").alias("farness"))
+    )
+
+    # closest pivot per node (reached nodes only)
+    w_piv = Window.partitionBy("node").orderBy(F.asc("dist"), F.asc("root"))
+    piv = (
+        vis.withColumn("rn", F.row_number().over(w_piv))
+        .filter("rn = 1")
+        .select("node", F.col("root").alias("pivot"), F.col("dist").alias("delta"))
+        .transform(pin)
+    )
+
+    nonsample = vis.join(
+        samples.withColumnRenamed("id", "node"), "node", "left_anti"
+    )
+    pairs = nonsample.join(piv, "node")
+    if epsilon > 0:
+        dp = vis.join(
+            samples.withColumnRenamed("id", "node"), "node", "left_semi"
+        ).select(
+            F.col("root").alias("i"),
+            F.col("node").alias("ps"),
+            F.col("dist").alias("dp"),
+        )
+        pairs = pairs.join(
+            dp.withColumnRenamed("i", "root").withColumnRenamed("ps", "pivot"),
+            ["root", "pivot"],
+            "left",
+        )
+        lc = (F.col("dist") <= F.col("delta") * F.lit(1.0 / epsilon - 1.0)) | (
+            F.col("dp") <= F.col("delta") / F.lit(epsilon)
+        )
+        # far pairs whose pivot-sample was reached BEFORE them in the
+        # reference's sweep (DP < D) land in an already-flushed list and
+        # are silently dropped there (ApproxCloseness.cpp runOnPivot) —
+        # mirrored here; the DP == D tie (sweep order unspecified)
+        # determinizes to "counted" (HC)
+        hc = (~lc) & (F.col("dp") >= F.col("dist"))
+    else:
+        lc = F.lit(True)
+        hc = F.lit(False)
+    cls = pairs.select("node", "pivot", "delta", "dist", lc.alias("lc"), hc.alias("hc"))
+    per_node = cls.groupBy("node").agg(
+        F.sum(F.when(F.col("lc"), F.col("dist")).otherwise(0.0)).alias("lcsum"),
+        F.sum(F.when(F.col("lc"), 1).otherwise(0)).alias("lcnum"),
+        F.sum(F.when(F.col("hc"), F.col("dist")).otherwise(0.0)).alias("hcsum"),
+        F.min("delta").alias("delta"),
+        F.min("pivot").alias("pivot"),
+    )
+
+    if epsilon > 0:
+        # per-pivot suffix sums over the non-sample distance levels
+        lev = (
+            nonsample.groupBy(F.col("root").alias("pivot"), F.col("dist").alias("dval"))
+            .agg(F.sum("dist").alias("dsum"), F.count(F.lit(1)).alias("dcnt"))
+        )
+        w_suf = (
+            Window.partitionBy("pivot")
+            .orderBy(F.desc("dval"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        suffix = lev.select(
+            "pivot",
+            "dval",
+            F.sum("dsum").over(w_suf).alias("ssum"),
+            F.sum("dcnt").over(w_suf).alias("scnt"),
+        ).transform(pin)
+        w_h = Window.partitionBy("node").orderBy(F.asc("dval"))
+        htab = (
+            per_node.select(
+                "node", "pivot", (F.col("delta") / F.lit(epsilon)).alias("thr")
+            )
+            .join(suffix, "pivot")
+            .filter(F.col("dval") > F.col("thr"))
+            .withColumn("rn", F.row_number().over(w_h))
+            .filter("rn = 1")
+            .select("node", F.col("ssum").alias("hsum"), F.col("scnt").alias("hnum"))
+        )
+    else:
+        htab = per_node.select(
+            "node", F.lit(0.0).alias("hsum"), F.lit(0).alias("hnum")
+        ).limit(0)
+
+    lnum = (
+        F.lit(float(n - 1))
+        - F.coalesce("hnum", F.lit(0)).cast("double")
+        - F.lit(float(k))
+        + F.col("lcnum").cast("double")
+    )
+    est = (
+        per_node.join(htab, "node", "left")
+        .select(
+            F.col("node").alias("id"),
+            F.when(
+                F.col("lcnum") > 0,
+                F.coalesce("hsum", F.lit(0.0))
+                + F.col("hcsum")
+                + F.col("lcsum") / (F.col("lcnum").cast("double") / lnum),
+            ).alias("farness"),
+        )
+    )
+    farness = est.unionByName(exact)
+    num = F.lit(float(n - 1)) if normalized else F.lit(1.0)
+    out = g.nodes.join(farness, "id", "left").select(
+        "id",
+        F.when(
+            F.col("farness").isNotNull() & (F.col("farness") > 0),
+            num / F.col("farness"),
+        )
+        .otherwise(0.0)
+        .alias("score"),
+    )
+    return out
+
+
 def top_closeness(g: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
     """TopCloseness / TopHarmonicCloseness (``centrality/TopCloseness.cpp``
     result contract): top-k nodes by (harmonic) closeness, ties by id.

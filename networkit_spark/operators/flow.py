@@ -196,7 +196,9 @@ def _apply_pushes(arcs: DataFrame, pushes: DataFrame) -> DataFrame:
     )
 
 
-def cut_clustering(g: Graph, alpha: float) -> DataFrame:
+def cut_clustering(
+    g: Graph, alpha: float, max_nodes: int | None = 100_000
+) -> DataFrame:
     """CutClustering (``community/CutClustering.cpp``, Flake-Tarjan-
     Tsioutsiouliklis): augment the graph with a sink t connected to every
     node by weight ``alpha``; process nodes in degree-descending order;
@@ -207,12 +209,27 @@ def cut_clustering(g: Graph, alpha: float) -> DataFrame:
 
     Like the reference, this runs one max-flow per cluster discovered —
     each flow is the distributed push-relabel kernel; the driver loop is
-    over clusters, not nodes (labeled nodes are skipped)."""
+    over clusters, not nodes (labeled nodes are skipped). The algorithm
+    is INHERENTLY driver-sequential (later cuts depend on earlier
+    labels), so the node order and each cut's source side pass through
+    the driver: ``max_nodes`` (default 100k) caps that driver state and
+    raises on larger graphs — pass ``max_nodes=None`` to opt into the
+    unbounded driver loop explicitly (the ``all_pairs=True`` pattern
+    from the dedup kernels). For scale-out community detection use
+    :func:`~networkit_spark.operators.louvain.plm` / PLP; this
+    operator's value is exact Flake-Tarjan-Tsioutsiouliklis semantics
+    on dimension-sized graphs."""
     spark = g.edges.sparkSession
-    ids = [int(r["id"]) for r in g.nodes.collect()]
-    if not ids:
+    n = g.num_nodes()
+    if n == 0:
         return spark.createDataFrame([], "node long, label long")
-    t = max(ids) + 1
+    if max_nodes is not None and n > max_nodes:
+        raise ValueError(
+            f"cut_clustering is driver-sequential: {n} nodes exceeds "
+            f"max_nodes={max_nodes}; raise the cap or pass max_nodes=None "
+            "to opt in explicitly"
+        )
+    t = int(g.nodes.agg(F.max("id")).collect()[0][0]) + 1
     base = (g.symmetrized_edges() if g.directed else g.edges).filter(
         F.col("src") != F.col("dst")
     ).select("src", "dst", F.col("weight").cast("double").alias("weight"))
@@ -227,13 +244,21 @@ def cut_clustering(g: Graph, alpha: float) -> DataFrame:
         directed=False,
         weighted=True,
     )
-    deg = {
-        int(r["id"]): int(r["d"])
-        for r in base.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
+    # one bounded collect for the degree order (replaces the old
+    # collect-everything + collect-degrees pair)
+    order = [
+        int(r["id"])
+        for r in g.nodes.join(
+            base.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("d", F.lit(0)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("id"))
         .collect()
-    }
-    order = sorted(ids, key=lambda u: (-deg.get(u, 0), u))
+    ]
     labels: dict[int, int] = {}
     for u in order:
         if u in labels:

@@ -464,10 +464,19 @@ def louvain_map_equation(
                 - 2.0 * (plogp(F.col("cut_cur")) - plogp(F.col("cut_cur") + cdc))
             )
         )
+        delta_expr = move_change - stay_change
+        if portable_hash:
+            # portable mode also quantizes the fitness delta to 1e-12:
+            # the p·log(p) terms are transcendental, so Spark's and a
+            # replaying engine's log can differ in the last ulp (~1e-16
+            # here); rounding absorbs that while mathematically-tied
+            # candidates still quantize to the same grid point and fall
+            # through to the deterministic (delta, cand) tie-break
+            delta_expr = F.round(delta_expr, 12)
         scored = joined.filter(F.col("cand") != F.col("cur")).select(
             "node",
             "cand",
-            (move_change - stay_change).alias("delta"),
+            delta_expr.alias("delta"),
         )
         w_best = Window.partitionBy("node").orderBy(F.asc("delta"), F.asc("cand"))
         moves = (

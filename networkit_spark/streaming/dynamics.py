@@ -33,7 +33,7 @@ stream resumable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -361,6 +361,247 @@ class DynKatzCentrality:
         self.scores = res.scores
         self._raw = res.raw_scores.localCheckpoint(eager=True)
         self.iterations = res.iterations
+        return self.scores
+
+
+class DynApproxBetweenness:
+    """Sample-maintaining ε-δ betweenness
+    (``centrality/DynApproxBetweenness.cpp:118-175``): the RK pair
+    sample is drawn ONCE; after an event batch, only the samples whose
+    source SSSP actually changed (any (dist, σ) difference — the
+    reference's ``sssp[i]->modified()``) have their old path
+    contributions subtracted and a fresh σ-weighted path resampled;
+    every other sampled path is kept verbatim.
+
+    Distributed shape: distances + σ for the ≤ r distinct sources are
+    recomputed in ONE batched multi-source BFS (the per-level shuffles
+    are shared — this is the init cost, not r× it); the modified-source
+    detection is a keyed anti-diff of the old and new (root, node,
+    dist, σ) tables; resampling walks only the affected pairs, O(r')
+    rows per step. Path draws are salted with an update epoch so each
+    resample uses fresh deterministic randomness (the reference draws
+    from its live RNG). Removals take the same path — the full BFS
+    recompute makes them no harder than additions.
+
+    ``scores`` is always the current (id, score) estimate, comparable
+    with a fresh :func:`~networkit_spark.operators.distance.
+    approx_betweenness` run at the same sample size.
+    """
+
+    def __init__(
+        self,
+        g: Graph,
+        epsilon: float = 0.2,
+        delta: float = 0.1,
+        universal_constant: float = 1.0,
+        seed: int = 42,
+        runner: SuperstepRunner | None = None,
+        portable_hash: bool = False,
+    ) -> None:
+        import math as _math
+
+        from networkit_spark.ids import assign_dense_ids
+        from networkit_spark.operators.distance import diameter_range
+        from networkit_spark.plans.pin import pin
+
+        self.graph = g
+        self.seed = int(seed)
+        self.portable_hash = portable_hash
+        self.epoch = 0
+        self.runner = runner or SuperstepRunner(g.edges.sparkSession)
+        spark = g.edges.sparkSession
+        self._spark = spark
+
+        n = g.num_nodes()
+        self.n = n
+        if n < 2:
+            self.r = 0
+            self.pairs = spark.createDataFrame([], "pair long, u long, v long")
+            self.contribs = spark.createDataFrame([], "pair long, u long, id long")
+            self.vis = spark.createDataFrame(
+                [], "root long, node long, dist long, sigma double"
+            )
+            return
+        _, vd = diameter_range(g, seed=seed)
+        self.vd = max(int(vd), 2)
+        self.r = int(
+            _math.ceil(
+                (universal_constant / (epsilon * epsilon))
+                * (_math.floor(_math.log2(max(self.vd - 2, 1))) + 1
+                   + _math.log(1.0 / delta))
+            )
+        )
+        mapping = assign_dense_ids(
+            g.nodes.select(F.col("id").alias("key")), ["key"]
+        ).transform(pin)
+        samp = spark.range(self.r).select(F.col("id").alias("pair"))
+        if portable_hash:
+            from networkit_spark.functions.porthash import md5_mod
+
+            iu = F.pmod(md5_mod(F.col("pair"), salt=f"dab{seed}:u:"), F.lit(n))
+            iv0 = F.pmod(md5_mod(F.col("pair"), salt=f"dab{seed}:v:"), F.lit(n - 1))
+        else:
+            iu = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("pair")), F.lit(n))
+            iv0 = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("pair")), F.lit(n - 1))
+        iv = F.when(iv0 >= iu, iv0 + 1).otherwise(iv0)
+        self.pairs = (
+            samp.select("pair", iu.alias("iu"), iv.alias("iv"))
+            .join(F.broadcast(mapping.select(F.col("id").alias("iu"),
+                                             F.col("key").alias("u"))), "iu")
+            .join(F.broadcast(mapping.select(F.col("id").alias("iv"),
+                                             F.col("key").alias("v"))), "iv")
+            .select("pair", "u", "v")
+            .localCheckpoint(eager=True)
+        )
+        self.vis = self._bfs(g)
+        self.contribs = self._sample(self.pairs, self.vis).localCheckpoint(
+            eager=True
+        )
+
+    # ------------------------------------------------------------------
+    def _bfs(self, g: Graph) -> DataFrame:
+        from networkit_spark.operators.distance import multi_source_bfs
+
+        return (
+            multi_source_bfs(g, self.pairs.select("u").distinct(),
+                             runner=self.runner)
+            .visited.select("root", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+
+    def _sample(self, pairs: DataFrame, vis: DataFrame) -> DataFrame:
+        """σ-weighted path walk for ``pairs`` over ``vis`` — the
+        approx_betweenness predecessor-sampling loop, with draws salted
+        by the current update epoch. Returns (pair, u, id) interiors."""
+        from networkit_spark.plans.pin import pin
+
+        spark = self._spark
+        g = self.graph
+        active = pairs.join(
+            vis.filter(F.col("dist") > 0).select(
+                F.col("root").alias("u"), F.col("node").alias("v")
+            ),
+            ["u", "v"],
+            "left_semi",
+        ).select("pair", "u", F.col("v").alias("cur")).transform(pin)
+        edges = g.edges.select(F.col("src").alias("z"), F.col("dst").alias("cur"))
+        contribs = []
+        M = 1_000_003
+        for step in range(1, self.vd + 2):
+            if active.isEmpty():
+                break
+            cand = (
+                active.join(edges, "cur")
+                .join(
+                    vis.select(
+                        F.col("root").alias("u"),
+                        F.col("node").alias("z"),
+                        F.col("dist").alias("dz"),
+                        F.col("sigma").alias("sz"),
+                    ),
+                    ["u", "z"],
+                )
+                .join(
+                    vis.select(
+                        F.col("root").alias("u"),
+                        F.col("node").alias("cur"),
+                        F.col("dist").alias("dc"),
+                    ),
+                    ["u", "cur"],
+                )
+                .filter(F.col("dz") == F.col("dc") - 1)
+            )
+            w_cum = Window.partitionBy("pair").orderBy("z")
+            w_tot = Window.partitionBy("pair")
+            if self.portable_hash:
+                from networkit_spark.functions.porthash import md5_mod
+
+                x = F.pmod(
+                    md5_mod(F.col("pair"),
+                            salt=f"dab{self.seed}:{self.epoch}:x:{step}:"),
+                    F.lit(M),
+                ) / F.lit(float(M))
+            else:
+                x = (
+                    F.pmod(
+                        F.xxhash64(F.lit(self.seed), F.lit(self.epoch),
+                                   F.col("pair"), F.lit(step)),
+                        F.lit(M),
+                    )
+                    / F.lit(float(M))
+                )
+            chosen = (
+                cand.withColumn("cum", F.sum("sz").over(w_cum))
+                .withColumn("tot", F.sum("sz").over(w_tot))
+                .filter(F.col("cum") / F.col("tot") > x)
+                .withColumn("rn", F.row_number().over(w_cum))
+                .filter(F.col("rn") == 1)
+                .select("pair", "u", F.col("z").alias("cur"))
+                .transform(pin)
+            )
+            contribs.append(
+                chosen.filter(F.col("cur") != F.col("u")).select(
+                    "pair", "u", F.col("cur").alias("id")
+                )
+            )
+            active = chosen.filter(F.col("cur") != F.col("u"))
+        if not contribs:
+            return self._spark.createDataFrame([], "pair long, u long, id long")
+        out = contribs[0]
+        for c in contribs[1:]:
+            out = out.unionByName(c)
+        return out
+
+    # ------------------------------------------------------------------
+    @property
+    def scores(self) -> DataFrame:
+        if self.r == 0:
+            return self.graph.nodes.select("id", F.lit(0.0).alias("score"))
+        counts = self.contribs.groupBy("id").agg(
+            (F.count(F.lit(1)) / F.lit(float(self.r))).alias("s")
+        )
+        return self.graph.nodes.join(counts, "id", "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("score")
+        )
+
+    def update_batch(self, events: DataFrame) -> DataFrame:
+        """Apply an event batch; resample only the pairs whose source
+        SSSP changed. Returns the updated ``scores``."""
+        self.graph = apply_events(self.graph, events)
+        if self.r == 0:
+            return self.scores
+        old_vis = self.vis
+        new_vis = self._bfs(self.graph)
+        # modified roots: any (root, node) whose (dist, σ) differs,
+        # appeared, or disappeared (reference: sssp[i]->modified())
+        o = old_vis.select("root", "node",
+                           F.col("dist").alias("od"), F.col("sigma").alias("os"))
+        nw = new_vis.select("root", "node",
+                            F.col("dist").alias("nd"), F.col("sigma").alias("ns"))
+        modified = (
+            o.join(nw, ["root", "node"], "full_outer")
+            .filter(
+                F.col("od").isNull()
+                | F.col("nd").isNull()
+                | (F.col("od") != F.col("nd"))
+                | (F.col("os") != F.col("ns"))
+            )
+            .select("root")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        self.vis = new_vis
+        self.epoch += 1
+        # USING joins hoist the key column first — re-select to keep the
+        # state schema order stable across updates
+        touched = self.pairs.join(
+            modified.withColumnRenamed("root", "u"), "u", "left_semi"
+        ).select("pair", "u", "v")
+        kept = self.contribs.join(
+            modified.withColumnRenamed("root", "u"), "u", "left_anti"
+        ).select("pair", "u", "id")
+        fresh = self._sample(touched, new_vis)
+        self.contribs = kept.unionByName(fresh).localCheckpoint(eager=True)
         return self.scores
 
 

@@ -614,3 +614,125 @@ def test_all_simple_paths_reference_fixture(spark):
     ]
     assert [tuple(r["path"]) for r in all_simple_paths(g, 3, 3).collect()] == [(3,)]
     assert all_simple_paths(g, 1, 3).count() == 0
+
+
+def _approx_closeness_python(edges, n, k, eps, seed):
+    """Set-form transcription of approx_closeness (portable_hash draw)."""
+    from collections import deque
+
+    from networkit_spark.functions.porthash import md5_mod_py
+
+    nbrs = {u: set() for u in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    samples = sorted(range(n), key=lambda u: (md5_mod_py(u, salt=f"ac{seed}:"), u))[:k]
+    sset = set(samples)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in nbrs[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    D = {s: bfs(s) for s in samples}
+    far = {}
+    for s in samples:
+        far[s] = float(sum(D[s].values()))
+    piv, delta = {}, {}
+    for u in range(n):
+        cands = sorted((D[s][u], s) for s in samples if u in D[s])
+        if cands:
+            delta[u], piv[u] = float(cands[0][0]), cands[0][1]
+    for u in range(n):
+        if u in sset or u not in piv:
+            continue
+        p = piv[u]
+        lcs = lcn = hcs = 0.0
+        for s in samples:
+            if u not in D[s]:
+                continue
+            d = float(D[s][u])
+            dp = float(D[s][p]) if p in D[s] else None
+            lc = (eps == 0) or d <= delta[u] * (1.0 / eps - 1.0) or (
+                dp is not None and dp <= delta[u] / eps
+            )
+            if lc:
+                lcs += d
+                lcn += 1
+            elif dp is not None and dp >= d:
+                hcs += d
+        hsum = hnum = 0.0
+        if eps > 0:
+            thr = delta[u] / eps
+            for w in range(n):
+                if w in sset or w not in D[p]:
+                    continue
+                dw = float(D[p][w])
+                if dw > thr:
+                    hsum += dw
+                    hnum += 1
+        if lcn > 0:
+            lnum = float(n - 1) - hnum - float(k) + lcn
+            far[u] = hsum + hcs + lcs / (lcn / lnum)
+    return {
+        u: (1.0 / far[u] if u in far and far[u] > 0 else 0.0) for u in range(n)
+    }
+
+
+def test_approx_closeness_matches_set_form_and_exact(spark):
+    """approx_closeness == the set-form Cohen-estimator transcription
+    exactly (eps 0 and 0.5, three seeds), == exact closeness when every
+    node is sampled, and lands near exact closeness on average
+    (centrality/ApproxCloseness.cpp:70-160 undirected path)."""
+    import random
+
+    from networkit_spark.operators.distance import (
+        approx_closeness,
+        closeness_centrality,
+    )
+
+    n = 24
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)})
+    g = Graph.of(spark, edges, n=n)
+
+    for seed in (1, 2, 3):
+        for eps in (0.0, 0.5):
+            got = {
+                r["id"]: r["score"]
+                for r in approx_closeness(
+                    g, n_samples=6, epsilon=eps, seed=seed, portable_hash=True
+                ).collect()
+            }
+            want = _approx_closeness_python(edges, n, 6, eps, seed)
+            assert got == pytest.approx(want, abs=1e-12), (seed, eps)
+
+    # k = n: every node sampled -> exact closeness
+    full = {
+        r["id"]: r["score"]
+        for r in approx_closeness(g, n_samples=n, portable_hash=True).collect()
+    }
+    exact = {
+        r["id"]: r["score"]
+        for r in closeness_centrality(g, check_connected=False).collect()
+    }
+    assert full == pytest.approx(exact, abs=1e-12)
+
+    # estimator sanity: mean relative farness error under 35% at k=6
+    est = {
+        r["id"]: r["score"]
+        for r in approx_closeness(g, n_samples=6, epsilon=0.5, seed=1,
+                                  portable_hash=True).collect()
+    }
+    errs = [
+        abs(1.0 / est[u] - 1.0 / exact[u]) / (1.0 / exact[u])
+        for u in range(n)
+        if est[u] > 0 and exact[u] > 0
+    ]
+    assert sum(errs) / len(errs) < 0.35

@@ -191,3 +191,66 @@ def test_dyn_katz_fixed_budget_replayable(spark):
     )
     want = {r["id"]: r["score"] for r in r1.scores.collect()}
     assert got == pytest.approx(want, abs=1e-15)
+
+
+def test_dyn_approx_betweenness_sample_maintenance(spark):
+    """DynApproxBetweenness (centrality/DynApproxBetweenness.cpp:118-175):
+    the pair sample persists across batches; only samples whose source
+    SSSP changed are resampled; untouched batches are no-ops; every
+    stored path stays a valid shortest path after the update; the
+    estimate tracks exact normalized betweenness within epsilon."""
+    import random
+
+    from networkit_spark.operators.distance import betweenness, multi_source_bfs
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        DynApproxBetweenness,
+        events_of,
+    )
+
+    n = 16
+    rng = random.Random(5)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(26)})
+    g0 = Graph.of(spark, edges, n=n)
+    dab = DynApproxBetweenness(g0, epsilon=0.35, delta=0.1, seed=3)
+
+    def all_dists(g):
+        vis = multi_source_bfs(g, g.nodes, with_sigma=False).visited
+        return {(r["root"], r["node"]): r["dist"] for r in vis.collect()}
+
+    def check_paths_valid(g):
+        d = all_dists(g)
+        rows = dab.contribs.join(dab.pairs, ["pair", "u"]).collect()
+        per_pair = {}
+        for r in rows:
+            per_pair.setdefault((r["pair"], r["u"], r["v"]), []).append(r["id"])
+        for (pair, u, v), interiors in per_pair.items():
+            assert (u, v) in d, (u, v)
+            assert len(interiors) == d[(u, v)] - 1, (pair, u, v, interiors)
+            for z in interiors:
+                assert d[(u, z)] + d[(z, v)] == d[(u, v)], (pair, u, z, v)
+
+    check_paths_valid(g0)
+
+    # a batch touching nothing near the sampled sources' component:
+    # two brand-new nodes — no root's SSSP changes, nothing resampled
+    before = sorted(map(tuple, dab.contribs.collect()))
+    dab.update_batch(events_of(spark, [(1, EDGE_ADDITION, 100, 101, 1.0)]))
+    after = sorted(map(tuple, dab.contribs.collect()))
+    assert before == after
+
+    # a real batch: shortcut edges change distances; resampled paths are
+    # valid shortest paths of the NEW graph
+    ev = events_of(
+        spark, [(2, EDGE_ADDITION, 0, n - 1, 1.0), (3, EDGE_ADDITION, 1, n - 2, 1.0)]
+    )
+    scores = {r["id"]: r["score"] for r in dab.update_batch(ev).collect()}
+    check_paths_valid(dab.graph)
+
+    exact = {r["id"]: r["score"] for r in betweenness(dab.graph).collect()}
+    n1 = dab.graph.num_nodes()
+    worst = max(
+        abs(scores.get(u, 0.0) - exact.get(u, 0.0) / (n1 * (n1 - 1)))
+        for u in exact
+    )
+    assert worst <= 0.35, worst

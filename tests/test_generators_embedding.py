@@ -242,3 +242,41 @@ def test_pubweb_generator_mutual_knn_matches_bruteforce(spark):
     for w in got.values():
         d = (0.01 / w) ** 0.5
         assert d <= rad + 1e-9
+
+
+def test_stochastic_blockmodel_planted_recovery(spark):
+    """SBM (generators/StochasticBlockmodel.cpp): edge densities follow
+    the affinity matrix, the membership forms are equivalent, and PLP
+    recovers the planted blocks at pin >> pout."""
+    from networkit_spark.generators import stochastic_blockmodel
+    from networkit_spark.operators.plp import plp
+    from pyspark.sql import functions as F
+
+    n, k = 60, 3
+    aff = [[0.9, 0.05, 0.05], [0.05, 0.9, 0.05], [0.05, 0.05, 0.9]]
+    g, truth = stochastic_blockmodel(spark, n, aff, seed=7)
+    labs = {r["node"]: r["label"] for r in truth.collect()}
+    sym = g.symmetrized_edges()
+    intra = sym.filter((F.col("src") % k) == (F.col("dst") % k)).count()
+    inter = sym.filter((F.col("src") % k) != (F.col("dst") % k)).count()
+    # expected: intra ≈ 0.9 · 3·C(20,2) = 513, inter ≈ 0.05 · 1200 = 60
+    assert intra / 2 > 400 and inter / 2 < 140, (intra, inter)
+
+    # explicit membership list == default id % k blocks (same seed)
+    g2, _ = stochastic_blockmodel(
+        spark, n, aff, membership=[i % k for i in range(n)], seed=7
+    )
+    e1 = sorted(map(tuple, g.canonical_undirected_edges().collect()))
+    e2 = sorted(map(tuple, g2.canonical_undirected_edges().collect()))
+    assert e1 == e2
+
+    # PLP recovers the planted partition (allow minor strays)
+    got = {r["node"]: r["label"] for r in plp(g).labels.collect()}
+    from collections import Counter
+
+    agree = 0
+    for b in range(k):
+        members = [u for u in range(n) if labs[u] == b]
+        top = Counter(got[u] for u in members).most_common(1)[0][1]
+        agree += top
+    assert agree >= 0.9 * n, agree

@@ -69,13 +69,15 @@ def test_plp_active_set_equals_full(spark):
     assert (a == b).all()
 
 
-def _lp_degree_ordered_python(edges, n, max_sweeps=32):
-    """Class-serialized transcription of the lp_degree_ordered contract."""
+def _lp_degree_ordered_python(edges, n, max_sweeps=32, bucket=None):
+    """Class-serialized transcription of the lp_degree_ordered contract.
+    ``bucket`` maps a degree to its class key (None = exact classes)."""
     nbrs = {u: [] for u in range(n)}
     for a, b in edges:
         nbrs[a].append(b)
         nbrs[b].append(a)
-    deg = {u: len(nbrs[u]) for u in range(n)}
+    rawdeg = {u: len(nbrs[u]) for u in range(n)}
+    deg = {u: (bucket(d) if bucket and d > 0 else d) for u, d in rawdeg.items()}
     classes = sorted({d for d in deg.values() if d > 0})
     labels = {u: u for u in range(n)}
     for _ in range(max_sweeps):
@@ -107,7 +109,10 @@ def test_lp_degree_ordered_matches_transcription_and_planted(spark):
     k4b = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
     planted = k4a + k4b + [(0, 4)]
     g = Graph.of(spark, planted, n=8)
-    got = {r["node"]: r["label"] for r in lp_degree_ordered(g).collect()}
+    got = {
+        r["node"]: r["label"]
+        for r in lp_degree_ordered(g, degree_buckets="exact").collect()
+    }
     assert got == _lp_degree_ordered_python(planted, 8)
     assert len({got[i] for i in range(4)}) == 1
     assert len({got[i] for i in range(4, 8)}) == 1
@@ -115,5 +120,18 @@ def test_lp_degree_ordered_matches_transcription_and_planted(spark):
     rng = random.Random(9)
     edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(20)})
     g2 = Graph.of(spark, edges, n=12)
-    got2 = {r["node"]: r["label"] for r in lp_degree_ordered(g2).collect()}
+    got2 = {
+        r["node"]: r["label"]
+        for r in lp_degree_ordered(g2, degree_buckets="exact").collect()
+    }
     assert got2 == _lp_degree_ordered_python(edges, 12)
+
+    # log2 buckets (the at-scale default: O(log maxdeg) jobs per sweep)
+    # follow the same contract with coarsened classes, and still recover
+    # the planted split
+    lg = lambda d: d.bit_length() - 1
+    got3 = {r["node"]: r["label"] for r in lp_degree_ordered(g).collect()}
+    assert got3 == _lp_degree_ordered_python(planted, 8, bucket=lg)
+    assert len({got3[i] for i in range(4)}) == 1
+    got4 = {r["node"]: r["label"] for r in lp_degree_ordered(g2).collect()}
+    assert got4 == _lp_degree_ordered_python(edges, 12, bucket=lg)
