@@ -439,14 +439,32 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+KPATH_K = 4
+KPATH_ALPHA = 0.2
+
+
 def q_graph_betweenness_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EstimateBetweenness (16 hash-sampled sources, seed 42) on the FULL
-    co-graph (EstimateBetweenness.cpp) — the at-scale variant."""
-    from networkit_spark.operators.distance import estimate_betweenness
+    """Sampled centrality estimators in one (method, id, score) table:
+    - est16: EstimateBetweenness (16 hash-sampled sources, seed 42) on
+      the FULL co-graph (EstimateBetweenness.cpp) — the at-scale
+      variant;
+    - kpath: KPathCentrality (KPathCentrality.cpp), k=4, α=0.2 on the
+      <200 subgraph with portable md5 draws — t = ⌊2k²n^0.6 ln n⌋
+      self-avoiding walks replayed step by step in the oracle."""
+    from networkit_spark.operators.distance import (
+        estimate_betweenness,
+        k_path_centrality,
+    )
 
     g = _co_graph(spark, sf_dir)
-    out = estimate_betweenness(g, n_samples=16, seed=42, portable_hash=True)
-    return out.select("id", F.round("score", 4).alias("score"))
+    a = estimate_betweenness(g, n_samples=16, seed=42, portable_hash=True).select(
+        F.lit("est16").alias("method"), "id", F.round("score", 4).alias("score")
+    )
+    sub = _co_subgraph200(spark, sf_dir)
+    b = k_path_centrality(
+        sub, alpha=KPATH_ALPHA, k=KPATH_K, seed=42, portable_hash=True
+    ).select(F.lit("kpath").alias("method"), "id", F.round("score", 6).alias("score"))
+    return a.unionByName(b)
 
 
 def q_graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3022,6 +3040,54 @@ FROM nodes n LEFT JOIN afar f ON f.id = n.id
     )
 
 
+def _kpath_sql(
+    n: int = 200, k: int = KPATH_K, alpha: float = KPATH_ALPHA, seed: int = 42
+) -> str:
+    """(id, score) oracle for the kpath variant of graph_betweenness_est:
+    exact replay of k_path_centrality(portable_hash=True) on sub200 — t
+    seeded self-avoiding walks advanced k unrolled steps, each step a
+    frontier⋈edges join with list_contains self-avoidance and the
+    uniform rn == draw % cnt + 1 choice. Counts are integers; the final
+    k·n·(count/t) expression mirrors the Spark/Python op order."""
+    import math as _math
+
+    t = max(1, int(2.0 * k * k * (float(n) ** (1 - 2 * alpha)) * _math.log(float(n))))
+    ctes = [
+        SUB200_PRELUDE_NOWALK_SQL.strip(),
+        f"""kwk0 AS MATERIALIZED (SELECT w.wid, w.l, m.cur,
+    [m.cur] AS path
+  FROM (SELECT CAST(u.i + 1 AS BIGINT) AS wid,
+               {_porthash_sql('u.i + 1', f'kp{seed}:s:')} % {n} AS sidx,
+               1 + {_porthash_sql('u.i + 1', f'kp{seed}:l:')} % {k} AS l
+        FROM UNNEST(range({t})) AS u(i)) w
+  JOIN (SELECT id AS sidx, id AS cur FROM nodes) m USING (sidx))""",
+    ]
+    for j in range(1, k + 1):
+        ctes.append(f"""kcd{j} AS (
+  SELECT s.wid, s.l, s.path, e.dst AS nxt
+  FROM kwk{j - 1} s JOIN edges e ON e.src = s.cur
+  WHERE s.l >= {j} AND NOT list_contains(s.path, e.dst))""")
+        ctes.append(f"""kwk{j} AS MATERIALIZED (
+  SELECT wid, l, nxt AS cur, list_append(path, nxt) AS path FROM (
+    SELECT wid, l, path, nxt,
+      row_number() OVER (PARTITION BY wid ORDER BY nxt) AS rn,
+      count(*) OVER (PARTITION BY wid) AS cnt,
+      {_porthash_sql('wid', f'kp{seed}:c:{j}:')} AS drw
+    FROM kcd{j}) z WHERE rn = drw % cnt + 1)""")
+    allc = " UNION ALL ".join(f"SELECT cur AS id FROM kwk{j}" for j in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+kallc AS ({allc}),
+kcnt AS (SELECT id, count(*) AS c FROM kallc GROUP BY id)
+SELECT n.id,
+       round(coalesce({float(k) * float(n)!r} * (CAST(kc.c AS DOUBLE) / {float(t)!r}), 0.0), 6) AS score
+FROM nodes n LEFT JOIN kcnt kc ON kc.id = n.id
+"""
+    )
+
+
 def _porthash_sql(expr: str, salt: str) -> str:
     return (
         f"CAST(md5_number_lower('{salt}' || CAST({expr} AS VARCHAR)) "
@@ -4441,12 +4507,15 @@ FROM nodes n LEFT JOIN inset i USING (id)"""
         + md5_mod_sql("id", salt="eb42:")
         + ", id LIMIT 16"
     )
-    out["graph_betweenness_est"] = _brandes_sql(
-        levels=5, mode="node", roots_cte=est_roots,
-        walk_cap=8, use_sub200=False, linear_scaling=True,
-        scale_expr="(2.0 * (SELECT count(*) FROM nodes) / 16.0)",
-        round_digits=4,
-    )
+    out["graph_betweenness_est"] = _variant_union("method", [
+        ("est16", _brandes_sql(
+            levels=5, mode="node", roots_cte=est_roots,
+            walk_cap=8, use_sub200=False, linear_scaling=True,
+            scale_expr="(2.0 * (SELECT count(*) FROM nodes) / 16.0)",
+            round_digits=4,
+        )),
+        ("kpath", _kpath_sql()),
+    ])
 
     # --- articulation points (graph_bicc): removal increases #components
     sub200_sparse = SUB200_PRELUDE_SQL.replace(

@@ -44,6 +44,7 @@ from networkit_spark.operators.distance import (
     diameter_exact,
     estimate_betweenness,
     incomplete_dijkstra,
+    k_path_centrality,
     kadabra_betweenness,
     harmonic_closeness,
     multi_source_bfs,
@@ -54,6 +55,8 @@ from networkit_spark.operators.group_centrality import (
     ged_walk_group,
     ged_walk_score,
     group_closeness,
+    group_closeness_grow_shrink,
+    group_closeness_local_swaps,
     group_degree,
 )
 from networkit_spark.operators.matching import (
@@ -122,6 +125,7 @@ __all__ = [
     "diameter_exact",
     "estimate_betweenness",
     "incomplete_dijkstra",
+    "k_path_centrality",
     "kadabra_betweenness",
     "harmonic_closeness",
     "multi_source_bfs",
@@ -130,6 +134,8 @@ __all__ = [
     "min_cut_source_side",
     "cut_clustering",
     "group_closeness",
+    "group_closeness_grow_shrink",
+    "group_closeness_local_swaps",
     "ged_walk_group",
     "ged_walk_score",
     "group_degree",

@@ -993,6 +993,130 @@ def sssp_update_additions(
     raise RuntimeError("sssp_update_additions did not converge")
 
 
+def k_path_centrality(
+    g: Graph,
+    alpha: float = 0.2,
+    k: int | None = None,
+    seed: int = 42,
+    t: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """KPathCentrality (``centrality/KPathCentrality.cpp``): t =
+    ⌊2k²·n^(1−2α)·ln n⌋ random SELF-AVOIDING walks, each from a random
+    source with random length ℓ ∈ [1, k]; every node visited on a walk
+    step earns a count, and score(v) = k·n·count(v)/t. α ∈ [−0.5, 0.5]
+    trades samples for accuracy; k defaults to ⌊ln(n+m)⌋ like the
+    reference.
+
+    All t walks advance TOGETHER: the state is one (walk, cur, ℓ, path)
+    table, and each of the ≤ k steps is one frontier⋈edges join with an
+    `array_contains` self-avoidance filter and a seeded uniform choice
+    among the surviving neighbors (reference draws from its serial RNG;
+    the hash draw is the module-wide determinization — uniform over the
+    same candidate set). Weighted graphs pick ∝ 1/w via the cumulative
+    trick. Only O(t)-row state shuffles per step; the edge relation is
+    the single O(m) side."""
+    import math as _math
+
+    from networkit_spark.functions.porthash import md5_mod
+    from networkit_spark.ids import assign_dense_ids
+
+    if not (-0.5 <= alpha <= 0.5):
+        raise ValueError("alpha must lie in interval [-0.5, 0.5]")
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    zeros = g.nodes.select("id", F.lit(0.0).alias("score"))
+    if n < 2:
+        return zeros
+    m = g.edges.count()
+    if k is None:
+        k = max(1, int(_math.log(float(n + m))))
+    k = int(k)
+    if t is None:
+        t = int(2.0 * k * k * (float(n) ** (1 - 2 * alpha)) * _math.log(float(n)))
+    t = max(1, int(t))
+
+    mapping = assign_dense_ids(
+        g.nodes.select(F.col("id").alias("key")), ["key"]
+    ).transform(pin)
+    walks = spark.range(t).select((F.col("id") + 1).alias("wid"))
+    if portable_hash:
+        sidx = F.pmod(md5_mod(F.col("wid"), salt=f"kp{seed}:s:"), F.lit(n))
+        ell = F.pmod(md5_mod(F.col("wid"), salt=f"kp{seed}:l:"), F.lit(k)) + 1
+    else:
+        sidx = F.pmod(F.xxhash64(F.lit(seed), F.lit(0), F.col("wid")), F.lit(n))
+        ell = F.pmod(F.xxhash64(F.lit(seed), F.lit(1), F.col("wid")), F.lit(k)) + 1
+    state = (
+        walks.select("wid", sidx.alias("sidx"), ell.alias("l"))
+        .join(
+            F.broadcast(
+                mapping.select(F.col("id").alias("sidx"), F.col("key").alias("cur"))
+            ),
+            "sidx",
+        )
+        .select("wid", "l", "cur", F.array(F.col("cur")).alias("path"))
+        .transform(pin)
+    )
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        F.col("src").alias("cur"), F.col("dst").alias("nxt"), "weight"
+    )
+    contribs = []
+    for j in range(1, k + 1):
+        active = state.filter(F.col("l") >= j)
+        if active.isEmpty():
+            break
+        cand = active.join(edges, "cur").filter(
+            ~F.array_contains(F.col("path"), F.col("nxt"))
+        )
+        w_ord = Window.partitionBy("wid").orderBy("nxt")
+        w_all = Window.partitionBy("wid")
+        if portable_hash:
+            draw = md5_mod(F.col("wid"), salt=f"kp{seed}:c:{j}:")
+        else:
+            draw = F.pmod(
+                F.xxhash64(F.lit(seed), F.lit(2), F.col("wid"), F.lit(j)),
+                F.lit(1 << 31),
+            )
+        if g.weighted:
+            M = 1_000_003
+            x = F.pmod(draw, F.lit(M)) / F.lit(float(M))
+            picked = (
+                cand.withColumn("iw", 1.0 / F.col("weight"))
+                .withColumn("cum", F.sum("iw").over(w_ord))
+                .withColumn("tot", F.sum("iw").over(w_all))
+                .filter(F.col("cum") / F.col("tot") > x)
+                .withColumn("rn", F.row_number().over(w_ord))
+                .filter(F.col("rn") == 1)
+            )
+        else:
+            picked = (
+                cand.withColumn("cnt", F.count(F.lit(1)).over(w_all))
+                .withColumn("rn", F.row_number().over(w_ord))
+                .filter(F.col("rn") == F.pmod(draw, F.col("cnt")) + 1)
+            )
+        state = picked.select(
+            "wid",
+            "l",
+            F.col("nxt").alias("cur"),
+            F.array_append("path", F.col("nxt")).alias("path"),
+        ).transform(pin)
+        contribs.append(state.select(F.col("cur").alias("id")))
+
+    if not contribs:
+        return zeros
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    counts = allc.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    # reference: scoreData[v] = k * n * (counter[v] / t)
+    score = F.lit(float(k) * float(n)) * (
+        F.col("c").cast("double") / F.lit(float(t))
+    )
+    return g.nodes.join(counts, "id", "left").select(
+        "id", F.coalesce(score, F.lit(0.0)).alias("score")
+    )
+
+
 def approx_closeness(
     g: Graph,
     n_samples: int,

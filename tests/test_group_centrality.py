@@ -4,6 +4,8 @@ import itertools
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.group_centrality import group_closeness, group_degree
 
@@ -114,3 +116,69 @@ def test_ged_walk_score_and_greedy_group(spark):
     # greedy must beat any singleton-extension baseline it considered
     s_grp = ged_walk_score(g, grp, alpha, levels=4)
     assert s_grp >= ged_walk_score(g, [0, 5], alpha, levels=4) - 1e-9
+
+
+def test_group_closeness_refinements_improve_or_hold(spark):
+    """LocalSwaps / GrowShrink (GroupClosenessLocalSwaps.cpp,
+    GroupClosenessGrowShrink.cpp contracts): starting from a degraded
+    group, each refinement's farness is <= the start's and never beats
+    the optimum; membership stays valid and size-preserving."""
+    import itertools
+    import random
+
+    from networkit_spark.operators.group_centrality import (
+        group_closeness_grow_shrink,
+        group_closeness_local_swaps,
+    )
+
+    n = 14
+    rng = random.Random(21)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(24)})
+    g = Graph.of(spark, edges, n=n)
+
+    # pure-python all-pairs hop distances (the graph is tiny) so the
+    # exhaustive optimum does not cost 364 Spark BFS runs
+    from collections import deque
+
+    nbrs = {u: set() for u in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in nbrs[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    D = {s: bfs(s) for s in range(n)}
+
+    def exact_farness(S):
+        tot = 0
+        for x in range(n):
+            ds = [D[s][x] for s in S if x in D[s]]
+            if ds:
+                tot += min(ds)
+        return float(tot)
+
+    # a deliberately bad starting group: three leaf-most ids
+    start = [n - 1, n - 2, n - 3]
+    f0 = exact_farness(start)
+    best = min(
+        exact_farness(list(S)) for S in itertools.combinations(range(n), 3)
+    )
+
+    for refine in (group_closeness_local_swaps, group_closeness_grow_shrink):
+        grp, far = refine(g, start, 4)
+        assert len(grp) == 3 and len(set(grp)) == 3
+        assert all(0 <= u < n for u in grp)
+        assert far == exact_farness(grp)
+        assert best <= far <= f0, (refine.__name__, far, f0, best)
+    # swaps must actually help from this start
+    _, far_ls = group_closeness_local_swaps(g, start, 4)
+    assert far_ls < f0
