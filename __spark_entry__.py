@@ -375,12 +375,19 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
       class-serialized replay (_lpdo_sql), all-integer arithmetic;
     - lme: LouvainMapEquation, 3 synchronous rounds with portable md5
       move gating AND the portable 1e-12 delta quantization (absorbs
-      cross-engine ln() ulps) — full fitnessChange replay (_lme_sql).
+      cross-engine ln() ulps) — full fitnessChange replay (_lme_sql);
+    - aggc: ParallelAgglomerativeClusterer, 2 score-match-contract
+      rounds — Δmod scores, LocalMax matching replay, coarsening with
+      the w/2 self-loop convention (_aggc_sql); all-dyadic arithmetic.
 
     Gate budget: the subgraph is tiny (≤200 nodes), so shuffle width is
     dropped to 4 around the calls — per-round Spark overhead, not data,
     is the cost driver here."""
-    from networkit_spark.operators.louvain import louvain_map_equation, plm
+    from networkit_spark.operators.louvain import (
+        agglomerative_clusterer,
+        louvain_map_equation,
+        plm,
+    )
     from networkit_spark.operators.plp import lp_degree_ordered
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -397,12 +404,16 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lme = louvain_map_equation(
             sub, max_rounds=LME_ROUNDS, portable_hash=True
         ).localCheckpoint(eager=True)
+        aggc = agglomerative_clusterer(
+            sub, max_rounds=AGGC_ROUNDS
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         labels.select(F.lit("plm").alias("variant"), "node", "label")
         .unionByName(lpdo.select(F.lit("lpdo").alias("variant"), "node", "label"))
         .unionByName(lme.select(F.lit("lme").alias("variant"), "node", "label"))
+        .unionByName(aggc.select(F.lit("aggc").alias("variant"), "node", "label"))
     )
 
 
@@ -1717,14 +1728,20 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry. ORDER MATTERS: the driver's correctness gate
-    checks the first 50 entries. Round 4 merges near-duplicate rows into
+    checks the first 50 entries. Round 4 merged near-duplicate rows into
     variant tables (closeness_all, spectral, paths, lp_scores, sim_topk,
     betweenness_exact, group_centrality, scd, randomized, matching) so
-    that EVERY registry entry sits inside the 50-slot window — the 14
-    round-3 rows-only stragglers included. Entries whose semantics are
-    not SQL-expressible (ctd — CG numerics; kadabra — adaptive stopping)
-    stay in the window as rows-only checks. events_hourly trails at 51:
-    it was hash-green in round 3 and its operator surface is unchanged."""
+    that EVERY registry entry sits inside the 50-slot window; round 5
+    folded the round-4/5 operator batch into those variant tables with
+    full replay oracles — hh→graph_degree, dyn_katz→graph_spectral,
+    lpc+gedwalk→graph_group_centrality, kadabra→
+    graph_approx_betweenness, tce→graph_scd, lpdo+lme→graph_plm,
+    approx→graph_closeness_all, kpath→graph_betweenness_est,
+    bibfs/bidijkstra/inc_dijkstra/simple_paths→graph_paths, and
+    dedup_clusters→dedup_jaccard. Every windowed entry now carries a
+    hash oracle (graph_ctd's CG replay included). events_hourly trails
+    at 51: it was hash-green in round 3 and its operator surface is
+    unchanged."""
     return {
         # --- graph kernels ------------------------------------------------
         "graph_degree": q_graph_degree,
@@ -2719,6 +2736,7 @@ SELECT t.*, o.onmi_distance FROM (
         ("plm", _plm_sql()),
         ("lpdo", _lpdo_sql()),
         ("lme", _lme_sql()),
+        ("aggc", _aggc_sql()),
     ])
     base["graph_ctd"] = _ctd_sql()
 
@@ -3615,6 +3633,75 @@ def _lpdo_sql(sweeps: int = LPDO_SWEEPS, buckets: int = 10) -> str:
 
 
 LME_ROUNDS = 3
+AGGC_ROUNDS = 2
+AGGC_INNER = 20  # local-max matching converges in 16 rounds at sf0.01; margin
+
+
+def _aggc_sql(rounds: int = AGGC_ROUNDS, inner: int = AGGC_INNER) -> str:
+    """(node, label) oracle for the aggc graph_plm variant: exact replay
+    of agglomerative_clusterer(max_rounds=rounds) on sub200 — per outer
+    round the Δmod edge scores (2·tw·w − vol_u·vol_v)/(2·tw)², a
+    LocalMax matching replay over those scores, the contraction with the
+    ParallelPartitionCoarsening w/2 self-loop convention, and the
+    reference's discard-before-adopt stop conditions (cn ≥
+    min_communities and matched/n > rel_repeat_threshold) folded into a
+    per-round ok flag. All weights and volumes stay dyadic rationals
+    (1.0 edges halved at most once per level), so every score both
+    engines compute is bit-identical."""
+    ctes = [
+        SUB200_PRELUDE_NOWALK_SQL.strip(),
+        "aed1 AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM edges)",
+        "anod1 AS (SELECT id FROM nodes)",
+        "amap0 AS (SELECT id AS node, id AS label FROM nodes)",
+        "aok0 AS (SELECT TRUE AS ok)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""atw{r} AS (SELECT coalesce(sum(
+    CASE WHEN src = dst THEN weight ELSE weight / 2 END), 0.0) AS tw
+  FROM aed{r})""")
+        ctes.append(f"an{r} AS (SELECT count(*) AS n FROM anod{r})")
+        ctes.append(f"""avol{r} AS (SELECT src AS id, sum(weight) AS vol
+  FROM aed{r} WHERE src <> dst GROUP BY src)""")
+        ctes.append(f"""acw{r} AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, weight
+  FROM aed{r} WHERE src <> dst)""")
+        ctes.append(f"""asc{r} AS MATERIALIZED (
+  SELECT c.src, c.dst,
+    (2.0 * t.tw * c.weight - vu.vol * vv.vol) / (4.0 * t.tw * t.tw) AS w
+  FROM acw{r} c
+  JOIN avol{r} vu ON vu.id = c.src
+  JOIN avol{r} vv ON vv.id = c.dst
+  CROSS JOIN atw{r} t)""")
+        ctes.append(_localmax_rounds_sql(inner, "w", f"ag{r}_", f"asc{r}"))
+        allm = " UNION ALL ".join(
+            f"SELECT src, dst FROM ag{r}_cand{k}" for k in range(1, inner + 1)
+        )
+        ctes.append(f"amt{r} AS MATERIALIZED ({allm})")
+        ctes.append(f"""aok{r} AS (SELECT
+    (SELECT ok FROM aok{r - 1})
+    AND c > 0 AND (n - c) >= 2 AND CAST(c AS DOUBLE) / n > 0.005 AS ok
+  FROM (SELECT count(*) AS c FROM amt{r}), an{r})""")
+        ctes.append(f"""alab{r} AS MATERIALIZED (
+  SELECT n.id AS node, coalesce(m.rep, n.id) AS label
+  FROM anod{r} n LEFT JOIN (
+    SELECT src AS id, src AS rep FROM amt{r}
+    UNION ALL SELECT dst, src FROM amt{r}) m USING (id))""")
+        ctes.append(f"""amap{r} AS MATERIALIZED (
+  SELECT mp.node,
+    CASE WHEN (SELECT ok FROM aok{r}) THEN l2.label ELSE mp.label END AS label
+  FROM amap{r - 1} mp LEFT JOIN alab{r} l2 ON l2.node = mp.label)""")
+        if r < rounds:
+            ctes.append(f"""aed{r + 1} AS MATERIALIZED (
+  SELECT a.label AS src, b.label AS dst,
+    sum(CASE WHEN a.label = b.label AND e.src <> e.dst
+             THEN e.weight / 2 ELSE e.weight END) AS weight
+  FROM aed{r} e JOIN alab{r} a ON a.node = e.src
+  JOIN alab{r} b ON b.node = e.dst
+  GROUP BY a.label, b.label)""")
+            ctes.append(
+                f"anod{r + 1} AS (SELECT DISTINCT label AS id FROM alab{r})"
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM amap{rounds}\n"
 
 
 def _lme_sql(rounds: int = LME_ROUNDS) -> str:
@@ -3804,14 +3891,18 @@ def _suitor_rounds_sql(rounds: int, weight_expr: str, prefix: str) -> str:
     return ",\n".join(ctes)
 
 
-def _localmax_rounds_sql(rounds: int, weight_expr: str, prefix: str) -> str:
+def _localmax_rounds_sql(
+    rounds: int, weight_expr: str, prefix: str, src_table: str = "e0"
+) -> str:
     """Chained-CTE replay of LocalMax matching rounds
     (operators/matching.py::local_max_matching): per round every edge
     that is its BOTH endpoints' best under (weight desc, src asc,
-    dst asc) matches; matched endpoints' edges drop out."""
+    dst asc) matches; matched endpoints' edges drop out. ``src_table``
+    holds canonical (src, dst) rows; ``weight_expr`` scores them."""
     p = prefix
     ctes = [
-        f"{p}live0 AS MATERIALIZED (SELECT src, dst, {weight_expr} AS weight FROM e0)"
+        f"{p}live0 AS MATERIALIZED (SELECT src, dst, {weight_expr} AS weight "
+        f"FROM {src_table})"
     ]
     for r in range(1, rounds + 1):
         ctes.append(f"""{p}inc{r} AS (SELECT src AS node, src, dst, weight FROM {p}live{r - 1}

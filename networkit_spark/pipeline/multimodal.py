@@ -142,12 +142,17 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """(media_id, modality, n_bytes, feature array<double>): Arrow-batched
     decode + feature extraction. Payloads with the BMP magic decode for
-    real (pure-numpy 24-bit parser; features from actual pixels); other
-    formats raise NotImplementedError under strict=True — the marked seam
-    where further codecs plug in — and fall back to the deterministic
+    real (pure-numpy 24-bit parser) and payloads with the JPEG SOI magic
+    decode for real too (pure-numpy baseline JFIF — huffman + IDCT, see
+    pipeline/jpeg.py); features come from actual pixels. Remaining
+    formats (video, progressive JPEG, PNG, ...) raise
+    NotImplementedError under strict=True — the marked seam where
+    further codecs plug in — and fall back to the deterministic
     byte-derived feature otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from networkit_spark.pipeline.jpeg import decode_jpeg
+
         for pdf in batches:
             feats = []
             for p, modality in zip(pdf["payload"], pdf["modality"]):
@@ -160,13 +165,21 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         if strict:
                             raise
                         decoded = None  # text that happens to start 'BM'
+                elif b[:3] == b"\xff\xd8\xff":
+                    try:
+                        decoded = decode_jpeg(b)  # real baseline JFIF decode
+                    except ValueError:
+                        if strict:
+                            raise
+                        decoded = None
                 if decoded is not None:
                     feats.append(bmp_pixel_features(decoded))
                 elif strict:
                     raise NotImplementedError(
                         f"{modality} decode requires codecs not present in "
-                        "this environment (only uncompressed 24-bit BMP "
-                        "decodes natively; see decode_bmp)"
+                        "this environment (uncompressed 24-bit BMP and "
+                        "baseline JFIF decode natively; see decode_bmp / "
+                        "pipeline/jpeg.py)"
                     )
                 else:
                     feats.append(_fake_features(b))

@@ -206,3 +206,62 @@ def test_dedup_clusters_canonical_pick(spark):
     # filter keeps exactly one doc per cluster
     kept = [k for k, (_, c) in out.items() if c]
     assert sorted(kept) == [1, 3, 5]
+
+
+def test_jpeg_codec_roundtrip_and_strict_pipeline(spark):
+    """pipeline/jpeg.py: the pure-numpy baseline JFIF codec round-trips
+    real pixels (flat blocks exactly, gradients within quantization
+    error), rejects non-baseline streams, and extract_features in STRICT
+    mode decodes synthetic JPEG payloads end to end (features change
+    when pixels change)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from networkit_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from networkit_spark.pipeline.multimodal import extract_features
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=75)), flat)
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.dstack(
+        [(xx * 255 / 40), (yy * 255 / 24), ((xx + yy) * 255 / 64)]
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+
+    # odd (non-multiple-of-8) sizes exercise the edge-padding path
+    odd = img[:17, :23]
+    assert decode_jpeg(encode_jpeg(odd, quality=85)).shape == (17, 23, 3)
+
+    # grayscale replicates to 3 channels
+    g = (xx * 255 / 40).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=85))
+    assert dg.shape == (24, 40, 3)
+    assert np.abs(dg[..., 0].astype(int) - g.astype(int)).max() <= 4
+
+    # malformed / unsupported streams fail loudly
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    prog = bytearray(encode_jpeg(flat))
+    sof = bytes(prog).find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+    # strict-mode Spark pipeline over real JPEG payloads
+    a = encode_jpeg(img, quality=90)
+    b = encode_jpeg(255 - img, quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(a)), (2, "image", bytearray(b))],
+        "media_id long, modality string, payload binary",
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, strict=True).collect()
+    }
+    assert len(feats) == 2 and feats[1] != feats[2]
+    # mean-RGB leads the feature vector: image a is brighter on red asc
+    assert feats[1][0] != feats[2][0]
