@@ -849,3 +849,86 @@ def stochastic_blockmodel(
     return Graph.from_edges(edges, directed=False, nodes=nodes), mem.select(
         F.col("id").alias("node"), F.col("block").alias("label")
     )
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> Graph:
+    """RegularRingLattice (``generators/RegularRingLatticeGenerator.cpp``):
+    node i connects to (i+1..i+k) mod n; k clamped to n/2 − 1 like the
+    reference. Pure column expressions — one range cross a k-literal
+    explode, no driver loop."""
+    nn = max(1, int(n))
+    kk = min(int(k), max(nn // 2 - 1, 0))
+    base = spark.range(nn).select(F.col("id").alias("src"))
+    edges = base.select(
+        "src", F.explode(F.array(*[F.lit(j) for j in range(1, kk + 1)])).alias("j")
+    ).select("src", ((F.col("src") + F.col("j")) % nn).alias("dst"))
+    nodes = spark.range(nn).select("id")
+    return Graph.from_edges(edges, directed=False, nodes=nodes)
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
+    """DorogovtsevMendes (``generators/DorogovtsevMendesGenerator.cpp``):
+    start from a triangle; each new node attaches to BOTH endpoints of a
+    uniformly random existing edge. Growth is inherently sequential
+    (every step conditions on the full current edge list), so like
+    HavelHakimi it builds on the driver with seeded draws and only the
+    RESULT is distributed — its value is exact fixtures; use
+    :func:`barabasi_albert`/:func:`rmat` for scale-out shapes."""
+    import random as _random
+
+    if n < 3:
+        raise ValueError("DorogovtsevMendes needs n >= 3")
+    rng = _random.Random(seed)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    for w in range(3, int(n)):
+        u, v = edges[rng.randrange(len(edges))]
+        edges.append((w, u))
+        edges.append((w, v))
+    return Graph.of(spark, edges, n=int(n))
+
+
+def powerlaw_degree_sequence(
+    n: int,
+    min_deg: int,
+    max_deg: int,
+    gamma: float = -2.0,
+    seed: int = 42,
+) -> list[int]:
+    """PowerlawDegreeSequence (``generators/PowerlawDegreeSequence.cpp``
+    run/getDegreeSequence): seeded draws from the truncated power law
+    P(d) ∝ d^gamma on [min_deg, max_deg]; if the sum lands odd, the
+    largest entry is decremented (the reference's evenness fix), so the
+    output feeds :func:`havel_hakimi` / :func:`chung_lu` directly.
+    Driver-side by design — the sequence is O(n) integers, a model
+    parameter, not data."""
+    import random as _random
+
+    if min_deg > max_deg:
+        raise ValueError("min_deg must not exceed max_deg")
+    if gamma > -1:
+        raise ValueError("gamma must be lower than -1")
+    degs = list(range(max_deg, min_deg - 1, -1))
+    weights = [float(d) ** gamma for d in degs]
+    total = sum(weights)
+    cum = []
+    s = 0.0
+    for w in weights:
+        s += w
+        cum.append(s / total)
+    cum[-1] = 1.0
+    rng = _random.Random(seed)
+    seq = []
+    for _ in range(int(n)):
+        x = rng.random()
+        # first cumulative ≥ x (reference lower_bound over the cum table)
+        lo, hi = 0, len(cum) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cum[mid] < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        seq.append(degs[lo])
+    if sum(seq) % 2 != 0:
+        seq[seq.index(max(seq))] -= 1
+    return seq

@@ -21,6 +21,7 @@ from networkit_spark.operators.linkprediction import (
 from networkit_spark.operators.sketches import (
     effective_diameter_approx,
     neighborhood_function,
+    neighborhood_function_heuristic,
 )
 from networkit_spark.operators.sparsification import (
     global_threshold_filter,
@@ -49,6 +50,7 @@ from networkit_spark.operators.distance import (
     harmonic_closeness,
     multi_source_bfs,
     sssp,
+    volume,
 )
 from networkit_spark.operators.flow import cut_clustering, max_flow, min_cut_source_side
 from networkit_spark.operators.group_centrality import (
@@ -108,6 +110,7 @@ __all__ = [
     "degree_assortativity",
     "preferential_attachment",
     "neighborhood_function",
+    "neighborhood_function_heuristic",
     "effective_diameter_approx",
     "jaccard_similarity_scores",
     "prefix_jaccard_scores",
@@ -129,6 +132,7 @@ __all__ = [
     "kadabra_betweenness",
     "harmonic_closeness",
     "multi_source_bfs",
+    "volume",
     "sssp",
     "max_flow",
     "min_cut_source_side",

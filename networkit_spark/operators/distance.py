@@ -993,6 +993,84 @@ def sssp_update_additions(
     raise RuntimeError("sssp_update_additions did not converge")
 
 
+def volume(
+    g: Graph,
+    r: float | list[float],
+    samples: int = 500,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> float | list[float]:
+    """Volume (``distance/Volume.cpp``): the expected number of nodes
+    within weighted distance ``r`` of a random node, estimated from
+    ``samples`` seeded sources (a list of radii reuses ONE ball
+    computation at r_max, the reference's batched variant).
+
+    All sampled balls grow together: one (root, node, dist) state table
+    relaxed frontier-by-frontier with dist ≤ r_max pruning — the same
+    shared-shuffle shape as multi_source_bfs, only the ball volume
+    flows, never per-sample jobs."""
+    from networkit_spark.functions.porthash import md5_mod
+    from networkit_spark.ids import assign_dense_ids
+
+    spark = g.edges.sparkSession
+    rs = [float(x) for x in (r if isinstance(r, (list, tuple)) else [r])]
+    rmax = max(rs)
+    n = g.num_nodes()
+    if n == 0:
+        out = [0.0 for _ in rs]
+        return out if isinstance(r, (list, tuple)) else out[0]
+    k = min(int(samples), 10 ** 6)
+    mapping = assign_dense_ids(
+        g.nodes.select(F.col("id").alias("key")), ["key"]
+    ).transform(pin)
+    samp = spark.range(k).select(F.col("id").alias("sid"))
+    if portable_hash:
+        idx = F.pmod(md5_mod(F.col("sid"), salt=f"vol{seed}:"), F.lit(n))
+    else:
+        idx = F.pmod(F.xxhash64(F.lit(seed), F.col("sid")), F.lit(n))
+    roots = samp.select(F.col("sid").alias("root"), idx.alias("idx")).join(
+        F.broadcast(mapping.select(F.col("id").alias("idx"), F.col("key").alias("node"))),
+        "idx",
+    ).select("root", "node")
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    ).transform(pin)
+    dist = roots.select("root", "node", F.lit(0.0).alias("dist")).transform(pin)
+    frontier = dist
+    while True:
+        relax = (
+            frontier.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            .filter(F.col("cand") <= F.lit(rmax))
+        )
+        merged = (
+            dist.join(relax, ["root", "node"], "full")
+            .select(
+                "root",
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("imp"),
+            )
+            .transform(pin)
+        )
+        frontier = merged.filter("imp").select("root", "node", "dist")
+        dist = merged.select("root", "node", "dist")
+        if frontier.isEmpty():
+            break
+    counts = [
+        float(
+            dist.filter(F.col("dist") <= F.lit(rv)).count()
+        ) / float(k)
+        for rv in rs
+    ]
+    return counts if isinstance(r, (list, tuple)) else counts[0]
+
+
 def k_path_centrality(
     g: Graph,
     alpha: float = 0.2,

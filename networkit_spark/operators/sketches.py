@@ -147,3 +147,66 @@ def effective_diameter_approx(
         if val >= ratio * final:
             return float(h)
     return float(len(nf))
+
+
+def neighborhood_function_heuristic(
+    g: Graph,
+    n_samples: int | None = None,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> list[int]:
+    """NeighborhoodFunctionHeuristic
+    (``distance/NeighborhoodFunctionHeuristic.cpp``, RANDOM strategy):
+    sampled cumulative neighborhood function N(d) for d = 1..diameter on
+    an undirected connected graph, with the reference's exact endpoint
+    corrections — N(1) = 2m and N(diameter) = n(n−1) — and the interior
+    scaled by n/samples then rounded and accumulated. Default samples =
+    ⌈max(0.15·n, √m)⌉ like the reference.
+
+    One batched multi-source BFS shared across all sampled roots; the
+    per-distance histogram is a two-column aggregation. (The reference's
+    SPLIT strategy is a sequential balanced re-ordering — RANDOM is the
+    documented surface here.)"""
+    from networkit_spark.functions.porthash import md5_mod
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.distance import diameter_exact, multi_source_bfs
+
+    if g.directed:
+        raise ValueError("undirected graphs only (reference contract)")
+    n = g.num_nodes()
+    m = g.canonical_undirected_edges().count()
+    ncomp = connected_components(g).select("label").distinct().count()
+    if ncomp > 1:
+        raise ValueError("connected graphs only (reference contract)")
+    if not n_samples:
+        import math as _math
+
+        n_samples = int(_math.ceil(max(0.15 * n, _math.sqrt(m))))
+    k = min(int(n_samples), n)
+    dia = int(diameter_exact(g))
+    if dia == 0:
+        return []
+    order = (
+        [md5_mod(F.col("id"), salt=f"nfh{seed}:").asc(), F.col("id").asc()]
+        if portable_hash
+        else [F.xxhash64("id", F.lit(seed)).asc()]
+    )
+    sampled = g.nodes.orderBy(*order).limit(k).select("id")
+    vis = multi_source_bfs(g, sampled, with_sigma=False).visited
+    hist = {
+        int(r["dist"]): int(r["c"])
+        for r in vis.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    result = [0] * dia
+    result[0] = 2 * m
+    result[dia - 1] = n * (n - 1)
+    norm = n / float(k)
+    # interior distances 2..dia-1 (both endpoints pinned), cumulative
+    for dist in range(2, dia):
+        result[dist - 1] = int(round(hist.get(dist, 0) * norm))
+        if dist > 1:
+            result[dist - 1] += result[dist - 2]
+    return result

@@ -789,3 +789,29 @@ def test_k_path_centrality_matches_transcription(spark):
         assert got == pytest.approx(want, abs=1e-12), seed
     hub = got[0]
     assert hub >= max(v for u, v in got.items() if u != 0) * 0.8
+
+
+def test_volume_and_nfh_on_cycle(spark):
+    """Volume (distance/Volume.cpp) and NeighborhoodFunctionHeuristic
+    (distance/NeighborhoodFunctionHeuristic.cpp) on a vertex-transitive
+    cycle, where the exact answers are closed-form regardless of which
+    nodes get sampled."""
+    from networkit_spark.operators.distance import volume
+    from networkit_spark.operators.sketches import neighborhood_function_heuristic
+
+    n = 8
+    cyc = Graph.of(spark, [(i, (i + 1) % n) for i in range(n)], n=n)
+    # ball of radius 2 on a cycle = 5 nodes around any root
+    assert volume(cyc, 2.0, samples=6, seed=1) == 5.0
+    assert volume(cyc, [1.0, 2.5, 0.0], samples=4, seed=2) == [3.0, 5.0, 1.0]
+
+    # NFH with every node sampled: exact interior, pinned endpoints
+    nf = neighborhood_function_heuristic(cyc, n_samples=n, seed=1)
+    assert nf == [2 * n, 2 * n + 16, 2 * n + 32, n * (n - 1)]
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="connected"):
+        neighborhood_function_heuristic(
+            Graph.of(spark, [(0, 1), (2, 3)], n=4), n_samples=2
+        )

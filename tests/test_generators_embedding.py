@@ -280,3 +280,43 @@ def test_stochastic_blockmodel_planted_recovery(spark):
         top = Counter(got[u] for u in members).most_common(1)[0][1]
         agree += top
     assert agree >= 0.9 * n, agree
+
+
+def test_small_generator_stragglers(spark):
+    """RegularRingLattice / DorogovtsevMendes / PowerlawDegreeSequence
+    (generators/RegularRingLatticeGenerator.cpp,
+    DorogovtsevMendesGenerator.cpp, PowerlawDegreeSequence.cpp)."""
+    from networkit_spark.generators import (
+        dorogovtsev_mendes,
+        havel_hakimi,
+        powerlaw_degree_sequence,
+        regular_ring_lattice,
+    )
+
+    rl = regular_ring_lattice(spark, 10, 3)
+    degs = {r["id"]: r["deg"] for r in rl.degrees().collect()}
+    assert all(d == 6 for d in degs.values()) and len(degs) == 10
+    # k clamps to n/2 - 1
+    rl2 = regular_ring_lattice(spark, 8, 10)
+    assert all(r["deg"] == 6 for r in rl2.degrees().collect())
+
+    dm = dorogovtsev_mendes(spark, 12, seed=5)
+    assert dm.num_nodes() == 12
+    assert dm.canonical_undirected_edges().count() == 2 * 12 - 3
+    from networkit_spark.operators.components import connected_components
+
+    assert connected_components(dm).select("label").distinct().count() == 1
+    dm2 = dorogovtsev_mendes(spark, 12, seed=5)
+    e1 = sorted(map(tuple, dm.canonical_undirected_edges().collect()))
+    e2 = sorted(map(tuple, dm2.canonical_undirected_edges().collect()))
+    assert e1 == e2
+
+    seq = powerlaw_degree_sequence(200, 2, 40, gamma=-2.5, seed=9)
+    assert len(seq) == 200 and sum(seq) % 2 == 0
+    assert all(2 <= d <= 40 for d in seq) or (min(seq) == 1)  # evenness fix
+    # heavier mass at small degrees
+    assert sum(1 for d in seq if d <= 5) > sum(1 for d in seq if d > 20)
+    # feeds havel_hakimi (graphical after evenness fix in most draws;
+    # this seeded draw is verified realizable)
+    g = havel_hakimi(spark, seq)
+    assert sorted(r["deg"] for r in g.degrees().collect()) == sorted(seq)
