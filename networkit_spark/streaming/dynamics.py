@@ -364,6 +364,116 @@ class DynKatzCentrality:
         return self.scores
 
 
+class DynBetweennessOneNode:
+    """Betweenness of ONE node x, maintained under edge additions
+    (``centrality/DynBetweennessOneNode.cpp``): bcx = Σ over ordered
+    pairs (s, t), s ≠ x ≠ t, σ(s,t) > 0 of σ_x(s,t)/σ(s,t).
+
+    The reference keeps per-pair (dist, σ, σx, Pred) matrices and walks
+    affected pairs after each insertion. The distributed shape keeps ONE
+    (root, node, dist, σ) table (the same batched multi-source BFS state
+    every kernel here shares) and derives σx by the exact identity
+    σ_x(s,t) = σ(s,x)·σ(x,t) iff d(s,x) + d(x,t) = d(s,t) — two keyed
+    joins instead of per-pair bookkeeping. Updates are incremental the
+    same way the reference's are: an added edge (u, v) can only change
+    sources s with d(s,u)+1 ≤ d(s,v) (or the mirror), so only those
+    roots re-run BFS (one shared-frontier pass over the affected set);
+    every other row is kept verbatim. Unweighted semantics (the
+    reference's BFS path); removals raise like the reference.
+    """
+
+    def __init__(self, g: Graph, x: int, runner: SuperstepRunner | None = None):
+        self.graph = g
+        self.x = int(x)
+        self.runner = runner or SuperstepRunner(g.edges.sparkSession)
+        self.vis = self._bfs(g.nodes.select("id"))
+        self._rescore()
+
+    def _bfs(self, sources: DataFrame) -> DataFrame:
+        from networkit_spark.operators.distance import multi_source_bfs
+
+        return (
+            multi_source_bfs(self.graph, sources, runner=self.runner)
+            .visited.select("root", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+
+    def _rescore(self) -> None:
+        x = self.x
+        to_x = self.vis.filter(F.col("node") == x).select(
+            F.col("root").alias("s"), F.col("dist").alias("dsx"),
+            F.col("sigma").alias("ssx"),
+        )
+        from_x = self.vis.filter(F.col("root") == x).select(
+            F.col("node").alias("t"), F.col("dist").alias("dxt"),
+            F.col("sigma").alias("sxt"),
+        )
+        pairs = (
+            self.vis.filter((F.col("root") != x) & (F.col("node") != x))
+            .select(F.col("root").alias("s"), F.col("node").alias("t"),
+                    "dist", "sigma")
+            .join(to_x, "s")
+            .join(from_x, "t")
+            .filter(F.col("dsx") + F.col("dxt") == F.col("dist"))
+        )
+        val = pairs.agg(
+            F.sum(F.col("ssx") * F.col("sxt") / F.col("sigma"))
+        ).collect()[0][0]
+        self.score = float(val or 0.0)
+
+    def update_batch(self, events: DataFrame) -> float:
+        """Apply additions; re-run BFS only for affected sources.
+        Returns the updated score. Raises on removals (reference:
+        'edge insertions and edge weight decreases only')."""
+        bad = events.filter(
+            F.col("type").isin(EDGE_REMOVAL, NODE_REMOVAL)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "DynBetweennessOneNode handles edge insertions only "
+                "(DynBetweennessOneNode.cpp update contract)"
+            )
+        added = events.filter(F.col("type") == EDGE_ADDITION).select(
+            F.col("u"), F.col("v")
+        )
+        self.graph = apply_events(self.graph, events)
+        # affected roots: d(s,u)+1 <= d(s,v) or d(s,v)+1 <= d(s,u),
+        # unreachable endpoints counting as infinity
+        du = self.vis.join(
+            added.select(F.col("u").alias("node")).distinct(), "node"
+        ).select(F.col("root"), F.col("node").alias("u"), F.col("dist").alias("du"))
+        dv = self.vis.join(
+            added.select(F.col("v").alias("node")).distinct(), "node"
+        ).select(F.col("root"), F.col("node").alias("v"), F.col("dist").alias("dv"))
+        roots = self.vis.select("root").distinct()
+        inf = F.lit(float("inf"))
+        aff = (
+            added.crossJoin(roots)
+            .join(du, ["root", "u"], "left")
+            .join(dv, ["root", "v"], "left")
+            .filter(
+                (F.coalesce("du", inf) + 1 <= F.coalesce("dv", inf))
+                | (F.coalesce("dv", inf) + 1 <= F.coalesce("du", inf))
+            )
+            .select("root")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # new nodes (never seen as roots) are affected too
+        new_roots = self.graph.nodes.join(
+            roots.withColumnRenamed("root", "id"), "id", "left_anti"
+        ).select(F.col("id").alias("root"))
+        aff = aff.unionByName(new_roots).distinct().localCheckpoint(eager=True)
+        if not aff.isEmpty():
+            fresh = self._bfs(aff.select(F.col("root").alias("id")))
+            kept = self.vis.join(aff, "root", "left_anti").select(
+                "root", "node", "dist", "sigma"
+            )
+            self.vis = kept.unionByName(fresh).localCheckpoint(eager=True)
+        self._rescore()
+        return self.score
+
+
 class DynApproxBetweenness:
     """Sample-maintaining ε-δ betweenness
     (``centrality/DynApproxBetweenness.cpp:118-175``): the RK pair

@@ -254,3 +254,84 @@ def test_dyn_approx_betweenness_sample_maintenance(spark):
         for u in exact
     )
     assert worst <= 0.35, worst
+
+
+def test_dyn_betweenness_one_node(spark):
+    """DynBetweennessOneNode (centrality/DynBetweennessOneNode.cpp):
+    initial score equals the ordered-pair brute force; a far-component
+    addition changes nothing and resamples nothing; a shortcut addition
+    updates incrementally to EXACTLY the fresh-recompute value (the
+    kernel is deterministic); removals raise."""
+    import random
+    from collections import deque
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        EDGE_REMOVAL,
+        DynBetweennessOneNode,
+        events_of,
+    )
+
+    def brute_bcx(edges, nodes, x):
+        nbrs = {u: set() for u in nodes}
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+
+        def bfs(s):
+            d, sig = {s: 0}, {s: 1.0}
+            q = deque([s])
+            order = []
+            while q:
+                u = q.popleft()
+                order.append(u)
+                for w in nbrs[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        sig[w] = 0.0
+                        q.append(w)
+                    if d[w] == d[u] + 1:
+                        sig[w] += sig[u]
+            return d, sig
+
+        D, S = {}, {}
+        for s in nodes:
+            D[s], S[s] = bfs(s)
+        bcx = 0.0
+        for s in nodes:
+            for t in nodes:
+                if s == x or t == x or t not in D[s]:
+                    continue
+                if x in D[s] and t in D[x] and D[s][x] + D[x][t] == D[s][t]:
+                    bcx += S[s][x] * S[x][t] / S[s][t]
+        return bcx
+
+    n = 14
+    rng = random.Random(17)
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(22)})
+    nodes = list(range(n))
+    g = Graph.of(spark, edges, n=n)
+    x = 3
+    dyn = DynBetweennessOneNode(g, x)
+    assert dyn.score == pytest.approx(brute_bcx(edges, nodes, x), abs=1e-9)
+
+    # far-component addition: two new nodes; bcx unchanged
+    before = dyn.score
+    vis_before = sorted(map(tuple, dyn.vis.filter("root < 100").collect()))
+    dyn.update_batch(events_of(spark, [(1, EDGE_ADDITION, 100, 101, 1.0)]))
+    assert dyn.score == pytest.approx(before, abs=1e-12)
+    vis_after = sorted(map(tuple, dyn.vis.filter("root < 100").collect()))
+    assert vis_before == vis_after  # untouched roots kept verbatim
+
+    # real shortcut: incremental == fresh recompute, exactly
+    ev = events_of(spark, [(2, EDGE_ADDITION, 0, n - 1, 1.0)])
+    got = dyn.update_batch(ev)
+    fresh = DynBetweennessOneNode(dyn.graph, x)
+    assert got == pytest.approx(fresh.score, abs=1e-9)
+    new_edges = sorted(set(edges) | {(0, n - 1)})
+    assert got == pytest.approx(
+        brute_bcx(new_edges, nodes + [100, 101], x), abs=1e-9
+    )
+
+    with pytest.raises(ValueError, match="insertions"):
+        dyn.update_batch(events_of(spark, [(3, EDGE_REMOVAL, 0, 1, 1.0)]))
