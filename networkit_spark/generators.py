@@ -932,3 +932,145 @@ def powerlaw_degree_sequence(
     if sum(seq) % 2 != 0:
         seq[seq.index(max(seq))] -= 1
     return seq
+
+
+# ---------------------------------------------------------------------------
+# Dynamic generators: reference-shaped GraphEvent streams
+# (generators/Dynamic*Generator.cpp). Growth processes are inherently
+# sequential — each event conditions on the graph so far — so like the
+# reference they build the stream driver-side with seeded draws; the
+# OUTPUT is an event DataFrame that feeds the distributed replay /
+# streaming kernels (streaming/dynamics.py apply_events / replay_at /
+# run_event_stream). TIME_STEP markers delimit generator steps exactly
+# as the reference emits them.
+# ---------------------------------------------------------------------------
+
+
+def _events_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    from networkit_spark.streaming.dynamics import EVENT_SCHEMA
+
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def dynamic_path_events(spark: SparkSession, n_steps: int) -> DataFrame:
+    """DynamicPathGenerator (``generators/DynamicPathGenerator.cpp``):
+    a growing path — one NODE_ADDITION + EDGE_ADDITION + TIME_STEP per
+    step after the initial node."""
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        NODE_ADDITION,
+        TIME_STEP,
+    )
+
+    rows: list[tuple] = [(0, NODE_ADDITION, 0, None, None)]
+    seq = 1
+    u = 0
+    for _ in range(int(n_steps)):
+        v = u + 1
+        rows.append((seq, NODE_ADDITION, v, None, None)); seq += 1
+        rows.append((seq, EDGE_ADDITION, u, v, 1.0)); seq += 1
+        rows.append((seq, TIME_STEP, None, None, None)); seq += 1
+        u = v
+    return _events_df(spark, rows)
+
+
+def dynamic_dorogovtsev_mendes_events(
+    spark: SparkSession, n_steps: int, seed: int = 42
+) -> DataFrame:
+    """DynamicDorogovtsevMendesGenerator
+    (``generators/DynamicDorogovtsevMendesGenerator.cpp``): the initial
+    triangle, then per step a new node wired to both endpoints of a
+    uniformly random existing edge. Draw order matches the static
+    :func:`dorogovtsev_mendes`, so replaying the full stream onto an
+    empty graph reproduces it exactly at the same seed."""
+    import random as _random
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        NODE_ADDITION,
+        TIME_STEP,
+    )
+
+    rng = _random.Random(seed)
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    for s in (0, 1, 2):
+        emit(NODE_ADDITION, s)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    for a, b in edges:
+        emit(EDGE_ADDITION, a, b, 1.0)
+    emit(TIME_STEP)
+    for w in range(3, 3 + int(n_steps)):
+        u, v = edges[rng.randrange(len(edges))]
+        emit(NODE_ADDITION, w)
+        edges.append((w, u))
+        edges.append((w, v))
+        emit(EDGE_ADDITION, w, u, 1.0)
+        emit(EDGE_ADDITION, w, v, 1.0)
+        emit(TIME_STEP)
+    return _events_df(spark, rows)
+
+
+def dynamic_forest_fire_events(
+    spark: SparkSession,
+    n_steps: int,
+    p: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicForestFireGenerator
+    (``generators/DynamicForestFireGenerator.cpp``, undirected form):
+    each step adds a node, picks a uniformly random ambassador, burns a
+    geometric(p) number of unvisited neighbors breadth-first, and wires
+    the new node to every burned node. Seeded draws in the reference's
+    order (continue-probability then victim index)."""
+    import random as _random
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        NODE_ADDITION,
+        TIME_STEP,
+    )
+
+    rng = _random.Random(seed)
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    nbrs: dict[int, set[int]] = {0: set()}
+    emit(NODE_ADDITION, 0)
+    emit(TIME_STEP)
+    for v in range(1, 1 + int(n_steps)):
+        a = rng.choice(sorted(nbrs))
+        emit(NODE_ADDITION, v)
+        visited = {a}
+        frontier = [a]
+        burned = [a]
+        while frontier:
+            x = frontier.pop(0)
+            valid = sorted(w for w in nbrs[x] if w not in visited)
+            chosen = []
+            while valid:
+                if rng.random() > p:
+                    break
+                chosen.append(valid.pop(rng.randrange(len(valid))))
+            for w in chosen:
+                visited.add(w)
+                frontier.append(w)
+                burned.append(w)
+        nbrs[v] = set()
+        for w in burned:
+            emit(EDGE_ADDITION, v, w, 1.0)
+            nbrs[v].add(w)
+            nbrs[w].add(v)
+        emit(TIME_STEP)
+    return _events_df(spark, rows)

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.components import connected_components
@@ -335,3 +336,46 @@ def test_dyn_betweenness_one_node(spark):
 
     with pytest.raises(ValueError, match="insertions"):
         dyn.update_batch(events_of(spark, [(3, EDGE_REMOVAL, 0, 1, 1.0)]))
+
+
+def test_dynamic_generator_event_streams(spark):
+    """Dynamic generators emit reference-shaped GraphEvent streams
+    (generators/DynamicPathGenerator.cpp,
+    DynamicDorogovtsevMendesGenerator.cpp,
+    DynamicForestFireGenerator.cpp): replaying the stream reproduces the
+    matching static graph; prefixes give the intermediate states."""
+    from networkit_spark.generators import (
+        dorogovtsev_mendes,
+        dynamic_dorogovtsev_mendes_events,
+        dynamic_forest_fire_events,
+        dynamic_path_events,
+    )
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.streaming.dynamics import TIME_STEP, apply_events, replay_at
+
+    empty = Graph.of(spark, [], n=0)
+
+    ev = dynamic_path_events(spark, 5)
+    g = apply_events(empty, ev)
+    assert g.num_nodes() == 6
+    path = sorted(map(tuple, g.canonical_undirected_edges().select("src", "dst").collect()))
+    assert path == [(i, i + 1) for i in range(5)]
+
+    ev2 = dynamic_dorogovtsev_mendes_events(spark, 7, seed=5)
+    g2 = apply_events(empty, ev2)
+    want = dorogovtsev_mendes(spark, 10, seed=5)
+    e_dyn = sorted(map(tuple, g2.canonical_undirected_edges().select("src", "dst").collect()))
+    e_sta = sorted(map(tuple, want.canonical_undirected_edges().select("src", "dst").collect()))
+    assert e_dyn == e_sta and g2.num_nodes() == 10
+    # prefix at the 3rd TIME_STEP = triangle + 2 growth steps
+    steps = [r["seq"] for r in ev2.filter(F.col("type") == TIME_STEP).orderBy("seq").collect()]
+    mid = replay_at(empty, ev2, steps[2])
+    assert mid.num_nodes() == 5
+    assert mid.canonical_undirected_edges().count() == 3 + 2 * 2
+
+    ev3 = dynamic_forest_fire_events(spark, 8, p=0.4, seed=3)
+    ev3b = dynamic_forest_fire_events(spark, 8, p=0.4, seed=3)
+    assert sorted(map(tuple, ev3.collect())) == sorted(map(tuple, ev3b.collect()))
+    g3 = apply_events(empty, ev3)
+    assert g3.num_nodes() == 9
+    assert connected_components(g3).select("label").distinct().count() == 1
