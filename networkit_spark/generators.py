@@ -1074,3 +1074,67 @@ def dynamic_forest_fire_events(
             nbrs[w].add(v)
         emit(TIME_STEP)
     return _events_df(spark, rows)
+
+
+def dynamic_barabasi_albert_events(
+    spark: SparkSession, n_steps: int, k: int = 2, seed: int = 42
+) -> DataFrame:
+    """DynamicBarabasiAlbertGenerator
+    (``generators/DynamicBarabasiAlbertGenerator.cpp``): start from a
+    k-node path, then per step add one node wired to k distinct targets
+    drawn ∝ degree (degree-weighted roulette with duplicate-rejection,
+    the reference's loop). Seeded driver-side stream like the rest of
+    the Dynamic* family."""
+    import random as _random
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        NODE_ADDITION,
+        TIME_STEP,
+    )
+
+    if k < 1:
+        raise ValueError("k must be at least 1")
+    rng = _random.Random(seed)
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    deg: dict[int, int] = {}
+    emit(NODE_ADDITION, 0)
+    deg[0] = 0
+    for i in range(1, k):
+        emit(NODE_ADDITION, i)
+        emit(EDGE_ADDITION, i, i - 1, 1.0)
+        deg[i] = deg.get(i, 0) + 1
+        deg[i - 1] += 1
+    emit(TIME_STEP)
+    deg_sum = sum(deg.values())
+    for u in range(k, k + int(n_steps)):
+        emit(NODE_ADDITION, u)
+        targets: set[int] = set()
+        # degree-weighted roulette over existing nodes, reject duplicates
+        while len(targets) < min(k, len(deg)):
+            x = rng.randint(0, max(deg_sum, 1))
+            acc = 0
+            pick = None
+            for v in sorted(deg):
+                acc += deg[v]
+                if x <= acc:
+                    pick = v
+                    break
+            if pick is None:
+                pick = max(deg)
+            targets.add(pick)
+        deg[u] = 0
+        for v in sorted(targets):
+            emit(EDGE_ADDITION, u, v, 1.0)
+            deg[u] += 1
+            deg[v] += 1
+            deg_sum += 2
+        emit(TIME_STEP)
+    return _events_df(spark, rows)

@@ -379,3 +379,26 @@ def test_dynamic_generator_event_streams(spark):
     g3 = apply_events(empty, ev3)
     assert g3.num_nodes() == 9
     assert connected_components(g3).select("label").distinct().count() == 1
+
+
+def test_dynamic_barabasi_albert_events(spark):
+    """DynamicBarabasiAlbert (DynamicBarabasiAlbertGenerator.cpp):
+    k-path seed, degree-proportional attachment, k distinct targets per
+    step; the replayed graph is connected with the expected counts and
+    early nodes end up with the highest degrees."""
+    from networkit_spark.generators import dynamic_barabasi_albert_events
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.streaming.dynamics import apply_events
+
+    empty = Graph.of(spark, [], n=0)
+    ev = dynamic_barabasi_albert_events(spark, 12, k=2, seed=8)
+    g = apply_events(empty, ev)
+    assert g.num_nodes() == 14
+    assert g.canonical_undirected_edges().count() == 1 + 12 * 2
+    assert connected_components(g).select("label").distinct().count() == 1
+    degs = {r["id"]: r["deg"] for r in g.degrees().collect()}
+    # preferential attachment concentrates degree on early nodes
+    import statistics
+
+    assert max(degs, key=degs.get) < 5
+    assert max(degs.values()) >= 2 * statistics.median(degs.values())
