@@ -1261,18 +1261,11 @@ def approx_closeness(
     )
 
     if g.weighted:
-        parts = []
-        for r in samples.collect():
-            s = int(r["id"])
-            parts.append(
-                sssp(g, source=s).select(
-                    F.lit(s).alias("root"), "node", "dist"
-                )
-            )
-        vis = parts[0]
-        for p in parts[1:]:
-            vis = vis.unionByName(p)
-        vis = vis.localCheckpoint(eager=True)
+        vis = (
+            multi_source_sssp(g, samples, runner=runner)
+            .select("root", "node", "dist")
+            .localCheckpoint(eager=True)
+        )
     else:
         vis = (
             multi_source_bfs(g, samples, runner=runner, with_sigma=False)

@@ -380,9 +380,33 @@ class DynBetweennessOneNode:
     roots re-run BFS (one shared-frontier pass over the affected set);
     every other row is kept verbatim. Unweighted semantics (the
     reference's BFS path); removals raise like the reference.
+
+    The state is INHERENTLY O(n²) — a (root, node) row for every
+    reachable pair, exactly like the reference's per-pair dist/σ
+    matrices — so ``max_nodes`` (default 20k ⇒ ≤4·10⁸ state rows) caps
+    it and raises on larger graphs; pass ``max_nodes=None`` to opt into
+    the unbounded state explicitly (the ``cut_clustering`` convention).
+    For betweenness at scale use
+    :func:`~networkit_spark.operators.distance.estimate_betweenness` or
+    :func:`~networkit_spark.operators.distance.kadabra_betweenness`.
     """
 
-    def __init__(self, g: Graph, x: int, runner: SuperstepRunner | None = None):
+    def __init__(
+        self,
+        g: Graph,
+        x: int,
+        runner: SuperstepRunner | None = None,
+        max_nodes: int | None = 20_000,
+    ):
+        n = g.num_nodes()
+        if max_nodes is not None and n > max_nodes:
+            raise ValueError(
+                f"DynBetweennessOneNode keeps O(n²) (root, node) state and "
+                f"runs all-source BFS at construction: {n} nodes exceeds "
+                f"max_nodes={max_nodes}; raise the cap or pass "
+                "max_nodes=None to opt in explicitly (use "
+                "estimate_betweenness/kadabra_betweenness for scale)"
+            )
         self.graph = g
         self.x = int(x)
         self.runner = runner or SuperstepRunner(g.edges.sparkSession)

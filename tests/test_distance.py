@@ -738,6 +738,85 @@ def test_approx_closeness_matches_set_form_and_exact(spark):
     assert sum(errs) / len(errs) < 0.35
 
 
+def test_approx_closeness_weighted_batched(spark):
+    """The weighted branch runs ONE batched multi_source_sssp (shared
+    runner records a single relax-round sequence, not k driver-serialized
+    SSSP chains) and matches the eps=0 set-form estimator on weighted
+    Dijkstra distances; k = n reproduces exact weighted closeness."""
+    import heapq
+    import random
+
+    from networkit_spark.functions.porthash import md5_mod_py
+    from networkit_spark.operators.distance import (
+        approx_closeness,
+        closeness_centrality_weighted,
+    )
+    from networkit_spark.plans.superstep import SuperstepRunner
+
+    n = 16
+    rng = random.Random(11)
+    edges = sorted(
+        (a, b, float(rng.randint(1, 5)))
+        for a, b in {tuple(sorted(rng.sample(range(n), 2))) for _ in range(34)}
+    )
+    g = Graph.of(spark, edges, n=n, weighted=True)
+
+    nbrs = {u: [] for u in range(n)}
+    for a, b, w in edges:
+        nbrs[a].append((b, w))
+        nbrs[b].append((a, w))
+
+    def dijkstra(s):
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for w, c in nbrs[u]:
+                nd = d + c
+                if nd < dist.get(w, float("inf")):
+                    dist[w] = nd
+                    heapq.heappush(pq, (nd, w))
+        return dist
+
+    seed, k = 1, 5
+    samples = sorted(range(n), key=lambda u: (md5_mod_py(u, salt=f"ac{seed}:"), u))[:k]
+    D = {s: dijkstra(s) for s in samples}
+    far = {s: float(sum(D[s].values())) for s in samples}
+    for u in range(n):
+        if u in far:
+            continue
+        lcs = sum(D[s][u] for s in samples if u in D[s])
+        lcn = sum(1 for s in samples if u in D[s])
+        if lcn:
+            far[u] = lcs / (lcn / (float(n - 1) - k + lcn))
+    want = {u: (1.0 / far[u] if far.get(u, 0.0) > 0 else 0.0) for u in range(n)}
+
+    runner = SuperstepRunner(spark)
+    got = {
+        r["id"]: r["score"]
+        for r in approx_closeness(
+            g, n_samples=k, seed=seed, portable_hash=True, runner=runner
+        ).collect()
+    }
+    assert got == pytest.approx(want, abs=1e-12)
+    # one batched run: the shared runner saw each relax round once, in
+    # order, bounded by the hop-diameter — not k separate chains
+    steps = [m["superstep"] for m in runner.metrics]
+    assert steps == sorted(set(steps)) and 0 < len(steps) <= n + 1
+
+    exact = {
+        r["id"]: r["score"]
+        for r in closeness_centrality_weighted(g).collect()
+    }
+    full = {
+        r["id"]: r["score"]
+        for r in approx_closeness(g, n_samples=n, portable_hash=True).collect()
+    }
+    assert full == pytest.approx(exact, abs=1e-12)
+
+
 def _k_path_python(edges, n, k, t, seed):
     """Transcription of k_path_centrality's portable walk contract."""
     from networkit_spark.functions.porthash import md5_mod_py

@@ -338,6 +338,22 @@ def test_dyn_betweenness_one_node(spark):
         dyn.update_batch(events_of(spark, [(3, EDGE_REMOVAL, 0, 1, 1.0)]))
 
 
+def test_dyn_betweenness_one_node_max_nodes_guard(spark):
+    """DynBetweennessOneNode keeps O(n²) (root, node) state: the
+    max_nodes cap raises with an explicit opt-out on larger graphs
+    (the cut_clustering convention) while small-graph scores are
+    unchanged by the guard plumbing."""
+    from networkit_spark.streaming.dynamics import DynBetweennessOneNode
+
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3)], n=4)
+    with pytest.raises(ValueError, match="max_nodes=2"):
+        DynBetweennessOneNode(g, 1, max_nodes=2)
+    # opt-out and default both still compute; path graph: bc(1) counts
+    # ordered pairs (0,2),(0,3),(2,0),(3,0) -> 4
+    assert DynBetweennessOneNode(g, 1, max_nodes=None).score == pytest.approx(4.0)
+    assert DynBetweennessOneNode(g, 1).score == pytest.approx(4.0)
+
+
 def test_dynamic_generator_event_streams(spark):
     """Dynamic generators emit reference-shaped GraphEvent streams
     (generators/DynamicPathGenerator.cpp,
