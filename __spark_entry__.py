@@ -441,8 +441,9 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Brandes betweenness on the <200-node subgraph
-    (Betweenness.cpp:47-91) — path-counting DP is not SQL-expressible;
-    rows-only here, exact parity vs a numpy Brandes oracle in pytest."""
+    (Betweenness.cpp:47-91) — hash-oracled by the fixed-point σ/δ
+    Brandes replay CTE (also exact parity vs a numpy Brandes oracle in
+    pytest)."""
     from networkit_spark.operators.distance import betweenness
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -480,7 +481,8 @@ def q_graph_betweenness_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-edge betweenness on the <200 subgraph
-    (Betweenness.cpp computeEdgeCentrality) — rows-only, pytest-pinned."""
+    (Betweenness.cpp computeEdgeCentrality) — hash-oracled by the same
+    σ/δ replay CTE at edge granularity; pytest-pinned too."""
     from networkit_spark.operators.distance import edge_betweenness
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -548,8 +550,9 @@ def q_graph_closeness_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_betweenness_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Brandes betweenness on the <200 subgraph (Betweenness.cpp
-    with Dijkstra SSSP; σ/δ DAG fixed points) — rows-only, pinned to a
-    numpy Dijkstra-Brandes oracle in pytest."""
+    with Dijkstra SSSP; σ/δ DAG fixed points) — hash-oracled via the
+    fixed-point σ/δ replay CTE (also pinned to a numpy Dijkstra-Brandes
+    oracle in pytest)."""
     from networkit_spark.operators.distance import betweenness_weighted
 
     g = _sub200_weighted(spark, sf_dir)
@@ -623,7 +626,8 @@ def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRankNibble community around seed node 0 on the <200 subgraph
-    (scd/PageRankNibble.cpp) — iterative PPR + sweep; rows-only."""
+    (scd/PageRankNibble.cpp) — iterative PPR + sweep, hash-oracled by the
+    40-iteration PPR unroll CTE with the reference stop rule."""
     from networkit_spark.operators.scd import pagerank_nibble
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -641,7 +645,8 @@ def q_graph_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-preserving edge-switching randomization on the <200
     subgraph (randomization/EdgeSwitching* semantics, parallel double
-    swaps) — rows-only; pytest asserts the degree sequence is preserved."""
+    swaps) — hash-oracled by the porthash swap-chain replay; pytest
+    additionally asserts the degree sequence is preserved."""
     from networkit_spark.operators.randomization import edge_switching
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -653,8 +658,9 @@ def q_graph_randomize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cliques (size ≥ 3) on the <200 subgraph — ego-net
-    Bron-Kerbosch over applyInPandas (clique/MaximalCliques.cpp);
-    rows-only, pinned to a python BK oracle in pytest."""
+    Bron-Kerbosch over applyInPandas (clique/MaximalCliques.cpp) —
+    hash-oracled by the list-extension BK replay CTE (also pinned to a
+    python BK oracle in pytest)."""
     from networkit_spark.operators.cliques import maximal_cliques
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -665,7 +671,9 @@ def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest (Borůvka) of the <200-node subgraph with
     deterministic weights (KruskalMSF semantics) — iterative contraction,
-    rows-only; pytest checks forest weight vs a python Kruskal oracle."""
+    hash-oracled via the cycle-property characterization (an edge is in
+    the MSF iff no cheaper path avoids it); pytest also checks forest
+    weight vs a python Kruskal oracle."""
     from networkit_spark.operators.matching import spanning_forest
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -693,7 +701,8 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_suitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suitor matching on the weighted <200-node subgraph
-    (SuitorMatcher.cpp) — rows-only (iterative propose/accept)."""
+    (SuitorMatcher.cpp) — hash-oracled by the propose/accept round-replay
+    CTE."""
     from networkit_spark.operators.matching import suitor_matching
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -1273,8 +1282,9 @@ def q_graph_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GlobalCurveball trade rounds on the <200 subgraph
-    (randomization/GlobalCurveball.cpp; synchronous variant) — rows-only
-    (pytest pins degree preservation + simplicity + determinism)."""
+    (randomization/GlobalCurveball.cpp; synchronous variant) — hash-oracled
+    by the porthash trade-chain replay (pytest additionally pins degree
+    preservation + simplicity + determinism)."""
     from networkit_spark.operators.randomization import global_curveball
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -1323,8 +1333,9 @@ def q_graph_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_simmelian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simmelian overlap scores, maxRank=5, on the <200 subgraph
-    (sparsification/SimmelianOverlapScore.cpp) — rows-only; pytest pins
-    the score against a brute-force ranked-overlap oracle."""
+    (sparsification/SimmelianOverlapScore.cpp) — hash-oracled inside the
+    graph_sparsifiers union; pytest pins the score against a brute-force
+    ranked-overlap oracle."""
     from networkit_spark.operators.sparsification import simmelian_overlap_scores
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -1334,8 +1345,9 @@ def q_graph_simmelian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LocalMax matching on the weighted <200 subgraph
-    (matching/LocalMaxMatcher.cpp) — rows-only; pytest pins validity,
-    maximality and the dominant-edge fixture."""
+    (matching/LocalMaxMatcher.cpp) — hash-oracled by the round-replay CTE
+    in graph_matching; pytest pins validity, maximality and the
+    dominant-edge fixture."""
     from networkit_spark.operators.matching import local_max_matching
 
     g = _sub200_weighted(spark, sf_dir)
@@ -1344,8 +1356,9 @@ def q_graph_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_gce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GCE greedy community expansion from seed 0 on the <200 subgraph
-    (scd/GCE.cpp objective M) — rows-only; pytest pins the planted
-    two-clique fixture."""
+    (scd/GCE.cpp objective M) — hash-oracled by the scalar-state greedy
+    round replay in graph_scd; pytest pins the planted two-clique
+    fixture."""
     from networkit_spark.operators.scd import gce
 
     sub = _co_subgraph200(spark, sf_dir)
@@ -1363,8 +1376,9 @@ def q_graph_gce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_ctd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commute-time distance for a fixed pair on the <200 subgraph
     via the distributed CG Laplacian solver (distance/
-    CommuteTimeDistance.cpp runSinglePair; numerics/) — rows-only;
-    pytest pins the solver against numpy pinv."""
+    CommuteTimeDistance.cpp runSinglePair; numerics/) — hash-oracled by
+    the 20-iteration CG unroll replay; pytest pins the solver against
+    numpy pinv."""
     from networkit_spark.operators.numerics import commute_time_distance
     from networkit_spark.operators.components import connected_components
 
@@ -1739,9 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     approx→graph_closeness_all, kpath→graph_betweenness_est,
     bibfs/bidijkstra/inc_dijkstra/simple_paths→graph_paths, and
     dedup_clusters→dedup_jaccard. Every windowed entry now carries a
-    hash oracle (graph_ctd's CG replay included). events_hourly trails
-    at 51: it was hash-green in round 3 and its operator surface is
-    unchanged."""
+    hash oracle (graph_ctd's CG replay included); the registry holds
+    EXACTLY 50 entries and events_hourly is slot 50, hash-green in the
+    gate like every other row."""
     return {
         # --- graph kernels ------------------------------------------------
         "graph_degree": q_graph_degree,
