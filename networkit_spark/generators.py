@@ -460,6 +460,18 @@ def hyperbolic(
         (F.acosh(F.lit(1.0) + u_r * F.lit(cosh_aR - 1.0)) / F.lit(alpha)).alias("r"),
     ).localCheckpoint(eager=True)
 
+    edges = _hyperbolic_threshold_edges(spark, coords, R, B, K)
+    return Graph.from_edges(edges, directed=False, nodes=nodes)
+
+
+def _hyperbolic_threshold_edges(
+    spark: SparkSession, coords: DataFrame, R: float, B: int, K: int
+) -> DataFrame:
+    """Canonical (src < dst) threshold edges (hyperbolic distance ≤ R)
+    of a (id, theta, r) point table — the band/bucket candidate join
+    shared by the static generator and the dynamic movement model."""
+    import math
+
     cells = coords.select(
         "id",
         "theta",
@@ -512,13 +524,12 @@ def hyperbolic(
     cosh_d = (
         F.cosh("ra") * F.cosh("rb") - F.sinh("ra") * F.sinh("rb") * F.cos(dtheta)
     )
-    edges = (
+    return (
         cand.filter(cosh_d <= F.lit(math.cosh(R)))
         .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
         .dropDuplicates(["src", "dst"])
         .withColumn("weight", F.lit(1.0))
     )
-    return Graph.from_edges(edges, directed=False, nodes=nodes)
 
 
 def mocnik(
@@ -652,6 +663,30 @@ def mocnik(
     )
 
 
+def _pubweb_areas(n: int, num_dense_areas: int, seed: int):
+    """Driver-side PubWeb dense areas: centers, anti-quadratic radii,
+    and per-area node counts (rad^1.5 mass, k/(k+2) clustered share)."""
+    import hashlib as _h
+
+    MAX_R, FACT = 0.2, 5.0
+
+    def _du(tag: str) -> float:  # deterministic uniform from the seed
+        d = _h.md5(f"pw{seed}:{tag}".encode()).digest()
+        return int.from_bytes(d[:8], "big") / float(1 << 64)
+
+    areas = []
+    for a in range(num_dense_areas):
+        f = _du(f"rad{a}") * FACT + 1.0
+        rad = (MAX_R * f * f) / (FACT * FACT)
+        areas.append({"x": _du(f"cx{a}"), "y": _du(f"cy{a}"), "rad": rad})
+    mass = sum(c["rad"] ** 1.5 for c in areas)
+    scale = (n * (num_dense_areas / (num_dense_areas + 2.0))) / mass if mass else 0.0
+    counts = [int(round(c["rad"] ** 1.5 * scale)) for c in areas]
+    while sum(counts) > n:
+        counts[counts.index(max(counts))] -= 1
+    return areas, counts
+
+
 def pubweb(
     spark: SparkSession,
     n: int,
@@ -680,25 +715,7 @@ def pubweb(
 
     from pyspark.sql import Window
 
-    MAX_R, FACT, BASE_W = 0.2, 5.0, 0.01
-
-    # driver-side: area centers, radii, per-area counts (k+2 shares)
-    import hashlib as _h
-
-    def _du(tag: str) -> float:  # deterministic uniform from the seed
-        d = _h.md5(f"pw{seed}:{tag}".encode()).digest()
-        return int.from_bytes(d[:8], "big") / float(1 << 64)
-
-    areas = []
-    for a in range(num_dense_areas):
-        f = _du(f"rad{a}") * FACT + 1.0
-        rad = (MAX_R * f * f) / (FACT * FACT)
-        areas.append({"x": _du(f"cx{a}"), "y": _du(f"cy{a}"), "rad": rad})
-    mass = sum(c["rad"] ** 1.5 for c in areas)
-    scale = (n * (num_dense_areas / (num_dense_areas + 2.0))) / mass if mass else 0.0
-    counts = [int(round(c["rad"] ** 1.5 * scale)) for c in areas]
-    while sum(counts) > n:
-        counts[counts.index(max(counts))] -= 1
+    areas, counts = _pubweb_areas(n, num_dense_areas, seed)
     bounds, acc = [], 0
     for c in counts:
         acc += c
@@ -732,6 +749,26 @@ def pubweb(
         ).alias("y"),
     ).localCheckpoint(eager=True)
 
+    edges = _pubweb_mutual_knn(spark, pos, neighborhood_radius, max_neighbors)
+    return Graph.from_edges(edges, directed=False, nodes=nodes)
+
+
+def _pubweb_mutual_knn(
+    spark: SparkSession,
+    pos: DataFrame,
+    neighborhood_radius: float,
+    max_neighbors: int,
+) -> DataFrame:
+    """Canonical (src < dst) PubWeb edges of a (id, x, y) unit-torus
+    point table: u ~ v iff each lists the other among its
+    ``max_neighbors`` nearest within ``neighborhood_radius``; weight =
+    BASE_WEIGHT/d². One 3×3 torus-cell join + one bounded rank window —
+    shared by the static generator and the dynamic movement model."""
+    import math
+
+    from pyspark.sql import Window
+
+    BASE_W = 0.01
     cells = max(1, int(math.floor(1.0 / neighborhood_radius)))
     s = 1.0 / cells
     pts = pos.select(
@@ -778,13 +815,12 @@ def pubweb(
     ce = topk.select(
         F.least("ia", "ib").alias("src"), F.greatest("ia", "ib").alias("dst"), "d2"
     )
-    edges = (
+    return (
         ce.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"), F.min("d2").alias("d2"))
         .filter(F.col("c") >= 2)
         .select("src", "dst", (F.lit(BASE_W) / F.col("d2")).alias("weight"))
     )
-    return Graph.from_edges(edges, directed=False, nodes=nodes, )
 
 
 def stochastic_blockmodel(
@@ -1138,3 +1174,308 @@ def dynamic_barabasi_albert_events(
             deg_sum += 2
         emit(TIME_STEP)
     return _events_df(spark, rows)
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    avg_degree: float = 6.0,
+    alpha: float = 1.0,
+    move_prob: float = 0.5,
+    move_distance: float = 0.02,
+    seed: int = 42,
+    radius: float | None = None,
+    bands: int = 16,
+    buckets: int | None = None,
+    write_initial: bool = True,
+    return_state: bool = False,
+):
+    """DynamicHyperbolicGenerator, threshold model T=0
+    (``generators/DynamicHyperbolicGenerator.cpp``): points move on the
+    hyperbolic disk with FIXED per-node movement vectors — radial steps
+    in cosh-CDF space that bounce off the boundary and cross the center
+    (``moveNode:168-210``, sign-flipping the radial component), angular
+    steps of amove/r — each node moving independently with probability
+    ``move_prob`` per step (``getEventsFromNodeMovement:262-275``);
+    edge events are the diff of the distance-≤R neighborhoods before
+    and after (``:300-331``), canonicalized u < v and deduplicated like
+    the reference's sort+unique pass (``:335-341``; additions emitted
+    before removals — the reference sorts by GraphEvent::compare).
+
+    Initial coordinates reuse :func:`hyperbolic`'s seeded draws, so
+    ``write_initial=True`` (the reference's writeInitialGraphToStream,
+    here the initial NODE/EDGE_ADDITION block + TIME_STEP) replays to
+    exactly ``hyperbolic(spark, n, ..., seed)``. The per-step edge sets
+    come from the shared band/bucket threshold join — positions and
+    movement state stay columnar; only the (small, inherently ordered)
+    event log is collected. ``return_state`` additionally returns the
+    final (id, theta, r) table so tests can pin the replayed graph
+    against an independent threshold join of the final positions.
+    """
+    import math
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        EDGE_REMOVAL,
+        NODE_ADDITION,
+        TIME_STEP,
+    )
+
+    if radius is None:
+        radius = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    R = float(radius)
+    if buckets is None:
+        buckets = max(8, int(math.sqrt(n)))
+    K, B = int(buckets), int(bands)
+    two_pi = 2.0 * math.pi
+    max_cdf = math.cosh(alpha * R)
+
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    u_t = _uniform(F.col("id"), seed * 7 + 1)
+    u_r = _uniform(F.col("id"), seed * 7 + 2)
+    u_a = _uniform(F.col("id"), seed * 7 + 3)
+    u_m = _uniform(F.col("id"), seed * 7 + 4)
+    state = nodes.select(
+        "id",
+        (u_t * F.lit(two_pi)).alias("theta"),
+        (F.acosh(F.lit(1.0) + u_r * F.lit(max_cdf - 1.0)) / F.lit(alpha)).alias("r"),
+        ((u_a * 2.0 - 1.0) * F.lit(float(move_distance))).alias("amove"),
+        ((u_m * 2.0 - 1.0) * F.lit(10.0 * float(move_distance))).alias("rmove"),
+    ).localCheckpoint(eager=True)
+
+    def edge_set(st: DataFrame) -> set[tuple[int, int]]:
+        return {
+            (int(r["src"]), int(r["dst"]))
+            for r in _hyperbolic_threshold_edges(
+                spark, st.select("id", "theta", "r"), R, B, K
+            ).collect()
+        }
+
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    cur_edges = edge_set(state)
+    if write_initial:
+        for i in range(n):
+            emit(NODE_ADDITION, i)
+        for a, b in sorted(cur_edges):
+            emit(EDGE_ADDITION, a, b, 1.0)
+        emit(TIME_STEP)
+
+    for step in range(1, int(n_steps) + 1):
+        moved = _uniform(F.col("id"), seed * 7 + 100 + step) < F.lit(
+            float(move_prob)
+        )
+        cur_cosh = F.cosh(F.lit(alpha) * F.col("r"))
+        cosh0 = cur_cosh + F.lit(alpha) * F.col("rmove")
+        hi = cosh0 > F.lit(max_cdf)
+        cosh1 = F.when(hi, F.lit(2.0 * max_cdf) - cosh0).otherwise(cosh0)
+        lo = cosh1 < F.lit(1.0)
+        cosh2 = F.when(lo, F.lit(2.0) - cosh1).otherwise(cosh1)
+        new_r = F.least(
+            F.acosh(F.greatest(cosh2, F.lit(1.0))) / F.lit(alpha),
+            F.lit(R * (1.0 - 1e-12)),
+        )
+        phi0 = F.when(
+            lo,
+            F.when(F.col("theta") > F.lit(math.pi), F.col("theta") - F.lit(math.pi))
+            .otherwise(F.col("theta") + F.lit(math.pi)),
+        ).otherwise(F.col("theta"))
+        new_theta = F.pmod(phi0 + F.col("amove") / new_r, F.lit(two_pi))
+        state = state.select(
+            "id",
+            F.when(moved, new_theta).otherwise(F.col("theta")).alias("theta"),
+            F.when(moved, new_r).otherwise(F.col("r")).alias("r"),
+            "amove",
+            F.when(moved & (hi | lo), -F.col("rmove"))
+            .otherwise(F.col("rmove"))
+            .alias("rmove"),
+        ).localCheckpoint(eager=True)
+        new_edges = edge_set(state)
+        for a, b in sorted(new_edges - cur_edges):
+            emit(EDGE_ADDITION, a, b, 1.0)
+        for a, b in sorted(cur_edges - new_edges):
+            emit(EDGE_REMOVAL, a, b, None)
+        cur_edges = new_edges
+        emit(TIME_STEP)
+
+    events = _events_df(spark, rows)
+    if return_state:
+        return events, state.select("id", "theta", "r")
+    return events
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.125,
+    max_neighbors: int = 4,
+    seed: int = 42,
+    write_initial: bool = True,
+    return_state: bool = False,
+):
+    """DynamicPubWebGenerator
+    (``generators/DynamicPubWebGenerator.cpp``): per step, delete
+    ⌊0.05·n⌋ uniformly drawn existing nodes (incident EDGE_REMOVALs
+    first, then NODE_REMOVAL, ``generate:46-70``), insert as many fresh
+    nodes with coordinates drawn from a uniformly chosen dense area (or
+    background noise, ``:76-101``), then recompute the mutual-kNN edge
+    structure: surviving eligible edges get EDGE_WEIGHT_UPDATE with the
+    refreshed 0.01/d² weight, no-longer-eligible edges EDGE_REMOVAL,
+    newly eligible pairs EDGE_ADDITION (``:108-175``), then TIME_STEP.
+    Deletion/insertion counts are fixed from the INITIAL node count
+    like the reference (``:24-25``), so |V| is invariant across steps.
+
+    Node churn is inherently sequential (the reference redraws until it
+    hits a live id) and runs driver-side with a seeded RNG, matching
+    the other Dynamic* streams; each step's edge structure is the
+    shared 3×3 torus-cell mutual-kNN JOIN over the live position table.
+    ``return_state`` additionally returns the final (id, x, y) table.
+    """
+    import math
+    import random as _random
+
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        EDGE_REMOVAL,
+        EDGE_WEIGHT_UPDATE,
+        NODE_ADDITION,
+        NODE_REMOVAL,
+        TIME_STEP,
+    )
+
+    rng = _random.Random(seed)
+    areas, _counts = _pubweb_areas(n, num_dense_areas, seed)
+
+    # initial positions: the static generator's seeded layout, collected
+    # once (the churn loop needs a mutable id → coordinate map)
+    g0 = pubweb(
+        spark,
+        n,
+        num_dense_areas=num_dense_areas,
+        neighborhood_radius=neighborhood_radius,
+        max_neighbors=max_neighbors,
+        seed=seed,
+    )
+    # rebuild the same positions the static generator drew
+    bounds, acc = [], 0
+    for c in _counts:
+        acc += c
+        bounds.append(acc)
+    area_rows = []
+    for a, c in enumerate(areas):
+        lo = bounds[a - 1] if a else 0
+        area_rows.append((lo, bounds[a], c["x"], c["y"], c["rad"]))
+    area_df = spark.createDataFrame(
+        area_rows, "lo long, hi long, ax double, ay double, rad double"
+    )
+    nodes0 = spark.range(n).select(F.col("id").cast("long"))
+    assigned = nodes0.join(
+        F.broadcast(area_df),
+        (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
+        "left",
+    )
+    ang = _uniform(F.col("id"), seed * 13 + 1) * (2.0 * math.pi)
+    dst = _uniform(F.col("id"), seed * 13 + 2) * F.col("rad")
+    ux = _uniform(F.col("id"), seed * 13 + 3)
+    uy = _uniform(F.col("id"), seed * 13 + 4)
+    wrap = lambda c: F.pmod(c, F.lit(1.0))  # noqa: E731 — torus
+    pos0 = assigned.select(
+        "id",
+        wrap(
+            F.when(F.col("rad").isNotNull(), F.col("ax") + F.cos(ang) * dst).otherwise(ux)
+        ).alias("x"),
+        wrap(
+            F.when(F.col("rad").isNotNull(), F.col("ay") + F.sin(ang) * dst).otherwise(uy)
+        ).alias("y"),
+    )
+    coords: dict[int, tuple[float, float]] = {
+        int(r["id"]): (float(r["x"]), float(r["y"])) for r in pos0.collect()
+    }
+    edges: dict[tuple[int, int], float] = {
+        (int(r["src"]), int(r["dst"])): float(r["weight"])
+        for r in g0.edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+        .collect()
+    }
+    next_id = n
+    num_churn = int(n * 0.05)
+
+    rows: list[tuple] = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    if write_initial:
+        for i in sorted(coords):
+            emit(NODE_ADDITION, i)
+        for (a, b), w in sorted(edges.items()):
+            emit(EDGE_ADDITION, a, b, w)
+        emit(TIME_STEP)
+
+    for _step in range(int(n_steps)):
+        # ---- delete nodes (draw until a live id, reference :50-54)
+        for _ in range(num_churn):
+            while True:
+                cand = rng.randrange(next_id)
+                if cand in coords:
+                    break
+            for (a, b) in sorted(k for k in edges if cand in k):
+                emit(EDGE_REMOVAL, a, b, None)
+                del edges[(a, b)]
+            del coords[cand]
+            emit(NODE_REMOVAL, cand)
+        # ---- insert nodes (cluster-or-noise coordinate, :76-101)
+        for _ in range(num_churn):
+            c = rng.randrange(num_dense_areas + 1)
+            if c < num_dense_areas:
+                angle = rng.random() * 2.0 * math.pi
+                d = rng.random() * areas[c]["rad"]
+                x = (areas[c]["x"] + math.cos(angle) * d) % 1.0
+                y = (areas[c]["y"] + math.sin(angle) * d) % 1.0
+            else:
+                x, y = rng.random(), rng.random()
+            coords[next_id] = (x, y)
+            emit(NODE_ADDITION, next_id)
+            next_id += 1
+        # ---- recompute eligible structure on the live positions
+        pos = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in sorted(coords.items())],
+            "id long, x double, y double",
+        )
+        new_edges = {
+            (int(r["src"]), int(r["dst"])): float(r["weight"])
+            for r in _pubweb_mutual_knn(
+                spark, pos, neighborhood_radius, max_neighbors
+            ).collect()
+        }
+        for (a, b), w in sorted(new_edges.items()):
+            if (a, b) in edges:
+                emit(EDGE_WEIGHT_UPDATE, a, b, w)
+        for (a, b) in sorted(set(edges) - set(new_edges)):
+            emit(EDGE_REMOVAL, a, b, None)
+        for (a, b), w in sorted(new_edges.items()):
+            if (a, b) not in edges:
+                emit(EDGE_ADDITION, a, b, w)
+        edges = new_edges
+        emit(TIME_STEP)
+
+    events = _events_df(spark, rows)
+    if return_state:
+        pos = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in sorted(coords.items())],
+            "id long, x double, y double",
+        )
+        return events, pos
+    return events

@@ -58,8 +58,10 @@ from networkit_spark.operators.group_centrality import (
     ged_walk_score,
     group_closeness,
     group_closeness_grow_shrink,
+    group_closeness_local_search,
     group_closeness_local_swaps,
     group_degree,
+    group_harmonic_closeness,
 )
 from networkit_spark.operators.matching import (
     local_max_matching,
@@ -139,7 +141,9 @@ __all__ = [
     "cut_clustering",
     "group_closeness",
     "group_closeness_grow_shrink",
+    "group_closeness_local_search",
     "group_closeness_local_swaps",
+    "group_harmonic_closeness",
     "ged_walk_group",
     "ged_walk_score",
     "group_degree",

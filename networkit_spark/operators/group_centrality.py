@@ -236,7 +236,9 @@ def _member_mins(vis_members: DataFrame) -> DataFrame:
             "node",
             F.col("t")[0]["dist"].alias("min1"),
             F.col("t")[0]["root"].alias("arg1"),
-            F.element_at("t", 2)["dist"].alias("min2"),
+            # try_: ANSI mode errors on element_at past the end, and a
+            # node reached by a single member has a 1-element slice
+            F.try_element_at("t", F.lit(2))["dist"].alias("min2"),
         )
     )
 
@@ -255,6 +257,53 @@ def _swap_candidates(g: Graph, group: list[int], beam: int) -> list[int]:
         .collect()
     )
     return [int(r["id"]) for r in deg if int(r["id"]) not in gset][:beam]
+
+
+def _swap_farness(
+    gdf: DataFrame, cdf: DataFrame, base: DataFrame, cv: DataFrame
+) -> DataFrame:
+    """Exact farness(S \\ {u} ∪ {v}) for every (member u, candidate v)
+    pair: (u, v, new_farness).
+
+    Decomposition over three disjoint node sets — member-reached nodes
+    also reached by v (min of the two distances), member-reached nodes
+    NOT reached by v (keep bd, via per-u total minus the matched part),
+    and v-only nodes (dv). An inner node-join plus per-u / per-v totals;
+    the earlier full-outer shape silently dropped the "reached by some
+    OTHER candidate but not by v" bd mass, undercounting new_farness on
+    disconnected or directed graphs. The (u, v) universe is an explicit
+    broadcast cross so pairs whose candidate reaches no member-reached
+    node still score (b_tot + c_only)."""
+    matched = base.join(cv, "node").groupBy("u", "v").agg(
+        F.sum(
+            F.least(F.coalesce("bd", F.col("dv")), F.col("dv"))
+        ).alias("shared"),
+        F.sum("bd").alias("b_in"),
+    )
+    b_tot = base.groupBy("u").agg(F.sum("bd").alias("b_tot"))
+    c_only = (
+        cv.join(base.select("node").distinct(), "node", "left_anti")
+        .groupBy("v")
+        .agg(F.sum("dv").alias("c_only"))
+    )
+    universe = F.broadcast(
+        gdf.withColumnRenamed("root", "u")
+    ).crossJoin(F.broadcast(cdf.withColumnRenamed("root", "v")))
+    return (
+        universe.join(matched, ["u", "v"], "left")
+        .join(b_tot, "u", "left")
+        .join(c_only, "v", "left")
+        .select(
+            "u",
+            "v",
+            (
+                F.coalesce("shared", F.lit(0.0))
+                + F.coalesce("b_tot", F.lit(0.0))
+                - F.coalesce("b_in", F.lit(0.0))
+                + F.coalesce("c_only", F.lit(0.0))
+            ).alias("new_farness"),
+        )
+    )
 
 
 def group_closeness_local_swaps(
@@ -316,43 +365,8 @@ def group_closeness_local_swaps(
         cv = vis.join(F.broadcast(cdf), "root", "left_semi").select(
             F.col("root").alias("v"), "node", F.col("dist").alias("dv")
         )
-        pairs = (
-            base.join(cv, "node", "full")
-            .select(
-                "u",
-                "v",
-                F.least(
-                    F.coalesce("bd", F.col("dv")), F.coalesce("dv", F.col("bd"))
-                ).alias("d"),
-            )
-            .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        )
-        # full-outer leaves (u, NULL) / (NULL, v) rows for one-sided
-        # nodes; those one-sided contributions are folded per (u, v) by
-        # re-joining totals
-        both = pairs.groupBy("u", "v").agg(F.sum("d").alias("shared"))
-        only_b = (
-            base.join(cv.select("node").distinct(), "node", "left_anti")
-            .groupBy("u")
-            .agg(F.sum("bd").alias("b_only"))
-        )
-        only_c = (
-            cv.join(base.select("node").distinct(), "node", "left_anti")
-            .groupBy("v")
-            .agg(F.sum("dv").alias("c_only"))
-        )
         scored = (
-            both.join(only_b, "u", "left")
-            .join(only_c, "v", "left")
-            .select(
-                "u",
-                "v",
-                (
-                    F.col("shared")
-                    + F.coalesce("b_only", F.lit(0.0))
-                    + F.coalesce("c_only", F.lit(0.0))
-                ).alias("new_farness"),
-            )
+            _swap_farness(gdf, cdf, base, cv)
             .orderBy(F.asc("new_farness"), F.asc("u"), F.asc("v"))
             .limit(1)
             .collect()
@@ -416,19 +430,34 @@ def group_closeness_grow_shrink(
             F.col("root").alias("v"), "node", F.col("dist").alias("dv")
         )
         # grow: farness(S ∪ {v}) = Σ min(min1, dv) over the union support
-        grow = (
-            mins.select("node", "min1")
-            .join(cv, "node", "full")
+        # — inner join + totals so group-reached nodes that v does NOT
+        # reach keep their min1 mass for EVERY v (the full-outer shape
+        # dropped them for candidates that miss the node while another
+        # candidate reaches it)
+        m = mins.select("node", "min1")
+        m_tot = float(m.agg(F.sum("min1")).collect()[0][0] or 0.0)
+        g_matched = m.join(cv, "node").groupBy("v").agg(
+            F.sum(F.least("min1", F.col("dv"))).alias("shared"),
+            F.sum("min1").alias("m_in"),
+        )
+        g_only = (
+            cv.join(m.select("node"), "node", "left_anti")
             .groupBy("v")
-            .agg(
-                F.sum(
-                    F.least(
-                        F.coalesce("min1", F.col("dv")),
-                        F.coalesce("dv", F.col("min1")),
-                    )
-                ).alias("f")
+            .agg(F.sum("dv").alias("c_only"))
+        )
+        grow = (
+            F.broadcast(cdf.withColumnRenamed("root", "v"))
+            .join(g_matched, "v", "left")
+            .join(g_only, "v", "left")
+            .select(
+                "v",
+                (
+                    F.coalesce("shared", F.lit(0.0))
+                    + F.lit(m_tot)
+                    - F.coalesce("m_in", F.lit(0.0))
+                    + F.coalesce("c_only", F.lit(0.0))
+                ).alias("f"),
             )
-            .filter(F.col("v").isNotNull())
             .orderBy(F.asc("f"), F.asc("v"))
             .limit(1)
             .collect()
@@ -610,3 +639,217 @@ def ged_walk_group(
         group.append(best_node)
         cur_score += best_gain
     return group
+
+
+def group_harmonic_closeness(
+    g: Graph, k: int = 3, sources: DataFrame | None = None
+) -> tuple[list[int], float]:
+    """GroupHarmonicCloseness (``centrality/GroupHarmonicCloseness.cpp``,
+    Angriman et al. ALENEX 2021): greedy submodular maximization of the
+    group harmonic score ``score(S) = Σ_{v: d(S,v) > 0} 1/d(S,v)``
+    (``GroupHarmonicCloseness.cpp scoreOfGroup:624-646`` — group members
+    sit at distance 0 and contribute nothing). Returns (group, score).
+
+    The reference prunes with per-node upper bounds and early-exit SSSPs
+    (``prunedSSSP``); those prunings change WHICH candidates get scanned,
+    never the greedy choice, so the distributed shape drops them and
+    computes EXACT marginal gains every round (ties → smallest node id,
+    the house convention): the (root, node) distance table is built ONCE
+    with the batched multi-source BFS (``multi_source_sssp`` when
+    weighted) and every greedy round is a single join-agg over it —
+    gain(u) = Σ_v max(0, 1/d(u,v) − 1/d(S,v)) − 1/d(S,u).
+
+    ``sources`` restricts the candidate set (and the distance table's
+    roots) for 100-TB runs — the reference's k ∈ [1, n−1] bound check is
+    kept. Raises ValueError outside that range.
+    """
+    from networkit_spark.operators.distance import multi_source_bfs, multi_source_sssp
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    if k <= 0 or n <= k:
+        raise ValueError("k must be in [1, n - 1]")
+    src = sources if sources is not None else g.nodes
+    if g.weighted:
+        dist = multi_source_sssp(g, src).select("root", "node", "dist")
+    else:
+        dist = multi_source_bfs(g, src, with_sigma=False).visited.select(
+            "root", "node", F.col("dist").cast("double").alias("dist")
+        )
+    dist = dist.filter(F.col("dist") > 0).transform(pin)
+
+    group: list[int] = []
+    best: DataFrame | None = None  # (node, bd): min dist from group, group rows dropped
+
+    for _ in range(k):
+        cand = dist
+        if group:
+            gdf_r = spark.createDataFrame([(i,) for i in group], "root long")
+            gdf_n = spark.createDataFrame([(i,) for i in group], "node long")
+            cand = cand.join(F.broadcast(gdf_r), "root", "left_anti").join(
+                F.broadcast(gdf_n), "node", "left_anti"
+            )
+        if best is None:
+            gains = cand.groupBy(F.col("root").alias("id")).agg(
+                F.sum(F.lit(1.0) / F.col("dist")).alias("gain")
+            )
+        else:
+            improving = F.when(
+                F.col("dist") < F.coalesce("bd", F.lit(float("inf"))),
+                F.lit(1.0) / F.col("dist")
+                - F.coalesce(F.lit(1.0) / F.col("bd"), F.lit(0.0)),
+            ).otherwise(F.lit(0.0))
+            gains = (
+                cand.join(best, "node", "left")
+                .groupBy(F.col("root").alias("id"))
+                .agg(F.sum(improving).alias("gain"))
+            )
+        allc = g.nodes if sources is None else src.select(
+            F.col(src.columns[0]).cast("long").alias("id")
+        )
+        if group:
+            allc = allc.join(
+                F.broadcast(spark.createDataFrame([(i,) for i in group], "id long")),
+                "id",
+                "left_anti",
+            )
+        gains = allc.join(gains, "id", "left").select(
+            "id", F.coalesce("gain", F.lit(0.0)).alias("gain")
+        )
+        if best is not None:
+            # joining S zeroes the candidate's own contribution 1/d(S,u)
+            own = best.select(
+                F.col("node").alias("id"), (F.lit(1.0) / F.col("bd")).alias("own")
+            )
+            gains = gains.join(own, "id", "left").select(
+                "id", (F.col("gain") - F.coalesce("own", F.lit(0.0))).alias("gain")
+            )
+        row = gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
+        if not row:
+            break
+        u = int(row[0]["id"])
+        group.append(u)
+        sel = dist.filter(F.col("root") == u).select(
+            "node", F.col("dist").alias("nd")
+        )
+        if best is None:
+            merged = sel.withColumnRenamed("nd", "bd")
+        else:
+            merged = best.join(sel, "node", "full").select(
+                "node",
+                F.least(
+                    F.coalesce("bd", F.col("nd")), F.coalesce("nd", F.col("bd"))
+                ).alias("bd"),
+            )
+        best = merged.join(
+            F.broadcast(spark.createDataFrame([(i,) for i in group], "node long")),
+            "node",
+            "left_anti",
+        ).transform(pin)
+
+    score = float(
+        best.agg(F.sum(F.lit(1.0) / F.col("bd"))).collect()[0][0] or 0.0
+    ) if best is not None else 0.0
+    return group, score
+
+
+def group_closeness_local_search(
+    g: Graph,
+    group: list[int],
+    run_grow_shrink: bool = True,
+    max_iterations: int = 100,
+    beam: int | None = None,
+) -> tuple[list[int], float, int]:
+    """GroupClosenessLocalSearch
+    (``centrality/GroupClosenessLocalSearch.cpp``, Angriman et al.
+    ALENEX 2021): refine an initial group by vertex swaps, accepting a
+    swap iff the RELATIVE farness decrease is at least 1/(k·(n−k))
+    (``GroupClosenessLocalSearch.cpp insuffcientDecrease:139-144``),
+    until no such swap exists or ``max_iterations`` swaps were made.
+    Returns (group, farness, n_iterations). ``run_grow_shrink`` first
+    refines the seed with :func:`group_closeness_grow_shrink`, matching
+    the reference's default. Raises on an empty group (gtest contract).
+
+    The reference scans members by cheapest-removal and candidates by a
+    sketched DAG estimate, taking the FIRST sufficient swap; here every
+    (member, outsider) pair is evaluated EXACTLY in one join-agg and the
+    BEST sufficient swap is taken (documented deviation — both converge
+    to the same local-optimality criterion: no swap clears the
+    1/(k·(n−k)) bar). The (root, node) distance table is built once per
+    swap from members ∪ candidates via the batched multi-source BFS;
+    ``beam`` (None = all outsiders, the reference's O(n·k) sweep) caps
+    the candidate set by degree rank for scale.
+    """
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    spark = g.edges.sparkSession
+    group = sorted({int(x) for x in group})
+    if not group:
+        raise ValueError("the initial group must not be empty")
+    n = g.num_nodes()
+    k = len(group)
+    if run_grow_shrink:
+        group, _ = group_closeness_grow_shrink(g, group)
+        group = sorted(group)
+    threshold_frac = 1.0 / float(k * max(n - k, 1))
+
+    n_iter = 0
+    farness = None
+    while n_iter < max_iterations:
+        if beam is None:
+            cands = [
+                int(r["id"])
+                for r in g.nodes.join(
+                    F.broadcast(
+                        spark.createDataFrame([(x,) for x in group], "id long")
+                    ),
+                    "id",
+                    "left_anti",
+                ).collect()
+            ]
+        else:
+            cands = _swap_candidates(g, group, beam)
+        if not cands:
+            break
+        srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
+        vis = (
+            multi_source_bfs(g, srcs, with_sigma=False)
+            .visited.select("root", "node", "dist")
+            .transform(pin)
+        )
+        gdf = spark.createDataFrame([(x,) for x in group], "root long")
+        mins = _member_mins(
+            vis.join(F.broadcast(gdf), "root", "left_semi")
+        ).transform(pin)
+        farness = float(mins.agg(F.sum("min1")).collect()[0][0] or 0.0)
+        base = mins.crossJoin(
+            F.broadcast(gdf.withColumnRenamed("root", "u"))
+        ).select(
+            "u",
+            "node",
+            F.when(F.col("arg1") != F.col("u"), F.col("min1"))
+            .otherwise(F.col("min2"))
+            .alias("bd"),
+        )
+        cdf = spark.createDataFrame([(x,) for x in cands], "root long")
+        cv = vis.join(F.broadcast(cdf), "root", "left_semi").select(
+            F.col("root").alias("v"), "node", F.col("dist").alias("dv")
+        )
+        scored = (
+            _swap_farness(gdf, cdf, base, cv)
+            .orderBy(F.asc("new_farness"), F.asc("u"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not scored:
+            break
+        row = scored[0]
+        new_far = float(row["new_farness"])
+        if farness <= 0 or (farness - new_far) / farness < threshold_frac:
+            break
+        group = sorted(set(group) - {int(row["u"])} | {int(row["v"])})
+        farness = new_far
+        n_iter += 1
+    if farness is None:
+        _, farness = group_closeness_local_swaps(g, group, max_swaps=0)
+    return group, farness, n_iter

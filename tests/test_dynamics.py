@@ -418,3 +418,122 @@ def test_dynamic_barabasi_albert_events(spark):
 
     assert max(degs, key=degs.get) < 5
     assert max(degs.values()) >= 2 * statistics.median(degs.values())
+
+
+def test_dynamic_hyperbolic_events(spark):
+    """DynamicHyperbolicGenerator (generators/
+    DynamicHyperbolicGenerator.cpp, T=0 threshold model): the initial
+    block replays to the static hyperbolic graph; replaying the FULL
+    stream yields exactly the threshold edges of the final moved
+    positions; move_prob=0 emits no edge events; streams are
+    deterministic per seed."""
+    from networkit_spark.generators import (
+        _hyperbolic_threshold_edges,
+        dynamic_hyperbolic_events,
+        hyperbolic,
+    )
+    from networkit_spark.streaming.dynamics import TIME_STEP, apply_events
+
+    empty = Graph.of(spark, [], n=0)
+    n, steps, seed = 60, 3, 7
+
+    ev, state = dynamic_hyperbolic_events(
+        spark, n, steps, move_prob=0.6, move_distance=0.05, seed=seed,
+        return_state=True,
+    )
+    # initial block == static generator at the same seed
+    import math
+
+    R = 2.0 * math.log(8.0 * n / (math.pi * 6.0))
+    g_static = hyperbolic(spark, n, seed=seed)
+    first_ts = ev.filter(F.col("type") == TIME_STEP).agg(F.min("seq")).collect()[0][0]
+    from networkit_spark.streaming.dynamics import replay_at
+
+    g_init = replay_at(empty, ev, int(first_ts))
+    e_init = sorted(map(tuple, g_init.canonical_undirected_edges().select("src", "dst").collect()))
+    e_sta = sorted(map(tuple, g_static.canonical_undirected_edges().select("src", "dst").collect()))
+    assert e_init == e_sta and g_init.num_nodes() == n
+
+    # full replay == threshold edges of the final positions
+    g_fin = apply_events(empty, ev)
+    e_fin = sorted(map(tuple, g_fin.canonical_undirected_edges().select("src", "dst").collect()))
+    K = max(8, int(math.sqrt(n)))
+    e_want = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in _hyperbolic_threshold_edges(spark, state, R, 16, K).collect()
+    )
+    assert e_fin == e_want
+    # movement must actually change the structure at this rate
+    assert e_fin != e_init
+    assert ev.filter(F.col("type") == TIME_STEP).count() == steps + 1
+
+    # determinism + the frozen case
+    ev_b = dynamic_hyperbolic_events(
+        spark, n, steps, move_prob=0.6, move_distance=0.05, seed=seed
+    )
+    assert sorted(map(tuple, ev.collect())) == sorted(map(tuple, ev_b.collect()))
+    ev0 = dynamic_hyperbolic_events(
+        spark, n, 2, move_prob=0.0, seed=seed, write_initial=False
+    )
+    assert ev0.filter(F.col("type") != TIME_STEP).count() == 0
+
+
+def test_dynamic_pubweb_events(spark):
+    """DynamicPubWebGenerator (generators/DynamicPubWebGenerator.cpp):
+    node count is invariant (5% deleted + 5% inserted from the INITIAL
+    count each step), ids grow past n, replaying the full stream gives
+    exactly the mutual-kNN structure (edges AND 0.01/d² weights) of the
+    surviving positions, and surviving eligible edges are re-weighted
+    via EDGE_WEIGHT_UPDATE."""
+    from networkit_spark.generators import (
+        _pubweb_mutual_knn,
+        dynamic_pubweb_events,
+        pubweb,
+    )
+    from networkit_spark.streaming.dynamics import (
+        EDGE_WEIGHT_UPDATE,
+        NODE_ADDITION,
+        NODE_REMOVAL,
+        TIME_STEP,
+        apply_events,
+    )
+
+    empty = Graph.of(spark, [], n=0)
+    n, steps, seed = 80, 3, 11
+    ev, pos = dynamic_pubweb_events(
+        spark, n, steps, num_dense_areas=4, neighborhood_radius=0.2,
+        max_neighbors=3, seed=seed, return_state=True,
+    )
+    assert ev.filter(F.col("type") == TIME_STEP).count() == steps + 1
+    churn = int(n * 0.05)
+    assert ev.filter(F.col("type") == NODE_REMOVAL).count() == churn * steps
+    assert ev.filter(F.col("type") == NODE_ADDITION).count() == n + churn * steps
+
+    g_fin = apply_events(empty, ev)
+    assert g_fin.num_nodes() == n  # invariant count, grown id space
+    got = {
+        (int(r["src"]), int(r["dst"])): round(float(r["weight"]), 9)
+        for r in g_fin.edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+        .collect()
+    }
+    want = {
+        (int(r["src"]), int(r["dst"])): round(float(r["weight"]), 9)
+        for r in _pubweb_mutual_knn(spark, pos, 0.2, 3).collect()
+    }
+    assert got == want and len(want) > 0
+    # ids beyond the initial range exist after churn
+    assert max(r["id"] for r in g_fin.nodes.collect()) >= n
+    # surviving eligible edges are re-weighted every step
+    assert ev.filter(F.col("type") == EDGE_WEIGHT_UPDATE).count() > 0
+
+    # initial block == the static generator
+    first_ts = ev.filter(F.col("type") == TIME_STEP).agg(F.min("seq")).collect()[0][0]
+    from networkit_spark.streaming.dynamics import replay_at
+
+    g_init = replay_at(empty, ev, int(first_ts))
+    g_sta = pubweb(spark, n, num_dense_areas=4, neighborhood_radius=0.2,
+                   max_neighbors=3, seed=seed)
+    e_init = sorted(map(tuple, g_init.canonical_undirected_edges().select("src", "dst").collect()))
+    e_sta = sorted(map(tuple, g_sta.canonical_undirected_edges().select("src", "dst").collect()))
+    assert e_init == e_sta
