@@ -210,8 +210,12 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
       1-based). HavelHakimi realizes any graphical sequence exactly
       (generators/HavelHakimiGenerator.cpp), and a real graph's sequence
       is graphical, so the oracle is the sub200 degree sequence itself —
-      the row equality checks realization, not just plumbing."""
-    from networkit_spark.generators import havel_hakimi
+      the row equality checks realization, not just plumbing;
+    - sbm: per-node degree of a 60-node / 3-block StochasticBlockmodel
+      (generators/StochasticBlockmodel.cpp) with portable md5 pair
+      draws — the oracle replays the Bernoulli edge set bit-for-bit,
+      checking the generator's pair relation, not just its marginals."""
+    from networkit_spark.generators import havel_hakimi, stochastic_blockmodel
 
     g = _co_graph(spark, sf_dir)
     a = g.degrees().select(F.lit("deg").alias("variant"), "id", "deg")
@@ -229,7 +233,15 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg",
         )
     )
-    return a.unionByName(b)
+    sbm_g, _truth = stochastic_blockmodel(
+        spark,
+        60,
+        [[0.5, 0.05, 0.05], [0.05, 0.5, 0.05], [0.05, 0.05, 0.5]],
+        seed=42,
+        portable_hash=True,
+    )
+    c = sbm_g.degrees().select(F.lit("sbm").alias("variant"), "id", "deg")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,20 +618,53 @@ def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT hop plot / neighborhood function on the <200 subgraph
-    (distance/HopPlotApproximation.cpp semantics, exact tier): per hop h,
-    the number of ordered node pairs at distance ≤ h. The sketch tier
-    (Flajolet-Martin ANF) stays in graph_anf."""
-    from networkit_spark.operators.distance import multi_source_bfs
+    """Neighborhood-growth family on the <200 subgraph, one
+    (variant, hop, value) table:
+    - exact: per hop h, ordered node pairs at distance ≤ h
+      (distance/HopPlotApproximation.cpp semantics, exact tier; the
+      Flajolet-Martin sketch tier stays in graph_anf);
+    - volume: Volume (distance/Volume.cpp) at radii 1..3 from 32
+      portable-hash samples — expected ball size |B(s,r)| including the
+      root, an exact integer/32 so the hash compare is bit-stable;
+    - nfh: NeighborhoodFunctionHeuristic
+      (distance/NeighborhoodFunctionHeuristic.cpp RANDOM strategy) on
+      the LARGEST component (the reference's connected-graph contract)
+      with 32 portable-hash samples: N(1) = 2m and N(diam) = n(n−1)
+      pinned exactly, interior hops = cumulative round(hist·n/k)."""
+    from networkit_spark.operators.components import (
+        connected_components,
+        extract_largest_connected_component,
+    )
+    from networkit_spark.operators.distance import multi_source_bfs, volume
+    from networkit_spark.operators.sketches import neighborhood_function_heuristic
 
     sub = _co_subgraph200(spark, sf_dir)
     vis = multi_source_bfs(sub, sub.nodes, with_sigma=False).visited
     per = vis.filter(F.col("dist") > 0).groupBy("dist").count()
     w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        per.withColumn("reachable_pairs", F.sum("count").over(w).cast("double"))
-        .select(F.col("dist").cast("int").alias("hop"), "reachable_pairs")
+    exact = (
+        per.withColumn("value", F.sum("count").over(w).cast("double"))
+        .select(
+            F.lit("exact").alias("variant"),
+            F.col("dist").cast("int").alias("hop"),
+            "value",
+        )
     )
+    radii = [1.0, 2.0, 3.0]
+    vols = volume(sub, radii, samples=32, seed=42, portable_hash=True)
+    vol_rows = spark.createDataFrame(
+        [("volume", int(rv), float(v)) for rv, v in zip(radii, vols)],
+        "variant string, hop int, value double",
+    )
+    cc = extract_largest_connected_component(sub, connected_components(sub))
+    nf = neighborhood_function_heuristic(
+        cc, n_samples=32, seed=42, portable_hash=True
+    )
+    nfh_rows = spark.createDataFrame(
+        [("nfh", d + 1, float(v)) for d, v in enumerate(nf)],
+        "variant string, hop int, value double",
+    )
+    return exact.unionByName(vol_rows).unionByName(nfh_rows)
 
 
 
@@ -908,11 +953,45 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=1000)
 
 
+def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JFIF codec (pipeline/jpeg.py) through the real
+    Arrow-batched mapInPandas path: per document, synthesize a flat
+    GRAY 16×24 RGB image (value = (37 + 7·doc_id) mod 256), encode at
+    quality 75, decode, and emit the decoded pixel sum. Flat gray
+    blocks round-trip EXACTLY (chroma planes are zero; the Y DC quant
+    step at q75 is 8, and the flat-block DC is a multiple of 8), so
+    the oracle is the closed-form sum v·16·24·3 — a hash-checked pin
+    of the full encoder+decoder loop, not just plumbing."""
+    import pandas as pd  # noqa: F401 — mapInPandas batches
+
+    docs = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+
+    def run(batches):
+        import numpy as np
+
+        from networkit_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                v = int((37 + 7 * int(did)) % 256)
+                img = np.full((16, 24, 3), v, dtype=np.uint8)
+                dec = decode_jpeg(encode_jpeg(img, quality=75))
+                out.append((int(did), int(dec.astype(np.int64).sum())))
+            import pandas as _pd
+
+            yield _pd.DataFrame(out, columns=["media_id", "pix_sum"])
+
+    return docs.mapInPandas(run, schema="media_id long, pix_sum long")
+
+
 def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in one (kind, media_id, k, info) table:
     typed media metadata + Arrow-batched frame sampling (merged
     mm_media_meta + mm_frame_sample so both keep a dense oracle row
-    inside the driver's 50-slot window)."""
+    inside the driver's 50-slot window) + the baseline JFIF codec
+    round-trip rows (kind='jpeg', k = decoded pixel sum — see
+    q_mm_jpeg_roundtrip)."""
     a = q_mm_media_meta(spark, sf_dir).select(
         F.lit("meta").alias("kind"),
         "media_id",
@@ -925,7 +1004,13 @@ def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("k"),
         F.col("frame_sha256").alias("info"),
     )
-    return a.unionByName(b)
+    c = q_mm_jpeg_roundtrip(spark, sf_dir).select(
+        F.lit("jpeg").alias("kind"),
+        "media_id",
+        F.col("pix_sum").cast("int").alias("k"),
+        F.lit("16x24x3:q75").alias("info"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 # --------------------------------------------------------------------------
@@ -1913,6 +1998,32 @@ SELECT 'hh' AS variant,
        CAST(row_number() OVER (ORDER BY deg DESC, id ASC) AS BIGINT) AS id,
        deg
 FROM subdeg
+UNION ALL
+-- StochasticBlockmodel portable replay: pair kept iff
+-- porthash(src*60+dst)/PRIME <= affinity[block][block']
+SELECT 'sbm' AS variant, n60.id,
+       coalesce(sd.c, 0) AS deg
+FROM (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(60)) AS u(i)) n60
+LEFT JOIN (
+  SELECT id, count(*) AS c FROM (
+    SELECT src AS id FROM (
+      SELECT a.i AS src, b.i AS dst
+      FROM UNNEST(range(60)) AS aa(i), UNNEST(range(60)) AS bb(i),
+           LATERAL (SELECT CAST(aa.i AS BIGINT) AS i) a,
+           LATERAL (SELECT CAST(bb.i AS BIGINT) AS i) b
+      WHERE a.i < b.i
+        AND {_porthash_sql('a.i * 60 + b.i', 'sbm42:')} / 2147483629.0
+            <= CASE WHEN a.i % 3 = b.i % 3 THEN 0.5 ELSE 0.05 END)
+    UNION ALL
+    SELECT dst FROM (
+      SELECT a.i AS src, b.i AS dst
+      FROM UNNEST(range(60)) AS aa(i), UNNEST(range(60)) AS bb(i),
+           LATERAL (SELECT CAST(aa.i AS BIGINT) AS i) a,
+           LATERAL (SELECT CAST(bb.i AS BIGINT) AS i) b
+      WHERE a.i < b.i
+        AND {_porthash_sql('a.i * 60 + b.i', 'sbm42:')} / 2147483629.0
+            <= CASE WHEN a.i % 3 = b.i % 3 THEN 0.5 ELSE 0.05 END)
+  ) s GROUP BY id) sd ON sd.id = n60.id
 """,
         "graph_pagerank": f"""
 WITH RECURSIVE {GRAPH_PRELUDE_SQL},
@@ -2783,6 +2894,13 @@ UNION ALL
 SELECT 'frame' AS kind, s.media_id, CAST(s.frame_idx AS INT) AS k,
        s.frame_sha256 AS info
 FROM ({base["mm_frame_sample"]}) s
+UNION ALL
+-- flat GRAY images round-trip the baseline JFIF codec exactly, so the
+-- decoded pixel sum is the closed form v * 16 * 24 * 3
+SELECT 'jpeg' AS kind, doc_id AS media_id,
+       CAST(((37 + 7 * doc_id) % 256) * 1152 AS INT) AS k,
+       '16x24x3:q75' AS info
+FROM documents WHERE doc_id < 48
 """
 
     # entries merged into multi-column rows in rounds 3-4 (their SQL lives
@@ -4390,12 +4508,59 @@ UNION ALL SELECT 'local_similarity', src, dst, score FROM ls
 
     out["graph_hopplot"] = f"""
 WITH RECURSIVE {SUB200_PRELUDE_SQL},
-per AS (SELECT dist, count(*) AS c FROM sp WHERE dist > 0 GROUP BY dist)
-SELECT CAST(dist AS INT) AS hop,
-       CAST(sum(c) OVER (ORDER BY dist
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS reachable_pairs
-FROM per
+per AS (SELECT dist, count(*) AS c FROM sp WHERE dist > 0 GROUP BY dist),
+hexact AS (
+  SELECT 'exact' AS variant, CAST(dist AS INT) AS hop,
+         CAST(sum(c) OVER (ORDER BY dist
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS value
+  FROM per),
+-- Volume: 32 portable-hash root draws (dense ids are the identity on
+-- 0..199); |B(s, r)| from the shared all-pairs sp table, /32 exact
+vroots AS (SELECT CAST(u.i AS BIGINT) AS sid,
+                  {_porthash_sql('u.i', 'vol42:')} % 200 AS node
+           FROM UNNEST(range(32)) AS u(i)),
+hvol AS (
+  SELECT 'volume' AS variant, CAST(rr.r AS INT) AS hop,
+         (SELECT count(*) FROM vroots v JOIN sp ON sp.root = v.node
+          WHERE sp.dist <= rr.r)::DOUBLE / 32.0 AS value
+  FROM (SELECT UNNEST([1, 2, 3]) AS r) rr),
+-- NeighborhoodFunctionHeuristic on the LARGEST component: comp = min
+-- reaching root (= min id in component); endpoints pinned exactly,
+-- interior = cumulative round-half-even(hist*n/32) in pure integers
+comp AS (SELECT node, min(root) AS comp FROM sp GROUP BY node),
+big AS (SELECT comp FROM comp GROUP BY comp ORDER BY count(*) DESC, comp ASC LIMIT 1),
+ccn AS MATERIALIZED (SELECT node AS id FROM comp JOIN big USING (comp)),
+ncc AS (SELECT count(*) AS n FROM ccn),
+mcc AS (SELECT count(*) AS m FROM e0
+        WHERE src IN (SELECT id FROM ccn) AND dst IN (SELECT id FROM ccn)),
+dia AS (SELECT max(sp.dist) AS d FROM sp
+        WHERE sp.root IN (SELECT id FROM ccn)),
+nsamp AS (SELECT id FROM ccn
+          ORDER BY {_porthash_sql('id', 'nfh42:')} ASC, id ASC LIMIT 32),
+hh2 AS (SELECT sp.dist AS d, count(*) AS c FROM sp
+        WHERE sp.root IN (SELECT id FROM nsamp) AND sp.dist > 0
+        GROUP BY sp.dist),
+interior AS (
+  SELECT dd.d,
+         (dd.v // 32) + CASE WHEN dd.v % 32 > 16 THEN 1
+                             WHEN dd.v % 32 = 16 THEN (dd.v // 32) % 2
+                             ELSE 0 END AS rounded
+  FROM (SELECT g.d, coalesce(hh2.c, 0) * (SELECT n FROM ncc) AS v
+        FROM (SELECT UNNEST(range(2, (SELECT d FROM dia))) AS d) g
+        LEFT JOIN hh2 ON hh2.d = g.d) dd),
+hnfh AS (
+  SELECT 'nfh' AS variant, 1 AS hop, 2.0 * (SELECT m FROM mcc) AS value
+  UNION ALL
+  SELECT 'nfh', CAST(d AS INT),
+         CAST(2 * (SELECT m FROM mcc)
+              + sum(rounded) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS DOUBLE)
+  FROM interior
+  UNION ALL
+  SELECT 'nfh', CAST((SELECT d FROM dia) AS INT),
+         CAST((SELECT n FROM ncc) * ((SELECT n FROM ncc) - 1) AS DOUBLE))
+SELECT * FROM hexact UNION ALL SELECT * FROM hvol UNION ALL SELECT * FROM hnfh
 """
 
     out["graph_partition_iic"] = f"""

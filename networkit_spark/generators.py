@@ -829,6 +829,7 @@ def stochastic_blockmodel(
     affinity: list[list[float]],
     membership: "list[int] | DataFrame | None" = None,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> tuple[Graph, DataFrame]:
     """StochasticBlockmodel (``generators/StochasticBlockmodel.cpp``):
     every unordered pair (u, v) kept with probability
@@ -843,7 +844,8 @@ def stochastic_blockmodel(
     reference draws from its serial RNG; draws here are the seeded
     xxhash uniform keyed by the pair, deterministic at any parallelism
     (documented determinization, same policy as every generator in this
-    module).
+    module). ``portable_hash`` swaps the draw for the md5 porthash so a
+    SQL oracle can replay the edge set bit-for-bit.
     """
     k = len(affinity)
     if any(len(row) != k for row in affinity):
@@ -873,12 +875,18 @@ def stochastic_blockmodel(
         .filter(F.col("src") < F.col("dst"))
     )
     key = F.col("src") * F.lit(n) + F.col("dst")
+    if portable_hash:
+        from networkit_spark.functions.porthash import DEFAULT_PRIME, md5_mod
+
+        draw = md5_mod(key, salt=f"sbm{seed}:") / F.lit(float(DEFAULT_PRIME))
+    else:
+        draw = _uniform(key, seed)
     edges = (
         pairs.join(mem.select(F.col("id").alias("src"), F.col("block").alias("bu")), "src")
         .join(mem.select(F.col("id").alias("dst"), F.col("block").alias("bv")), "dst")
         .join(F.broadcast(aff), ["bu", "bv"])
         # reference keeps the pair when r <= p (Random::real inclusive)
-        .filter(_uniform(key, seed) <= F.col("p"))
+        .filter(draw <= F.col("p"))
         .select("src", "dst")
     )
     nodes = spark.range(n).select("id")

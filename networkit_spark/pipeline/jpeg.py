@@ -472,10 +472,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             img = np.kron(img, np.ones((ry, rx)))
         planes.append(img[:fh, :fw])
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
+        y = np.clip(np.round(planes[0]), 0, 255)
         return np.dstack([y, y, y]).astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    # round-to-nearest before the uint8 cast — astype truncates, which
+    # biased every reconstructed sample down by up to 1 LSB
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
