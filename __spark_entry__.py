@@ -893,9 +893,24 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay a deterministic edit log derived from orders: every order adds
-    a customer→order edge; 'F' orders later remove it. Output = surviving
-    canonical edge list — exercises the ordered event fold."""
+    """Event-replay tiers in one (variant, src, dst, weight) table:
+    - orders: a deterministic edit log derived from orders — every order
+      adds a customer→order edge; 'F' orders later remove it; output =
+      surviving canonical edges (the ordered event fold);
+    - path: the DynamicPathGenerator stream (20 steps) replayed onto an
+      empty graph (generators/DynamicPathGenerator.cpp) — closed-form
+      oracle;
+    - dm: the DynamicDorogovtsevMendesGenerator stream (12 steps,
+      portable md5 edge-index draws) replayed onto an empty graph
+      (generators/DynamicDorogovtsevMendesGenerator.cpp) — the oracle
+      regrows the edge chain CTE-for-CTE and must match every edge.
+    The ForestFire / BarabasiAlbert / spatial streams use unbounded
+    rejection or transcendental movement draws, so they stay
+    pytest-pinned (tests/test_dynamics.py)."""
+    from networkit_spark.generators import (
+        dynamic_dorogovtsev_mendes_events,
+        dynamic_path_events,
+    )
     from networkit_spark.graph import Graph
     from networkit_spark.streaming.dynamics import apply_events
 
@@ -922,9 +937,27 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = spark.createDataFrame([], "src long, dst long, weight double")
     base = Graph(nodes=nodes, edges=empty, directed=False)
     g2 = apply_events(base, add.unionByName(rm))
-    return g2.edges.filter(F.col("src") < F.col("dst")).select(
-        "src", "dst", F.round("weight", 6).alias("weight")
+    a = g2.edges.filter(F.col("src") < F.col("dst")).select(
+        F.lit("orders").alias("variant"),
+        "src",
+        "dst",
+        F.round("weight", 6).alias("weight"),
     )
+    empty = Graph.of(spark, [], n=0)
+    gp = apply_events(empty, dynamic_path_events(spark, 20))
+    b = gp.edges.filter(F.col("src") < F.col("dst")).select(
+        F.lit("path").alias("variant"), "src", "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+    gdm = apply_events(
+        empty,
+        dynamic_dorogovtsev_mendes_events(spark, 12, seed=42, portable_hash=True),
+    )
+    c = gdm.edges.filter(F.col("src") < F.col("dst")).select(
+        F.lit("dm").alias("variant"), "src", "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 # --------------------------------------------------------------------------
@@ -1392,11 +1425,19 @@ def q_graph_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
       (centrality/KadabraBetweenness.cpp) pinned to ONE fixed batch of
       64 samples (max_rounds=1) — the adaptive empirical-Bernstein stop
       is exercised in pytest; the gate row checks the sampling and
-      path-walk machinery exactly."""
+      path-walk machinery exactly;
+    - dyn: DynApproxBetweenness
+      (centrality/DynApproxBetweenness.cpp) seeded on sub200 MINUS its
+      last canonical edge, then one EDGE_ADDITION batch restores it —
+      the oracle replays the initial epoch-0 sample on the reduced
+      graph, the modified-source anti-diff, and the epoch-1 resample of
+      ONLY the touched pairs (vd pinned at 6 so both sides share
+      r = 59)."""
     from networkit_spark.operators.distance import (
         approx_betweenness,
         kadabra_betweenness,
     )
+    from networkit_spark.streaming.dynamics import DynApproxBetweenness, events_of
 
     sub = _co_subgraph200(spark, sf_dir)
     a = approx_betweenness(
@@ -1411,7 +1452,32 @@ def q_graph_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("kadabra").alias("method"), "id", F.round("score", 6).alias("score")
     )
-    return a.unionByName(b)
+    estar = (
+        sub.canonical_undirected_edges()
+        .orderBy(F.desc("src"), F.desc("dst"))
+        .limit(1)
+        .collect()[0]
+    )
+    eu, ev = int(estar["src"]), int(estar["dst"])
+    g0 = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.filter(
+            ~(
+                ((F.col("src") == eu) & (F.col("dst") == ev))
+                | ((F.col("src") == ev) & (F.col("dst") == eu))
+            )
+        ).localCheckpoint(eager=True),
+        directed=False,
+        weighted=False,
+    )
+    dyn = DynApproxBetweenness(
+        g0, epsilon=0.3, delta=0.1, seed=42, portable_hash=True, vd=6
+    )
+    out = dyn.update_batch(events_of(spark, [(1, "EDGE_ADDITION", eu, ev, 1.0)]))
+    c = out.select(
+        F.lit("dyn").alias("method"), "id", F.round("score", 6).alias("score")
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 
@@ -1546,6 +1612,10 @@ GEDWALK_GROUP = (0, 3, 7)
 GEDWALK_ALPHA = 0.25  # a power of two: every α^ℓ·(integer walk count)
 GEDWALK_LEVELS = 4  # product is exact in FP, so the replay is bit-identical
 
+GC_REFINE_START = [0, 1, 2]  # fixed seed group for the refinement rows
+GC_REFINE_ROUNDS = 3  # swap / grow-shrink / local-search round unroll
+GC_REFINE_BEAM = 6  # degree-ranked candidate beam (local_search: all)
+
 
 def q_graph_group_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group/partition centralities in one (method, rank, id, score)
@@ -1559,9 +1629,26 @@ def q_graph_group_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       <200 subgraph (centrality/GedWalk.cpp evaluateGroup hit/miss DP,
       α=0.25, 4 levels) — one (rank=-1, id=-1, score) row. Walk counts
       are integers and α^ℓ is a power of two, so the arithmetic is
-      exact and cross-engine bit-identical."""
+      exact and cross-engine bit-identical;
+    - harmonic: greedy GroupHarmonicCloseness k=3
+      (centrality/GroupHarmonicCloseness.cpp) in portable_sum mode —
+      member rows (rank, id) plus a (rank=0, id=-1) score row whose
+      ordered-fold float is bit-identical to the oracle's list_reduce;
+    - local_swaps / grow_shrink / local_search: the three
+      GroupCloseness refinement passes
+      (GroupClosenessLocalSwaps/GrowShrink/LocalSearch.cpp) from the
+      fixed seed group {0,1,2} — member rows plus a (rank=0, id=-1)
+      exact-integer farness row; the oracle replays every swap round
+      (candidate beam, exact farness evaluation, accept rule) as
+      chained CTEs."""
     from networkit_spark.operators.degrees import local_partition_coverage
-    from networkit_spark.operators.group_centrality import ged_walk_score
+    from networkit_spark.operators.group_centrality import (
+        ged_walk_score,
+        group_closeness_grow_shrink,
+        group_closeness_local_search,
+        group_closeness_local_swaps,
+        group_harmonic_closeness,
+    )
 
     nulld = F.lit(None).cast("double")
     a = q_graph_group_degree(spark, sf_dir).select(
@@ -1588,7 +1675,26 @@ def q_graph_group_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("gedwalk", -1, -1, float(gw))],
         "method string, rank int, id long, score double",
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    rows: list[tuple] = []
+    hg, hs = group_harmonic_closeness(sub, k=3, portable_sum=True)
+    rows += [("harmonic", i + 1, int(u), None) for i, u in enumerate(hg)]
+    rows.append(("harmonic", 0, -1, float(hs)))
+    for method, (grp, far) in (
+        ("local_swaps", group_closeness_local_swaps(
+            sub, GC_REFINE_START, max_swaps=GC_REFINE_ROUNDS, beam=GC_REFINE_BEAM)),
+        ("grow_shrink", group_closeness_grow_shrink(
+            sub, GC_REFINE_START, max_iterations=GC_REFINE_ROUNDS,
+            beam=GC_REFINE_BEAM)),
+        ("local_search", group_closeness_local_search(
+            sub, GC_REFINE_START, run_grow_shrink=False,
+            max_iterations=GC_REFINE_ROUNDS)[:2]),
+    ):
+        rows += [(method, i + 1, int(u), None) for i, u in enumerate(grp)]
+        rows.append((method, 0, -1, float(far)))
+    e = spark.createDataFrame(
+        rows, "method string, rank int, id long, score double"
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 DYN_KATZ_INIT_ITERS = 10
@@ -1664,13 +1770,18 @@ def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     - simple_paths: AllSimplePaths 0→50 on the <200 subgraph with
       cutoff 4, aggregated to per-hop-count path counts
       (node=hops, dist=count) so the enumeration has a finite row shape
-      (round 4 operator)."""
+      (round 4 operator);
+    - affected: AffectedNodes (distance/AffectedNodes.cpp, round 6) for
+      the EDGE_ADDITION of sub200's last canonical edge — node = each
+      affected node, dist = its min distance to the modification over
+      the without-edge graph (the improvement-bound column lives in the
+      pytest transcription check)."""
     from networkit_spark.operators.distance import (
         bidirectional_bfs,
         bidirectional_dijkstra,
         incomplete_dijkstra,
     )
-    from networkit_spark.operators.reachability import all_simple_paths
+    from networkit_spark.operators.reachability import affected_nodes, all_simple_paths
 
     a = q_graph_bfs(spark, sf_dir).select(
         F.lit("bfs").alias("variant"), "node", F.col("dist").cast("double").alias("dist")
@@ -1721,7 +1832,19 @@ def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("dist"))
         .select(F.lit("simple_paths").alias("variant"), "node", "dist")
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(f)
+    estar = (
+        sub.canonical_undirected_edges()
+        .orderBy(F.desc("src"), F.desc("dst"))
+        .limit(1)
+        .collect()[0]
+    )
+    h = affected_nodes(
+        sub, "EDGE_ADDITION", int(estar["src"]), int(estar["dst"])
+    ).select(F.lit("affected").alias("variant"), "node", "dist")
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f).unionByName(h)
+    )
 
 
 def q_graph_lp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,7 +1963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_clusters→dedup_jaccard. Every windowed entry now carries a
     hash oracle (graph_ctd's CG replay included); the registry holds
     EXACTLY 50 entries and events_hourly is slot 50, hash-green in the
-    gate like every other row."""
+    gate like every other row. Round 6 folded the round-5/6 batch the
+    same way: volume+nfh→graph_hopplot, sbm→graph_degree,
+    dyn_approx_betweenness→graph_approx_betweenness,
+    harmonic/local_swaps/grow_shrink/local_search→graph_group_centrality,
+    jpeg round-trip→mm_pipeline, and the path+DorogovtsevMendes event
+    streams→dyn_replay (ForestFire/BarabasiAlbert/spatial streams use
+    unbounded-rejection or transcendental draws and stay pytest-pinned)."""
     return {
         # --- graph kernels ------------------------------------------------
         "graph_degree": q_graph_degree,
@@ -2684,10 +2813,7 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
 """,
-        "dyn_replay": """
-SELECT o_custkey AS src, o_orderkey + 1000000 AS dst, CAST(1.0 AS DOUBLE) AS weight
-FROM orders WHERE o_orderstatus <> 'F'
-""",
+        "dyn_replay": _dyn_replay_sql(),
         "mm_media_meta": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -2787,6 +2913,40 @@ sp(path, last) AS (
 SELECT CAST(len(path) - 1 AS BIGINT) AS node, count(*)::DOUBLE AS dist
 FROM sp WHERE last = 50 GROUP BY 1
 ) p
+UNION ALL
+SELECT 'affected' AS variant, q.node, q.dist FROM (
+WITH RECURSIVE afe0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+),
+afstar AS (SELECT src, dst FROM afe0 ORDER BY src DESC, dst DESC LIMIT 1),
+afm AS MATERIALIZED (SELECT a.src, a.dst FROM afe0 a
+  WHERE NOT EXISTS (SELECT 1 FROM afstar t WHERE t.src = a.src AND t.dst = a.dst)),
+afedges AS MATERIALIZED (SELECT src, dst FROM afm UNION ALL SELECT dst, src FROM afm),
+afroots AS (SELECT src AS id FROM afstar UNION ALL SELECT dst FROM afstar),
+afwk(root, node, dist) AS (
+  SELECT id, id, CAST(0 AS BIGINT) FROM afroots
+  UNION
+  SELECT w.root, e.dst, w.dist + 1 FROM afwk w JOIN afedges e ON w.node = e.src
+  WHERE w.dist < 96
+),
+afsp AS (SELECT root, node, min(dist) AS dist FROM afwk GROUP BY root, node),
+afd AS (
+  SELECT n.id AS node,
+         coalesce(CAST(u.dist AS DOUBLE), CAST('inf' AS DOUBLE)) AS du,
+         coalesce(CAST(v.dist AS DOUBLE), CAST('inf' AS DOUBLE)) AS dv
+  FROM (SELECT CAST(g.i AS BIGINT) AS id FROM UNNEST(range(200)) AS g(i)) n
+  LEFT JOIN afsp u ON u.root = (SELECT src FROM afstar) AND u.node = n.id
+  LEFT JOIN afsp v ON v.root = (SELECT dst FROM afstar) AND v.node = n.id
+)
+SELECT node, least(du, dv) AS dist FROM afd
+WHERE (node <> (SELECT src FROM afstar)
+       AND (node = (SELECT dst FROM afstar) OR dv + 1.0 < du))
+   OR (node <> (SELECT dst FROM afstar)
+       AND (node = (SELECT src FROM afstar) OR du + 1.0 < dv))
+) q
 """
     base["graph_lp_scores"] = f"""
 SELECT 'katz' AS metric, t.u, t.v, t.katz AS score FROM (
@@ -2828,6 +2988,10 @@ FROM (SELECT src,
         ("lpc", lpc_sql),
         ("gedwalk", f"SELECT CAST(-1 AS INT) AS rank, CAST(-1 AS BIGINT) AS id, "
                     f"t.score FROM (\n{_gedwalk_sql()}\n) t"),
+        ("harmonic", _group_harmonic_sql()),
+        ("local_swaps", _group_refine_sql("local_swaps")),
+        ("grow_shrink", _group_refine_sql("grow_shrink")),
+        ("local_search", _group_refine_sql("local_search")),
     ])
     base["graph_sparsifiers"] = (
         base["graph_sparsifiers"]
@@ -2855,6 +3019,7 @@ SELECT t.*, o.onmi_distance FROM (
     base["graph_approx_betweenness"] = _variant_union("method", [
         ("rk", _approx_betweenness_sql()),
         ("kadabra", _approx_betweenness_sql(r=KADABRA_BATCH, tag="kb")),
+        ("dyn", _dyn_approx_betweenness_sql()),
     ])
     base["graph_scd"] = _scd_sql()
     base["graph_plm"] = _variant_union("variant", [
@@ -3443,6 +3608,344 @@ allc AS ({allc}),
 sc AS (SELECT id, count(*) / {float(r)} AS s FROM allc GROUP BY id)
 SELECT n.id, round(coalesce(sc.s, 0.0), 6) AS score
 FROM nodes n LEFT JOIN sc ON sc.id = n.id
+"""
+
+
+def _dyn_approx_betweenness_sql(
+    n: int = 200,
+    r: int = 59,  # ceil((1/0.3²)(⌊log2(6−2)⌋ + 1 + ln(1/0.1))), vd pinned 6
+    vd: int = 6,
+    seed: int = 42,
+    levels: int = 14,
+    m_mod: int = 1_000_003,
+) -> str:
+    """(id, score) oracle for the graph_approx_betweenness 'dyn' method:
+    exact replay of DynApproxBetweenness (streaming/dynamics.py) seeded
+    on sub200 minus its LAST canonical edge and updated by the batch
+    that restores it. Pair draws use the class's dab salts; the epoch-0
+    path sample runs over the reduced graph's (dist, σ) table, the
+    modified-source set is the full-outer (dist, σ) anti-diff, and only
+    touched pairs resample over the full graph with epoch-1 salts —
+    untouched epoch-0 contributions are kept verbatim, exactly the
+    class's kept/fresh union."""
+
+    def walk(pfx: str, edges: str, vis: str, epoch: int):
+        ctes, contribs = [], []
+        for st in range(1, vd + 2):
+            x = (
+                f"({_porthash_sql('pair', f'dab{seed}:{epoch}:x:{st}:')} % {m_mod})"
+                f" / {float(m_mod)}"
+            )
+            ctes.append(f"""{pfx}cd{st} AS (
+  SELECT a.pair, a.u, e.src AS z, vz.sigma AS sz
+  FROM {pfx}act{st - 1} a
+  JOIN {edges} e ON e.dst = a.cur
+  JOIN {vis} vz ON vz.root = a.u AND vz.node = e.src
+  JOIN {vis} vc ON vc.root = a.u AND vc.node = a.cur
+  WHERE vz.dist = vc.dist - 1)""")
+            ctes.append(f"""{pfx}ch{st} AS MATERIALIZED (SELECT pair, u, z AS cur FROM (
+  SELECT pair, u, z, row_number() OVER (PARTITION BY pair ORDER BY z) AS rn FROM (
+    SELECT pair, u, z,
+      sum(sz) OVER (PARTITION BY pair ORDER BY z) AS cum,
+      sum(sz) OVER (PARTITION BY pair) AS tot,
+      {x} AS x
+    FROM {pfx}cd{st}) f WHERE cum / tot > x) g WHERE rn = 1)""")
+            ctes.append(
+                f"{pfx}act{st} AS MATERIALIZED "
+                f"(SELECT pair, u, cur FROM {pfx}ch{st} WHERE cur <> u)"
+            )
+            contribs.append(
+                f"SELECT pair, u, cur AS id FROM {pfx}ch{st} WHERE cur <> u"
+            )
+        return ctes, " UNION ALL ".join(contribs)
+
+    def sigma(pfx: str, edges: str, sp: str):
+        ctes = [
+            f"{pfx}sg0 AS MATERIALIZED (SELECT id AS root, id AS node, "
+            "CAST(1 AS DOUBLE) AS sigma FROM droots)"
+        ]
+        for d in range(1, levels + 1):
+            ctes.append(f"""{pfx}sg{d} AS MATERIALIZED (
+  SELECT s.root, e.dst AS node, sum(s.sigma) AS sigma
+  FROM {pfx}sg{d - 1} s JOIN {edges} e ON s.node = e.src
+  JOIN {sp} p ON p.root = s.root AND p.node = e.dst
+  WHERE p.dist = {d} GROUP BY s.root, e.dst)""")
+        allsg = " UNION ALL ".join(f"SELECT * FROM {pfx}sg{d}" for d in range(levels + 1))
+        ctes.append(
+            f"{pfx}vis AS MATERIALIZED (SELECT g.root, g.node, p.dist, g.sigma "
+            f"FROM ({allsg}) g JOIN {sp} p ON p.root = g.root AND p.node = g.node)"
+        )
+        return ctes
+
+    ctes = [
+        """de0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        "destar AS (SELECT src, dst FROM de0 ORDER BY src DESC, dst DESC LIMIT 1)",
+        """de0m AS MATERIALIZED (SELECT a.src, a.dst FROM de0 a
+      WHERE NOT EXISTS (SELECT 1 FROM destar t WHERE t.src = a.src AND t.dst = a.dst))""",
+        "dedges0 AS MATERIALIZED (SELECT src, dst FROM de0m UNION ALL SELECT dst, src FROM de0m)",
+        "dedges1 AS MATERIALIZED (SELECT src, dst FROM de0 UNION ALL SELECT dst, src FROM de0)",
+        "dnodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
+        f"""dprs AS MATERIALIZED (SELECT p, iu AS u, CASE WHEN iv0 >= iu THEN iv0 + 1 ELSE iv0 END AS v FROM (
+    SELECT CAST(u.i AS BIGINT) AS p,
+           {_porthash_sql('u.i', f'dab{seed}:u:')} % {n} AS iu,
+           {_porthash_sql('u.i', f'dab{seed}:v:')} % {n - 1} AS iv0
+    FROM UNNEST(range({r})) AS u(i)))""",
+        "droots AS (SELECT DISTINCT u AS id FROM dprs)",
+        """dwk0(root, node, dist) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM droots
+    UNION
+    SELECT w.root, e.dst, w.dist + 1 FROM dwk0 w JOIN dedges0 e ON w.node = e.src WHERE w.dist < 32)""",
+        "dsp0 AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM dwk0 GROUP BY root, node)",
+        """dwk1(root, node, dist) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM droots
+    UNION
+    SELECT w.root, e.dst, w.dist + 1 FROM dwk1 w JOIN dedges1 e ON w.node = e.src WHERE w.dist < 32)""",
+        "dsp1 AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM dwk1 GROUP BY root, node)",
+    ]
+    ctes += sigma("d0", "dedges0", "dsp0")
+    ctes += sigma("d1", "dedges1", "dsp1")
+    ctes.append("""d0act0 AS (SELECT p.p AS pair, p.u, p.v AS cur FROM dprs p
+  WHERE EXISTS (SELECT 1 FROM dsp0 WHERE dsp0.root = p.u AND dsp0.node = p.v AND dsp0.dist > 0))""")
+    w0, c0 = walk("d0", "dedges0", "d0vis", 0)
+    ctes += w0
+    ctes.append(f"d0contrib AS MATERIALIZED ({c0})")
+    ctes.append("""dmod AS MATERIALIZED (SELECT DISTINCT coalesce(a.root, b.root) AS root
+  FROM d0vis a FULL JOIN d1vis b ON a.root = b.root AND a.node = b.node
+  WHERE a.root IS NULL OR b.root IS NULL OR a.dist <> b.dist OR a.sigma <> b.sigma)""")
+    ctes.append("""d1act0 AS (SELECT p.p AS pair, p.u, p.v AS cur FROM dprs p
+  WHERE p.u IN (SELECT root FROM dmod)
+    AND EXISTS (SELECT 1 FROM dsp1 WHERE dsp1.root = p.u AND dsp1.node = p.v AND dsp1.dist > 0))""")
+    w1, c1 = walk("d1", "dedges1", "d1vis", 1)
+    ctes += w1
+    ctes.append(f"d1contrib AS MATERIALIZED ({c1})")
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f""",
+dallc AS (
+  SELECT id FROM d0contrib WHERE u NOT IN (SELECT root FROM dmod)
+  UNION ALL
+  SELECT id FROM d1contrib),
+dsc AS (SELECT id, count(*) / {float(r)} AS s FROM dallc GROUP BY id)
+SELECT n.id, round(coalesce(dsc.s, 0.0), 6) AS score
+FROM dnodes n LEFT JOIN dsc ON dsc.id = n.id
+"""
+
+
+def _gc_prelude(p: str) -> list[str]:
+    """Prefixed sub200 prelude (edges, nodes, all-pairs sp, degrees) for
+    the group-refinement replay oracles — prefixes keep CTE aliases
+    unique across the method-union subqueries."""
+    return [
+        f"""{p}e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 200 AND b.l_partkey < 200)""",
+        f"{p}edges AS MATERIALIZED (SELECT src, dst FROM {p}e0 UNION ALL SELECT dst, src FROM {p}e0)",
+        f"{p}nodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i))",
+        f"""{p}wk(root, node, dist) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM {p}nodes
+    UNION
+    SELECT w.root, e.dst, w.dist + 1 FROM {p}wk w JOIN {p}edges e ON w.node = e.src WHERE w.dist < 96)""",
+        f"{p}sp AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM {p}wk GROUP BY root, node)",
+        f"{p}degt AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM {p}edges GROUP BY src)",
+    ]
+
+
+def _group_refine_sql(
+    mode: str,
+    rounds: int = GC_REFINE_ROUNDS,
+    beam: int = GC_REFINE_BEAM,
+    n: int = 200,
+    k: int = 3,
+) -> str:
+    """(rank, id, score) oracle replaying a GroupCloseness refinement
+    pass (operators/group_centrality.py local_swaps / grow_shrink /
+    local_search) from the fixed seed group {0,1,2}: each unrolled round
+    recomputes the exact integer farness of every evaluated
+    member/candidate exchange over the all-pairs sp table and applies
+    the method's accept rule; a rejected round leaves the group
+    unchanged, so extra unrolled rounds are idempotent no-ops exactly
+    like the Spark loop's break."""
+    p = {"local_swaps": "lw", "grow_shrink": "gs", "local_search": "lc"}[mode]
+    thr = repr(1.0 / (k * (n - k)))
+    ctes = _gc_prelude(p)
+    ctes.append(
+        f"{p}g0 AS (SELECT CAST(u.i AS BIGINT) AS u FROM UNNEST([0, 1, 2]) AS u(i))"
+    )
+    for r in range(rounds):
+        ctes.append(f"""{p}far{r} AS (SELECT CAST(sum(md) AS DOUBLE) AS f FROM (
+  SELECT s.node, min(s.dist) AS md FROM {p}sp s JOIN {p}g{r} g ON s.root = g.u
+  GROUP BY s.node) t)""")
+        if mode == "grow_shrink":
+            ctes.append(f"""{p}cand{r} AS (SELECT id AS v FROM {p}degt
+  WHERE id NOT IN (SELECT u FROM {p}g{r}) ORDER BY deg DESC, id ASC LIMIT {beam})""")
+            ctes.append(f"""{p}gev{r} AS (
+  SELECT c.v, g.u AS root FROM {p}cand{r} c, {p}g{r} g
+  UNION ALL SELECT c.v, c.v FROM {p}cand{r} c)""")
+            ctes.append(f"""{p}gpick{r} AS (SELECT v FROM (
+  SELECT e.v, CAST(sum(md) AS DOUBLE) AS f FROM (
+    SELECT e2.v, s.node, min(s.dist) AS md FROM {p}gev{r} e2
+    JOIN {p}sp s ON s.root = e2.root GROUP BY e2.v, s.node) e GROUP BY e.v)
+  ORDER BY f ASC, v ASC LIMIT 1)""")
+            ctes.append(f"""{p}g2_{r} AS MATERIALIZED (
+  SELECT u FROM {p}g{r} UNION ALL SELECT v FROM {p}gpick{r})""")
+            ctes.append(f"""{p}spick{r} AS (SELECT u, f AS nf FROM (
+  SELECT e.u, CAST(sum(md) AS DOUBLE) AS f FROM (
+    SELECT a.u, s.node, min(s.dist) AS md
+    FROM {p}g2_{r} a JOIN {p}g2_{r} b ON b.u <> a.u
+    JOIN {p}sp s ON s.root = b.u GROUP BY a.u, s.node) e GROUP BY e.u)
+  ORDER BY f ASC, u ASC LIMIT 1)""")
+            ctes.append(
+                f"{p}acc{r} AS (SELECT u FROM {p}spick{r} "
+                f"WHERE nf < (SELECT f FROM {p}far{r}))"
+            )
+            ctes.append(f"""{p}g{r + 1} AS MATERIALIZED (
+  SELECT u FROM {p}g2_{r}
+  WHERE EXISTS (SELECT 1 FROM {p}acc{r}) AND u NOT IN (SELECT u FROM {p}acc{r})
+  UNION ALL
+  SELECT u FROM {p}g{r} WHERE NOT EXISTS (SELECT 1 FROM {p}acc{r}))""")
+        else:
+            if mode == "local_swaps":
+                ctes.append(f"""{p}cand{r} AS (SELECT id AS v FROM {p}degt
+  WHERE id NOT IN (SELECT u FROM {p}g{r}) ORDER BY deg DESC, id ASC LIMIT {beam})""")
+            else:
+                ctes.append(f"""{p}cand{r} AS (SELECT id AS v FROM {p}nodes
+  WHERE id NOT IN (SELECT u FROM {p}g{r}))""")
+            ctes.append(f"""{p}ev{r} AS (
+  SELECT g.u, c.v, g3.u AS root FROM {p}g{r} g, {p}cand{r} c, {p}g{r} g3
+  WHERE g3.u <> g.u
+  UNION ALL SELECT g.u, c.v, c.v FROM {p}g{r} g, {p}cand{r} c)""")
+            ctes.append(f"""{p}nf{r} AS MATERIALIZED (
+  SELECT u, v, CAST(sum(md) AS DOUBLE) AS nf FROM (
+    SELECT e.u, e.v, s.node, min(s.dist) AS md
+    FROM {p}ev{r} e JOIN {p}sp s ON s.root = e.root
+    GROUP BY e.u, e.v, s.node) t GROUP BY u, v)""")
+            ctes.append(
+                f"{p}best{r} AS (SELECT u, v, nf FROM {p}nf{r} "
+                f"ORDER BY nf ASC, u ASC, v ASC LIMIT 1)"
+            )
+            if mode == "local_swaps":
+                acc = f"nf < (SELECT f FROM {p}far{r})"
+            else:
+                acc = (
+                    f"(SELECT f FROM {p}far{r}) > 0 AND "
+                    f"((SELECT f FROM {p}far{r}) - nf) / (SELECT f FROM {p}far{r})"
+                    f" >= {thr}"
+                )
+            ctes.append(f"{p}acc{r} AS (SELECT u, v FROM {p}best{r} WHERE {acc})")
+            ctes.append(f"""{p}g{r + 1} AS MATERIALIZED (
+  SELECT u FROM {p}g{r} WHERE u NOT IN (SELECT u FROM {p}acc{r})
+  UNION ALL SELECT v FROM {p}acc{r})""")
+    ctes.append(f"""{p}far{rounds} AS (SELECT CAST(sum(md) AS DOUBLE) AS f FROM (
+  SELECT s.node, min(s.dist) AS md FROM {p}sp s JOIN {p}g{rounds} g ON s.root = g.u
+  GROUP BY s.node) t)""")
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"""
+SELECT CAST(row_number() OVER (ORDER BY u ASC) AS INT) AS rank, u AS id,
+       CAST(NULL AS DOUBLE) AS score
+FROM {p}g{rounds}
+UNION ALL
+SELECT 0, CAST(-1 AS BIGINT), (SELECT f FROM {p}far{rounds})
+"""
+
+
+def _group_harmonic_sql(k: int = 3) -> str:
+    """(rank, id, score) oracle replaying group_harmonic_closeness
+    (operators/group_centrality.py, portable_sum mode) k greedy rounds:
+    per-candidate marginal gains are ordered list_reduce folds over the
+    ascending-node term sequence — bit-identical to Spark's sorted
+    F.aggregate fold — so argmax ties resolve identically; the score row
+    is the same ordered fold of 1/d(S,v)."""
+    p = "gh"
+    ctes = _gc_prelude(p)
+    ctes.append(
+        f"{p}dp AS MATERIALIZED (SELECT root, node, dist FROM {p}sp WHERE dist > 0)"
+    )
+    ctes.append(f"{p}grp0 AS (SELECT CAST(NULL AS BIGINT) AS u WHERE 1 = 0)")
+    for r in range(k):
+        ctes.append(f"""{p}cr{r} AS (SELECT d.root, d.node, d.dist FROM {p}dp d
+  WHERE d.root NOT IN (SELECT u FROM {p}grp{r})
+    AND d.node NOT IN (SELECT u FROM {p}grp{r}))""")
+        if r == 0:
+            term_src = f"SELECT c.root, c.node, 1.0 / c.dist AS t FROM {p}cr{r} c"
+        else:
+            term_src = f"""SELECT c.root, c.node,
+    CASE WHEN c.dist < coalesce(b.bd, CAST('inf' AS DOUBLE))
+         THEN 1.0 / c.dist - coalesce(1.0 / b.bd, 0.0) ELSE 0.0 END AS t
+  FROM {p}cr{r} c LEFT JOIN {p}hb{r} b ON b.node = c.node"""
+        ctes.append(f"""{p}gf{r} AS (SELECT root AS id,
+  list_reduce(list_prepend(0.0, list(t ORDER BY node ASC)), (a, b) -> a + b) AS gain
+  FROM ({term_src}) x GROUP BY root)""")
+        own = (
+            f" - coalesce(1.0 / b.bd, 0.0)" if r > 0 else ""
+        )
+        bjoin = f" LEFT JOIN {p}hb{r} b ON b.node = n.id" if r > 0 else ""
+        ctes.append(f"""{p}gn{r} AS (SELECT n.id, coalesce(g.gain, 0.0){own} AS gain
+  FROM {p}nodes n LEFT JOIN {p}gf{r} g ON g.id = n.id{bjoin}
+  WHERE n.id NOT IN (SELECT u FROM {p}grp{r}))""")
+        ctes.append(
+            f"{p}pk{r} AS MATERIALIZED (SELECT id FROM {p}gn{r} "
+            f"ORDER BY gain DESC, id ASC LIMIT 1)"
+        )
+        ctes.append(f"""{p}grp{r + 1} AS MATERIALIZED (
+  SELECT u FROM {p}grp{r} UNION ALL SELECT id FROM {p}pk{r})""")
+        ctes.append(f"""{p}sl{r} AS (SELECT node, CAST(dist AS DOUBLE) AS nd
+  FROM {p}dp WHERE root = (SELECT id FROM {p}pk{r}))""")
+        if r == 0:
+            ctes.append(f"""{p}hb1 AS MATERIALIZED (SELECT node, nd AS bd FROM {p}sl0
+  WHERE node NOT IN (SELECT u FROM {p}grp1))""")
+        else:
+            ctes.append(f"""{p}hb{r + 1} AS MATERIALIZED (
+  SELECT coalesce(b.node, s.node) AS node,
+         least(coalesce(b.bd, s.nd), coalesce(s.nd, b.bd)) AS bd
+  FROM {p}hb{r} b FULL JOIN {p}sl{r} s ON b.node = s.node
+  WHERE coalesce(b.node, s.node) NOT IN (SELECT u FROM {p}grp{r + 1}))""")
+    ctes.append(f"""{p}sc AS (SELECT
+  list_reduce(list_prepend(0.0, list(t ORDER BY node ASC)), (a, b) -> a + b) AS sv
+  FROM (SELECT node, 1.0 / bd AS t FROM {p}hb{k}) x)""")
+    member_rows = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS rank, (SELECT id FROM {p}pk{r}) AS id, "
+        f"CAST(NULL AS DOUBLE) AS score"
+        for r in range(k)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"""
+{member_rows}
+UNION ALL
+SELECT 0, CAST(-1 AS BIGINT), (SELECT sv FROM {p}sc)
+"""
+
+
+def _dm_replay_ctes(steps: int = 12, seed: int = 42) -> list[str]:
+    """Chained-CTE regrowth of the portable DorogovtsevMendes stream:
+    step w picks edge index porthash('dm{seed}:' || w) % |E| from the
+    ordinal-numbered edge list and appends (w, u), (w, v) — exactly
+    generators.py::dynamic_dorogovtsev_mendes_events(portable_hash)."""
+    ctes = [
+        "dme3 AS (SELECT * FROM (VALUES "
+        "(0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)), (1, 1, 2), (2, 2, 0)"
+        ") t(ord, u, v))"
+    ]
+    for w in range(3, 3 + steps):
+        cnt = 3 + 2 * (w - 3)
+        ctes.append(
+            f"dmp{w} AS (SELECT u, v FROM dme{w} "
+            f"WHERE ord = {_porthash_sql(str(w), f'dm{seed}:')} % {cnt})"
+        )
+        ctes.append(f"""dme{w + 1} AS MATERIALIZED (SELECT ord, u, v FROM dme{w}
+  UNION ALL SELECT {cnt}, CAST({w} AS BIGINT), (SELECT u FROM dmp{w})
+  UNION ALL SELECT {cnt + 1}, CAST({w} AS BIGINT), (SELECT v FROM dmp{w}))""")
+    return ctes
+
+
+def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) -> str:
+    ctes = _dm_replay_ctes(dm_steps, seed)
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT 'orders' AS variant, o_custkey AS src, o_orderkey + 1000000 AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 'path', CAST(u.i AS BIGINT), CAST(u.i + 1 AS BIGINT), 1.0
+FROM UNNEST(range({path_steps})) AS u(i)
+UNION ALL
+SELECT 'dm', least(u, v), greatest(u, v), 1.0 FROM dme{3 + dm_steps}
 """
 
 

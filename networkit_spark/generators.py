@@ -1019,15 +1019,21 @@ def dynamic_path_events(spark: SparkSession, n_steps: int) -> DataFrame:
 
 
 def dynamic_dorogovtsev_mendes_events(
-    spark: SparkSession, n_steps: int, seed: int = 42
+    spark: SparkSession, n_steps: int, seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """DynamicDorogovtsevMendesGenerator
     (``generators/DynamicDorogovtsevMendesGenerator.cpp``): the initial
     triangle, then per step a new node wired to both endpoints of a
     uniformly random existing edge. Draw order matches the static
     :func:`dorogovtsev_mendes`, so replaying the full stream onto an
-    empty graph reproduces it exactly at the same seed."""
+    empty graph reproduces it exactly at the same seed.
+    ``portable_hash`` draws the edge index with the md5 porthash keyed
+    by the new node id, so a SQL oracle can replay the growth chain
+    CTE-for-CTE."""
     import random as _random
+
+    from networkit_spark.functions.porthash import md5_mod_py
 
     from networkit_spark.streaming.dynamics import (
         EDGE_ADDITION,
@@ -1051,7 +1057,10 @@ def dynamic_dorogovtsev_mendes_events(
         emit(EDGE_ADDITION, a, b, 1.0)
     emit(TIME_STEP)
     for w in range(3, 3 + int(n_steps)):
-        u, v = edges[rng.randrange(len(edges))]
+        if portable_hash:
+            u, v = edges[md5_mod_py(w, salt=f"dm{seed}:") % len(edges)]
+        else:
+            u, v = edges[rng.randrange(len(edges))]
         emit(NODE_ADDITION, w)
         edges.append((w, u))
         edges.append((w, v))

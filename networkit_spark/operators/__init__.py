@@ -83,7 +83,11 @@ from networkit_spark.operators.randomization import (
     edge_switching,
     global_curveball,
 )
-from networkit_spark.operators.reachability import all_simple_paths, reachable_nodes
+from networkit_spark.operators.reachability import (
+    affected_nodes,
+    all_simple_paths,
+    reachable_nodes,
+)
 from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble, tce
 from networkit_spark.operators.spectral import laplacian_centrality
 
@@ -163,6 +167,7 @@ __all__ = [
     "global_curveball",
     "reachable_nodes",
     "all_simple_paths",
+    "affected_nodes",
     "clique_detect",
     "gce",
     "tce",

@@ -642,7 +642,10 @@ def ged_walk_group(
 
 
 def group_harmonic_closeness(
-    g: Graph, k: int = 3, sources: DataFrame | None = None
+    g: Graph,
+    k: int = 3,
+    sources: DataFrame | None = None,
+    portable_sum: bool = False,
 ) -> tuple[list[int], float]:
     """GroupHarmonicCloseness (``centrality/GroupHarmonicCloseness.cpp``,
     Angriman et al. ALENEX 2021): greedy submodular maximization of the
@@ -661,7 +664,11 @@ def group_harmonic_closeness(
 
     ``sources`` restricts the candidate set (and the distance table's
     roots) for 100-TB runs — the reference's k ∈ [1, n−1] bound check is
-    kept. Raises ValueError outside that range.
+    kept. Raises ValueError outside that range. ``portable_sum`` folds
+    the fractional gain terms in ascending-node order (and the final
+    score likewise) so a SQL replay — and any cluster size — reproduces
+    the argmax ties bit-identically; the default keeps the commutative
+    parallel sum.
     """
     from networkit_spark.operators.distance import multi_source_bfs, multi_source_sssp
 
@@ -689,21 +696,27 @@ def group_harmonic_closeness(
             cand = cand.join(F.broadcast(gdf_r), "root", "left_anti").join(
                 F.broadcast(gdf_n), "node", "left_anti"
             )
-        if best is None:
-            gains = cand.groupBy(F.col("root").alias("id")).agg(
-                F.sum(F.lit(1.0) / F.col("dist")).alias("gain")
+        def fold_or_sum(df: DataFrame, term) -> DataFrame:
+            agg = (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("node", term.alias("t")))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                )
+                if portable_sum
+                else F.sum(term)
             )
+            return df.groupBy(F.col("root").alias("id")).agg(agg.alias("gain"))
+
+        if best is None:
+            gains = fold_or_sum(cand, F.lit(1.0) / F.col("dist"))
         else:
             improving = F.when(
                 F.col("dist") < F.coalesce("bd", F.lit(float("inf"))),
                 F.lit(1.0) / F.col("dist")
                 - F.coalesce(F.lit(1.0) / F.col("bd"), F.lit(0.0)),
             ).otherwise(F.lit(0.0))
-            gains = (
-                cand.join(best, "node", "left")
-                .groupBy(F.col("root").alias("id"))
-                .agg(F.sum(improving).alias("gain"))
-            )
+            gains = fold_or_sum(cand.join(best, "node", "left"), improving)
         allc = g.nodes if sources is None else src.select(
             F.col(src.columns[0]).cast("long").alias("id")
         )
@@ -747,9 +760,19 @@ def group_harmonic_closeness(
             "left_anti",
         ).transform(pin)
 
-    score = float(
-        best.agg(F.sum(F.lit(1.0) / F.col("bd"))).collect()[0][0] or 0.0
-    ) if best is not None else 0.0
+    if best is None:
+        return group, 0.0
+    term = F.lit(1.0) / F.col("bd")
+    sc = (
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("node", term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        )
+        if portable_sum
+        else F.sum(term)
+    )
+    score = float(best.agg(sc).collect()[0][0] or 0.0)
     return group, score
 
 

@@ -531,6 +531,7 @@ class DynApproxBetweenness:
         seed: int = 42,
         runner: SuperstepRunner | None = None,
         portable_hash: bool = False,
+        vd: int | None = None,
     ) -> None:
         import math as _math
 
@@ -556,7 +557,11 @@ class DynApproxBetweenness:
                 [], "root long, node long, dist long, sigma double"
             )
             return
-        _, vd = diameter_range(g, seed=seed)
+        # ``vd`` pins the vertex-diameter bound (and with it the sample
+        # count r) so a SQL oracle can embed the same constants; None =
+        # the reference's two-sweep estimate
+        if vd is None:
+            _, vd = diameter_range(g, seed=seed)
         self.vd = max(int(vd), 2)
         self.r = int(
             _math.ceil(

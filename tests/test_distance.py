@@ -894,3 +894,126 @@ def test_volume_and_nfh_on_cycle(spark):
         neighborhood_function_heuristic(
             Graph.of(spark, [(0, 1), (2, 3)], n=4), n_samples=2
         )
+
+
+def _ref_affected(edges_without, n, u, v, directed=False):
+    """Transcription of AffectedNodes.cpp getAffectedNodes: BFS-distance
+    tables on the WITHOUT-edge graph, pruned-BFS affected sets, min
+    distances, and the undirected-addition improvement bounds."""
+    from collections import Counter, deque
+
+    nbrs = {w: set() for w in range(n)}
+    rnbrs = {w: set() for w in range(n)}
+    for a, b in edges_without:
+        nbrs[a].add(b)
+        rnbrs[b].add(a)
+        if not directed:
+            nbrs[b].add(a)
+            rnbrs[a].add(b)
+
+    def bfs(s, adj):
+        dist = {s: 0.0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for w in adj[x]:
+                if w not in dist:
+                    dist[w] = dist[x] + 1
+                    q.append(w)
+        return dist
+
+    inf = float("inf")
+    if directed:
+        du = bfs(u, rnbrs)
+        dv = bfs(v, rnbrs)
+        aff = {
+            w for w in range(n)
+            if w == u or (w != v and du.get(w, inf) + 1 < dv.get(w, inf))
+        }
+        return aff, du, dv, {}
+    du = bfs(u, nbrs)
+    dv = bfs(v, nbrs)
+    aff_u = {
+        w for w in range(n)
+        if w != u and (w == v or dv.get(w, inf) + 1 < du.get(w, inf))
+    }
+    aff_v = {
+        w for w in range(n)
+        if w != v and (w == u or du.get(w, inf) + 1 < dv.get(w, inf))
+    }
+    h_old_u, h_old_v, h_new_u, h_new_v = Counter(), Counter(), Counter(), Counter()
+    for w in range(n):
+        ou, ov = du.get(w, inf), dv.get(w, inf)
+        for val, h in ((ou, h_old_u), (ov, h_old_v),
+                       (min(ou, ov + 1), h_new_u), (min(ov, ou + 1), h_new_v)):
+            if val != inf:
+                h[int(val)] += 1
+    lu = max([k for k in h_new_u if k > 0], default=0)
+    lv = max([k for k in h_new_v if k > 0], default=0)
+    iu = {i: sum((h_new_v[j] - h_old_v[j]) / (i + j) for j in range(1, lv + 1))
+          for i in range(1, lu + 1)}
+    iv = {i: sum((h_new_u[j] - h_old_u[j]) / (i + j) for j in range(1, lu + 1))
+          for i in range(1, lv + 1)}
+    imp = {}
+    for w in aff_u:
+        nv = min(dv.get(w, inf), du.get(w, inf) + 1)
+        imp[w] = iu.get(int(nv), 0.0) if nv != inf else 0.0
+    for w in aff_v:  # reference write order: affectedV overwrites
+        nu = min(du.get(w, inf), dv.get(w, inf) + 1)
+        imp[w] = iv.get(int(nu), 0.0) if nu != inf else 0.0
+    return aff_u | aff_v, du, dv, imp
+
+
+def test_affected_nodes_addition_and_removal(spark):
+    """affected_nodes (distance/AffectedNodes.cpp): the closed-form
+    affected sets, min distances, and undirected-addition improvement
+    bounds match a transcription of the reference's pruned BFS on seeded
+    graphs, for additions, removals, and the directed reverse case."""
+    import random
+
+    from networkit_spark.operators.reachability import affected_nodes
+
+    inf = float("inf")
+    n = 16
+    rng = random.Random(13)
+    base = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(22)})
+    # an addition between two far apart nodes + a removal case
+    uu, vv = 0, 15
+    without = [e for e in base if e != (uu, vv)]
+
+    # ADDITION: g has the edge; old distances come from skipping it
+    g_with = Graph.of(spark, without + [(uu, vv)], n=n)
+    got = {
+        r["node"]: (r["dist"], r["improvement"])
+        for r in affected_nodes(g_with, "EDGE_ADDITION", uu, vv).collect()
+    }
+    aff, du, dv, imp = _ref_affected(without, n, uu, vv)
+    assert set(got) == aff
+    for w in aff:
+        assert got[w][0] == min(du.get(w, inf), dv.get(w, inf))
+        assert got[w][1] == pytest.approx(imp[w], abs=1e-12), w
+
+    # REMOVAL: g is the post-removal graph
+    g_post = Graph.of(spark, without, n=n)
+    got_rm = {
+        r["node"]: r["dist"]
+        for r in affected_nodes(g_post, "EDGE_REMOVAL", uu, vv).collect()
+    }
+    assert set(got_rm) == aff
+    for w in aff:
+        assert got_rm[w] == min(du.get(w, inf), dv.get(w, inf))
+
+    # DIRECTED addition: reverse-search semantics
+    d_edges = [(a, b) for a, b in without]
+    gd = Graph.of(spark, d_edges + [(uu, vv)], n=n, directed=True)
+    got_d = {
+        r["node"]: r["dist"]
+        for r in affected_nodes(gd, "EDGE_ADDITION", uu, vv).collect()
+    }
+    aff_d, du_d, dv_d, _ = _ref_affected(d_edges, n, uu, vv, directed=True)
+    assert set(got_d) == aff_d
+    for w in aff_d:
+        assert got_d[w] == min(du_d.get(w, inf), dv_d.get(w, inf))
+
+    with pytest.raises(ValueError, match="event_type"):
+        affected_nodes(g_with, "NODE_ADDITION", uu, vv)
