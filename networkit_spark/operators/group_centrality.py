@@ -259,6 +259,21 @@ def _swap_candidates(g: Graph, group: list[int], beam: int) -> list[int]:
     return [int(r["id"]) for r in deg if int(r["id"]) not in gset][:beam]
 
 
+def _group_dists(g: Graph, srcs: DataFrame) -> DataFrame:
+    """(root, node, dist) from every source — batched BFS on unweighted
+    graphs, batched multi-source SSSP (Dijkstra semantics) on weighted
+    ones, mirroring the reference's count/edgeweight template split."""
+    from networkit_spark.operators.distance import multi_source_bfs, multi_source_sssp
+
+    if g.weighted:
+        return multi_source_sssp(g, srcs).select("root", "node", "dist").transform(pin)
+    return (
+        multi_source_bfs(g, srcs, with_sigma=False)
+        .visited.select("root", "node", "dist")
+        .transform(pin)
+    )
+
+
 def _swap_farness(
     gdf: DataFrame, cdf: DataFrame, base: DataFrame, cv: DataFrame
 ) -> DataFrame:
@@ -326,9 +341,9 @@ def group_closeness_local_swaps(
     accept decision exact and deterministic. Farness uses the same
     reachable-set convention as :func:`group_closeness`. Candidates are
     a degree-ranked beam (the swap that helps must cover far mass, and
-    high-coverage nodes dominate)."""
-    from networkit_spark.operators.distance import multi_source_bfs
-
+    high-coverage nodes dominate). Weighted graphs evaluate over the
+    batched multi-source SSSP distances (the reference's edgeweight
+    template)."""
     spark = g.edges.sparkSession
     group = [int(x) for x in group]
     farness = None
@@ -339,11 +354,7 @@ def group_closeness_local_swaps(
         srcs = spark.createDataFrame(
             [(x,) for x in group + cands], "id long"
         )
-        vis = (
-            multi_source_bfs(g, srcs, with_sigma=False)
-            .visited.select("root", "node", "dist")
-            .transform(pin)
-        )
+        vis = _group_dists(g, srcs)
         gdf = spark.createDataFrame([(x,) for x in group], "root long")
         mem = vis.join(F.broadcast(gdf), "root", "left_semi")
         mins = _member_mins(mem).transform(pin)
@@ -379,10 +390,8 @@ def group_closeness_local_swaps(
         group = sorted(set(group) - {int(row["u"])} | {int(row["v"])})
         farness = float(row["new_farness"])
     if farness is None:
-        from networkit_spark.operators.distance import multi_source_bfs as _msb
-
         gdf0 = spark.createDataFrame([(x,) for x in group], "id long")
-        vis0 = _msb(g, gdf0, with_sigma=False).visited
+        vis0 = _group_dists(g, gdf0)
         farness = float(
             vis0.groupBy("node").agg(F.min("dist").alias("d")).agg(F.sum("d"))
             .collect()[0][0]
@@ -405,9 +414,8 @@ def group_closeness_grow_shrink(
     BFS per iteration (members ∪ beam share the frontier); the grow and
     shrink evaluations reuse the same two-closest-members fallback
     tables as :func:`group_closeness_local_swaps`, exact instead of the
-    reference's sketched estimates (documented deviation)."""
-    from networkit_spark.operators.distance import multi_source_bfs
-
+    reference's sketched estimates (documented deviation); weighted
+    graphs use the batched multi-source SSSP distances."""
     spark = g.edges.sparkSession
     group = sorted(int(x) for x in group)
     _, farness = group_closeness_local_swaps(g, group, max_swaps=0)
@@ -416,11 +424,7 @@ def group_closeness_grow_shrink(
         if not cands:
             break
         srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
-        vis = (
-            multi_source_bfs(g, srcs, with_sigma=False)
-            .visited.select("root", "node", "dist")
-            .transform(pin)
-        )
+        vis = _group_dists(g, srcs)
         gdf = spark.createDataFrame([(x,) for x in group], "root long")
         mins = _member_mins(
             vis.join(F.broadcast(gdf), "root", "left_semi")
@@ -799,12 +803,11 @@ def group_closeness_local_search(
     BEST sufficient swap is taken (documented deviation — both converge
     to the same local-optimality criterion: no swap clears the
     1/(k·(n−k)) bar). The (root, node) distance table is built once per
-    swap from members ∪ candidates via the batched multi-source BFS;
-    ``beam`` (None = all outsiders, the reference's O(n·k) sweep) caps
-    the candidate set by degree rank for scale.
+    swap from members ∪ candidates via the batched multi-source BFS
+    (multi-source SSSP when weighted, the reference's edgeweight
+    template); ``beam`` (None = all outsiders, the reference's O(n·k)
+    sweep) caps the candidate set by degree rank for scale.
     """
-    from networkit_spark.operators.distance import multi_source_bfs
-
     spark = g.edges.sparkSession
     group = sorted({int(x) for x in group})
     if not group:
@@ -835,11 +838,7 @@ def group_closeness_local_search(
         if not cands:
             break
         srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
-        vis = (
-            multi_source_bfs(g, srcs, with_sigma=False)
-            .visited.select("root", "node", "dist")
-            .transform(pin)
-        )
+        vis = _group_dists(g, srcs)
         gdf = spark.createDataFrame([(x,) for x in group], "root long")
         mins = _member_mins(
             vis.join(F.broadcast(gdf), "root", "left_semi")

@@ -377,3 +377,58 @@ def test_swap_eval_exact_on_disconnected_graph(spark):
     grp2, f2 = group_closeness_local_swaps(g, start, max_swaps=4, beam=9)
     assert f2 == far(grp2)
     assert grp2 == [6, 9] and f2 == 2.0
+
+
+def test_group_refinements_weighted_dispatch(spark):
+    """On WEIGHTED graphs the refinement passes evaluate farness over
+    Dijkstra distances (the reference's edgeweight template), not hop
+    counts: local_search from a bad seed converges to the brute-force
+    weighted optimum on a small fixture."""
+    import heapq
+    import itertools
+
+    from networkit_spark.operators.group_centrality import (
+        group_closeness_local_search,
+        group_closeness_local_swaps,
+    )
+
+    # weighted wheel-ish fixture where the hop-optimal and the
+    # weight-optimal 2-groups differ: hub 0 has CHEAP spokes to 1..3 and
+    # expensive spokes to 4..6; node 7 bridges 4..6 cheaply
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0),
+             (0, 4, 10.0), (0, 5, 10.0), (0, 6, 10.0),
+             (7, 4, 1.0), (7, 5, 1.0), (7, 6, 1.0), (0, 7, 2.0)]
+    n = 8
+    g = Graph.of(spark, edges, n=n, weighted=True)
+
+    nbrs = {u: [] for u in range(n)}
+    for a, b, w in edges:
+        nbrs[a].append((b, w))
+        nbrs[b].append((a, w))
+
+    def dij(s):
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1e18):
+                continue
+            for w, c in nbrs[u]:
+                if d + c < dist.get(w, 1e18):
+                    dist[w] = d + c
+                    heapq.heappush(pq, (d + c, w))
+        return dist
+
+    D = {s: dij(s) for s in range(n)}
+
+    def far(S):
+        return float(sum(min(D[s][x] for s in S) for x in range(n)))
+
+    opt = min(far(list(S)) for S in itertools.combinations(range(n), 2))
+    grp, f, _ = group_closeness_local_search(g, [5, 6], run_grow_shrink=False)
+    assert f == far(grp)
+    assert f == opt  # {0, 7} at weighted farness; hop farness would differ
+    assert sorted(grp) == [0, 7]
+
+    grp2, f2 = group_closeness_local_swaps(g, [5, 6], max_swaps=4, beam=7)
+    assert f2 == far(grp2) and f2 <= far([5, 6])
