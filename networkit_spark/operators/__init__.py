@@ -70,6 +70,7 @@ from networkit_spark.operators.matching import (
     spanning_forest,
     suitor_matching,
     union_maximum_spanning_forest,
+    path_growing_matcher,
 )
 from networkit_spark.operators.numerics import (
     approx_electrical_closeness,
@@ -152,6 +153,7 @@ __all__ = [
     "ged_walk_score",
     "group_degree",
     "local_max_matching",
+    "path_growing_matcher",
     "luby_independent_set",
     "random_maximum_spanning_forest",
     "spanning_forest",

@@ -388,3 +388,102 @@ def random_maximum_spanning_forest(g: Graph, seed: int = 42) -> DataFrame:
     return msf.select("src", "dst").join(canon, ["src", "dst"]).select(
         "src", "dst", "weight"
     )
+
+
+def path_growing_matcher(
+    g: Graph, max_edges: int | None = 500_000
+) -> DataFrame:
+    """PathGrowingMatcher (``matching/PathGrowingMatcher.cpp``,
+    Drake-Hougardy ½-approximation): grow vertex-disjoint paths by
+    repeatedly following the heaviest live incident edge, color the path
+    edges alternately into two matchings (the alternation flag persists
+    ACROSS paths, ``PathGrowingMatcher.cpp:36,96-104``), delete each
+    visited vertex, and return the heavier matching (ties → the second,
+    ``:150-153``). Returns canonical (src < dst) matched pairs with
+    weights. Raises on directed graphs and self-loops like the
+    reference's checkInput.
+
+    The algorithm is INHERENTLY sequential — every step conditions on
+    all previous deletions — so like the reference it runs as one
+    driver-side pass over the (collected) edge list; ``max_edges``
+    (default 500k) caps that driver state and raises on larger graphs,
+    with ``max_edges=None`` as the explicit opt-out (the
+    ``cut_clustering`` convention). For distributed matching at scale
+    use :func:`suitor_matching` / :func:`local_max_matching` — this
+    operator's value is exact Drake-Hougardy path-growing semantics on
+    dimension-sized graphs. Deterministic tie-breaks replace the
+    reference's BucketPQ/iteration order: the start vertex is the
+    highest-degree live node (ties → smallest id); the heaviest incident
+    edge breaks ties toward the smallest neighbor id.
+    """
+    spark = g.edges.sparkSession
+    if g.directed:
+        raise ValueError("undirected graphs only (reference contract)")
+    canon = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+    if g.edges.filter(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise ValueError("self-loops are not supported (reference contract)")
+    m = canon.count()
+    if max_edges is not None and m > max_edges:
+        raise ValueError(
+            f"path_growing_matcher is driver-sequential: {m} edges exceeds "
+            f"max_edges={max_edges}; raise the cap or pass max_edges=None "
+            "to opt in explicitly (use suitor_matching/local_max_matching "
+            "for scale)"
+        )
+    rows = canon.collect()
+    nbrs: dict[int, dict[int, float]] = {}
+    for r in rows:
+        a, b, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+        nbrs.setdefault(a, {})[b] = w
+        nbrs.setdefault(b, {})[a] = w
+    alive = {u for u, d in nbrs.items() if d}
+    m1: list[tuple[int, int, float]] = []
+    m2: list[tuple[int, int, float]] = []
+    take_m1 = True
+    num_edges = m
+    while num_edges > 0:
+        # highest-degree live vertex, ties -> smallest id
+        v = min(alive, key=lambda x: (-len(nbrs[x]), x))
+        while nbrs.get(v):
+            best_u = min(
+                nbrs[v], key=lambda u: (-nbrs[v][u], u)
+            )
+            w = nbrs[v][best_u]
+            (m1 if take_m1 else m2).append(
+                (min(v, best_u), max(v, best_u), w)
+            )
+            take_m1 = not take_m1
+            for u in list(nbrs[v]):
+                del nbrs[u][v]
+                num_edges -= 1
+                if not nbrs[u]:
+                    alive.discard(u)
+            nbrs[v] = {}
+            alive.discard(v)
+            v = best_u
+
+    def _valid(match: list[tuple[int, int, float]]):
+        seen: set[int] = set()
+        out = []
+        for a, b, w in match:
+            if a not in seen and b not in seen:
+                out.append((a, b, w))
+                seen.add(a)
+                seen.add(b)
+        return out
+
+    m1 = _valid(m1)
+    m2 = _valid(m2)
+    best = m1 if sum(w for *_, w in m1) > sum(w for *_, w in m2) else m2
+    if not best:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return spark.createDataFrame(best, "src long, dst long, weight double")

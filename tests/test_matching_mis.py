@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.matching import (
     luby_independent_set,
@@ -174,3 +176,59 @@ def test_cut_clustering_matches_python_oracle(spark):
     g2 = Graph.of(spark, edges, n=10)
     got2 = {r["node"]: r["label"] for r in cut_clustering(g2, alpha=0.4).collect()}
     assert got2 == _cut_clustering_python(edges, 10, 0.4)
+
+
+def test_path_growing_matcher(spark):
+    """path_growing_matcher (matching/PathGrowingMatcher.cpp,
+    MatcherGTest.cpp:90-110): perfect matching on the 50-clique, proper
+    matchings everywhere, the Drake-Hougardy 1/2 guarantee on weighted
+    fixtures, and the reference's contract raises (directed graphs,
+    self-loops, the max_edges driver-state guard)."""
+    import itertools
+    import random
+
+    from networkit_spark.operators.matching import path_growing_matcher
+
+    # 50-clique -> proper perfect matching (the reference gtest)
+    n = 50
+    clique = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    got = path_growing_matcher(Graph.of(spark, clique, n=n)).collect()
+    seen = [x for r in got for x in (r["src"], r["dst"])]
+    assert len(got) == n // 2 and len(set(seen)) == len(seen) == n
+
+    # weighted 1/2-approximation vs brute force, three seeds
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        m = 10
+        edges = sorted(
+            (a, b, float(rng.randint(1, 9)))
+            for a, b in {tuple(sorted(rng.sample(range(m), 2))) for _ in range(18)}
+        )
+        g = Graph.of(spark, edges, n=m, weighted=True)
+        rows = path_growing_matcher(g).collect()
+        ends = [x for r in rows for x in (r["src"], r["dst"])]
+        assert len(set(ends)) == len(ends)  # proper
+        wgot = sum(r["weight"] for r in rows)
+
+        def best_matching(es):
+            best = 0.0
+            for k in range(1, len(es) + 1):
+                for comb in itertools.combinations(es, k):
+                    nodes = [x for a, b, _ in comb for x in (a, b)]
+                    if len(set(nodes)) == len(nodes):
+                        best = max(best, sum(w for *_, w in comb))
+            return best
+
+        opt = best_matching(edges)
+        assert wgot >= 0.5 * opt - 1e-9, (seed, wgot, opt)
+
+    # contract raises
+    gd = Graph.of(spark, [(0, 1)], n=2, directed=True)
+    with pytest.raises(ValueError, match="undirected"):
+        path_growing_matcher(gd)
+    gl = Graph.of(spark, [(0, 0), (0, 1)], n=2)
+    with pytest.raises(ValueError, match="self-loops"):
+        path_growing_matcher(gl)
+    gbig = Graph.of(spark, clique, n=n)
+    with pytest.raises(ValueError, match="max_edges"):
+        path_growing_matcher(gbig, max_edges=10)
