@@ -821,24 +821,26 @@ def group_closeness_local_search(
 
     n_iter = 0
     farness = None
+    all_ids: list[int] | None = None
+    vis_full: DataFrame | None = None
+    if beam is None:
+        # distances are static across swaps — ONE batched all-source
+        # run feeds every iteration instead of an APSP per swap
+        all_ids = [int(r["id"]) for r in g.nodes.collect()]
+        vis_full = _group_dists(g, g.nodes)
     while n_iter < max_iterations:
         if beam is None:
-            cands = [
-                int(r["id"])
-                for r in g.nodes.join(
-                    F.broadcast(
-                        spark.createDataFrame([(x,) for x in group], "id long")
-                    ),
-                    "id",
-                    "left_anti",
-                ).collect()
-            ]
+            gset = set(group)
+            cands = [x for x in all_ids if x not in gset]
         else:
             cands = _swap_candidates(g, group, beam)
         if not cands:
             break
-        srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
-        vis = _group_dists(g, srcs)
+        if vis_full is not None:
+            vis = vis_full
+        else:
+            srcs = spark.createDataFrame([(x,) for x in group + cands], "id long")
+            vis = _group_dists(g, srcs)
         gdf = spark.createDataFrame([(x,) for x in group], "root long")
         mins = _member_mins(
             vis.join(F.broadcast(gdf), "root", "left_semi")
