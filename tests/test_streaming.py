@@ -106,3 +106,49 @@ def test_streaming_degree_counts_stateful(spark):
     assert final[1][0] == 1 and abs(final[1][1] - 2.0) < 1e-12
     assert final[2][0] == 2 and abs(final[2][1] - 6.0) < 1e-12
     assert final[3] == (1, 4.0)
+
+
+def test_windowed_event_counts_stream_with_watermark(spark, tmp_path):
+    """windowed_event_counts through a REAL file stream: availableNow
+    micro-batches + watermark produce exactly the batch aggregation of
+    the same rows (replayable source ⇒ exactly-once), and the streaming
+    plan carries the watermark/state semantics (append mode finalizes
+    windows past the watermark)."""
+    import datetime as dt
+    import os
+
+    from networkit_spark.streaming.stateful import windowed_event_counts
+
+    rows = []
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    for i in range(200):
+        rows.append(
+            (base + dt.timedelta(minutes=7 * i), f"t{i % 3}", float(i % 11))
+        )
+    src = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    in_dir = os.path.join(tmp_path, "in")
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(in_dir)
+    out = windowed_event_counts(stream)
+    ckpt = os.path.join(tmp_path, "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(src).collect()
+    }
+    assert got == want and len(want) > 20
