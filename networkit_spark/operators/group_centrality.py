@@ -26,6 +26,21 @@ from networkit_spark.graph import Graph
 from networkit_spark.plans.pin import pin
 
 
+def _all_pairs_guard(n: int, max_nodes: int | None, what: str) -> None:
+    """House convention (``cut_clustering`` / ``DynBetweennessOneNode``):
+    kernels whose default materializes an O(n²) (root, node) distance
+    table raise above ``max_nodes`` unless the caller passes
+    ``max_nodes=None`` to opt into the unbounded state explicitly."""
+    if max_nodes is not None and n > max_nodes:
+        raise ValueError(
+            f"{what} materializes an O(n²) (root, node) distance table "
+            f"by default: {n} nodes exceeds max_nodes={max_nodes}; pass "
+            "a `sources`/`beam` restriction for scale, raise the cap, or "
+            "pass max_nodes=None to opt into the all-pairs table "
+            "explicitly"
+        )
+
+
 def group_degree(
     g: Graph, k: int = 5, count_group_nodes: bool = False
 ) -> tuple[list[int], int]:
@@ -102,18 +117,26 @@ def group_degree(
 
 
 def group_closeness(
-    g: Graph, k: int = 3, sources: DataFrame | None = None
+    g: Graph,
+    k: int = 3,
+    sources: DataFrame | None = None,
+    max_nodes: int | None = 20_000,
 ) -> tuple[list[int], float]:
     """Greedy group-closeness (farness minimization). Returns
     (group, farness) with farness = Σ_v min_{s∈S} d(s → v) over reachable
     (v, group) pairs; ties broken by smallest node id.
 
     The all-pairs hop-distance table is computed once with the batched
-    multi-source BFS and reused across all k greedy rounds.
+    multi-source BFS and reused across all k greedy rounds. With
+    ``sources=None`` that table is O(n²): ``max_nodes`` (default 20k)
+    raises on larger graphs; pass a ``sources`` restriction for scale or
+    ``max_nodes=None`` to opt in explicitly.
     """
     from networkit_spark.operators.distance import multi_source_bfs
 
     spark = g.edges.sparkSession
+    if sources is None:
+        _all_pairs_guard(g.num_nodes(), max_nodes, "group_closeness(sources=None)")
     src = sources if sources is not None else g.nodes
     dist = (
         multi_source_bfs(g, src, with_sigma=False)
@@ -650,6 +673,7 @@ def group_harmonic_closeness(
     k: int = 3,
     sources: DataFrame | None = None,
     portable_sum: bool = False,
+    max_nodes: int | None = 20_000,
 ) -> tuple[list[int], float]:
     """GroupHarmonicCloseness (``centrality/GroupHarmonicCloseness.cpp``,
     Angriman et al. ALENEX 2021): greedy submodular maximization of the
@@ -680,6 +704,8 @@ def group_harmonic_closeness(
     n = g.num_nodes()
     if k <= 0 or n <= k:
         raise ValueError("k must be in [1, n - 1]")
+    if sources is None:
+        _all_pairs_guard(n, max_nodes, "group_harmonic_closeness(sources=None)")
     src = sources if sources is not None else g.nodes
     if g.weighted:
         dist = multi_source_sssp(g, src).select("root", "node", "dist")
@@ -786,6 +812,7 @@ def group_closeness_local_search(
     run_grow_shrink: bool = True,
     max_iterations: int = 100,
     beam: int | None = None,
+    max_nodes: int | None = 20_000,
 ) -> tuple[list[int], float, int]:
     """GroupClosenessLocalSearch
     (``centrality/GroupClosenessLocalSearch.cpp``, Angriman et al.
@@ -806,13 +833,18 @@ def group_closeness_local_search(
     swap from members ∪ candidates via the batched multi-source BFS
     (multi-source SSSP when weighted, the reference's edgeweight
     template); ``beam`` (None = all outsiders, the reference's O(n·k)
-    sweep) caps the candidate set by degree rank for scale.
+    sweep) caps the candidate set by degree rank for scale. With
+    ``beam=None`` the table is O(n²) and the full id list is collected
+    to the driver: ``max_nodes`` (default 20k) raises on larger graphs —
+    pass a bounded ``beam`` for scale or ``max_nodes=None`` to opt in.
     """
     spark = g.edges.sparkSession
     group = sorted({int(x) for x in group})
     if not group:
         raise ValueError("the initial group must not be empty")
     n = g.num_nodes()
+    if beam is None:
+        _all_pairs_guard(n, max_nodes, "group_closeness_local_search(beam=None)")
     k = len(group)
     if run_grow_shrink:
         group, _ = group_closeness_grow_shrink(g, group)

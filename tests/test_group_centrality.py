@@ -432,3 +432,34 @@ def test_group_refinements_weighted_dispatch(spark):
 
     grp2, f2 = group_closeness_local_swaps(g, [5, 6], max_swaps=4, beam=7)
     assert f2 == far(grp2) and f2 <= far([5, 6])
+
+
+def test_group_family_all_pairs_guards(spark):
+    """The all-pairs defaults of the group family raise above max_nodes
+    (the cut_clustering/DynBetweennessOneNode convention); small-graph
+    results are unchanged by the guard plumbing, and an explicit
+    `sources`/`beam` restriction bypasses the cap entirely."""
+    from networkit_spark.operators.group_centrality import (
+        group_closeness_local_search,
+        group_harmonic_closeness,
+    )
+
+    g = Graph.of(spark, GC8_EDGES, n=8)
+    with pytest.raises(ValueError, match="max_nodes"):
+        group_closeness(g, k=3, max_nodes=4)
+    with pytest.raises(ValueError, match="max_nodes"):
+        group_harmonic_closeness(g, k=3, max_nodes=4)
+    with pytest.raises(ValueError, match="max_nodes"):
+        group_closeness_local_search(g, [0, 1], max_nodes=4)
+
+    # restricted runs do not hit the guard even under a tiny cap
+    srcs = g.nodes.filter(F.col("id") < 5)
+    group_harmonic_closeness(g, k=2, sources=srcs, max_nodes=4)
+    group_closeness_local_search(
+        g, [0, 1], run_grow_shrink=False, max_iterations=1, beam=3, max_nodes=4
+    )
+
+    # guard plumbing leaves small-graph answers unchanged
+    grp_default, f_default = group_closeness(g, k=3)
+    grp_optout, f_optout = group_closeness(g, k=3, max_nodes=None)
+    assert grp_default == grp_optout and f_default == f_optout
