@@ -1937,15 +1937,35 @@ def q_graph_randomized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted matchings in one (method, u, v) table: Suitor + LocalMax
-    on deterministic-weighted <200 subgraphs (merged graph_suitor +
-    graph_local_max)."""
+    + PathGrowingMatcher on deterministic-weighted <200 subgraphs (merged
+    graph_suitor + graph_local_max; pgm gate-folded round 7 — the oracle
+    replays the driver-sequential Drake-Hougardy pass as a recursive-CTE
+    state machine with the documented tie-breaks)."""
+    from networkit_spark.operators.matching import path_growing_matcher
+
     a = q_graph_suitor(spark, sf_dir).select(
         F.lit("suitor").alias("method"), "u", "v"
     )
     b = q_graph_local_max(spark, sf_dir).select(
         F.lit("local_max").alias("method"), "u", "v"
     )
-    return a.unionByName(b)
+    sub = _co_subgraph200(spark, sf_dir)
+    weighted = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 11 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    c = path_growing_matcher(weighted).select(
+        F.lit("pgm").alias("method"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4554,9 +4574,80 @@ def _localmax_rounds_sql(
     return ",\n".join(ctes)
 
 
+# PathGrowingMatcher single-row state-machine replay: the algorithm is
+# inherently sequential (matching.py::path_growing_matcher mirrors
+# PathGrowingMatcher.cpp), so the oracle carries the FULL state — live
+# edge list, current path head, alternation flag, both matchings — in one
+# recursive-CTE row and replays the documented tie-breaks exactly: start
+# vertex = (max degree, min id) over live nodes, next edge = (max weight,
+# min neighbor id), alternation persists across paths, ties between the
+# two matchings return m2. Weights are small integers cast to double, so
+# the final sum comparison is exact in both engines. One row per consumed
+# edge ⇒ ≤ |V|/2 recursion steps on the sub200 graph.
+_PGM_SQL = """
+  pgm_el AS MATERIALIZED (
+    SELECT list(struct_pack(s := src, d := dst,
+                            w := CAST((src + dst) % 11 + 1 AS DOUBLE))
+                ORDER BY src, dst) AS es
+    FROM e0),
+  pgm_st AS (
+    SELECT 0 AS step,
+           CAST(NULL AS BIGINT) AS cur,
+           TRUE AS take1,
+           CAST([] AS STRUCT(s BIGINT, d BIGINT, w DOUBLE)[]) AS m1,
+           CAST([] AS STRUCT(s BIGINT, d BIGINT, w DOUBLE)[]) AS m2,
+           (SELECT es FROM pgm_el) AS live
+    UNION ALL
+    SELECT pgm_st.step + 1,
+           tp.pick.nb AS cur,
+           NOT pgm_st.take1,
+           CASE WHEN pgm_st.take1
+                THEN list_append(pgm_st.m1, struct_pack(
+                       s := least(tv.v, tp.pick.nb),
+                       d := greatest(tv.v, tp.pick.nb),
+                       w := tp.pick.w))
+                ELSE pgm_st.m1 END,
+           CASE WHEN pgm_st.take1 THEN pgm_st.m2
+                ELSE list_append(pgm_st.m2, struct_pack(
+                       s := least(tv.v, tp.pick.nb),
+                       d := greatest(tv.v, tp.pick.nb),
+                       w := tp.pick.w)) END,
+           list_filter(pgm_st.live, e -> e.s <> tv.v AND e.d <> tv.v)
+    FROM pgm_st,
+      LATERAL (SELECT CASE
+          WHEN pgm_st.cur IS NOT NULL AND len(list_filter(pgm_st.live,
+               e -> e.s = pgm_st.cur OR e.d = pgm_st.cur)) > 0
+          THEN pgm_st.cur
+          ELSE (list_sort(list_transform(
+                  list_distinct(list_concat(
+                    list_transform(pgm_st.live, e -> e.s),
+                    list_transform(pgm_st.live, e -> e.d))),
+                  x -> struct_pack(
+                    negdg := -len(list_filter(pgm_st.live,
+                               e -> e.s = x OR e.d = x)),
+                    id := x)))[1]).id
+          END AS v) tv,
+      LATERAL (SELECT (list_sort(list_transform(
+                 list_filter(pgm_st.live, e -> e.s = tv.v OR e.d = tv.v),
+                 e -> struct_pack(
+                   negw := -e.w,
+                   nb := CASE WHEN e.s = tv.v THEN e.d ELSE e.s END,
+                   w := e.w)))[1]) AS pick) tp
+    WHERE len(pgm_st.live) > 0
+  ),
+  pgm_fin AS (SELECT m1, m2 FROM pgm_st ORDER BY step DESC LIMIT 1),
+  pgm_sel AS (
+    SELECT CASE WHEN coalesce(list_sum(list_transform(m1, e -> e.w)), 0)
+                   > coalesce(list_sum(list_transform(m2, e -> e.w)), 0)
+                THEN m1 ELSE m2 END AS m
+    FROM pgm_fin)
+"""
+
+
 def _matching_sql(rounds: int = MATCHING_ROUNDS) -> str:
     """(method, u, v) oracle for graph_matching: exact round replay of
-    Suitor ((src+dst)%11+1 weights) and LocalMax ((src+dst)%3+1)."""
+    Suitor ((src+dst)%11+1 weights) and LocalMax ((src+dst)%3+1), plus
+    the PathGrowingMatcher state-machine replay (same %11+1 weights)."""
     su = _suitor_rounds_sql(rounds, "CAST((src + dst) % 11 + 1 AS DOUBLE)", "st_")
     lm = _localmax_rounds_sql(rounds, "CAST((src + dst) % 3 + 1 AS DOUBLE)", "lm_")
     all_su = " UNION ALL ".join(
@@ -4566,12 +4657,16 @@ def _matching_sql(rounds: int = MATCHING_ROUNDS) -> str:
         f"SELECT src, dst FROM lm_cand{r}" for r in range(1, rounds + 1)
     )
     pre = SUB200_PRELUDE_NOWALK_SQL
-    return f"""WITH {pre},
+    return f"""WITH RECURSIVE {pre},
 {su},
-{lm}
+{lm},
+{_PGM_SQL}
 SELECT 'suitor' AS method, src AS u, dst AS v FROM ({all_su})
 UNION ALL
 SELECT 'local_max' AS method, src AS u, dst AS v FROM ({all_lm})
+UNION ALL
+SELECT 'pgm' AS method, un.e.s AS u, un.e.d AS v
+FROM pgm_sel, UNNEST(pgm_sel.m) AS un(e)
 """
 
 
