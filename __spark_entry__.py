@@ -1018,13 +1018,49 @@ def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema="media_id long, pix_sum long")
 
 
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-video decode through the REAL strict pipeline (gate-folded
+    round 7): per document, synthesize an uncompressed 3-frame
+    16×12 AVI whose frame i is flat value (37 + 5·doc_id + 11·i) mod
+    256 at 1 fps, then run frame_sample(strict=True) — the Y4M/raw-AVI
+    parser decodes actual frames, so pix_sum is the exact decoded RGB
+    sum v·16·12·3 and the oracle is closed-form (the AVI DIB path is
+    pure byte reshuffling: no colorspace arithmetic to replicate)."""
+    docs = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from networkit_spark.pipeline.multimodal import encode_avi_raw
+
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                vals = [(37 + 5 * int(did) + 11 * i) % 256 for i in range(3)]
+                frames = np.stack(
+                    [np.full((12, 16, 3), v, dtype=np.uint8) for v in vals]
+                )
+                out.append((int(did), bytearray(encode_avi_raw(frames, fps=1.0))))
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    from networkit_spark.pipeline.multimodal import frame_sample
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("modality", F.lit("video"))
+    return frame_sample(media, every_ms=1000, strict=True)
+
+
 def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in one (kind, media_id, k, info) table:
     typed media metadata + Arrow-batched frame sampling (merged
     mm_media_meta + mm_frame_sample so both keep a dense oracle row
     inside the driver's 50-slot window) + the baseline JFIF codec
     round-trip rows (kind='jpeg', k = decoded pixel sum — see
-    q_mm_jpeg_roundtrip)."""
+    q_mm_jpeg_roundtrip) + strict raw-AVI frame decode rows
+    (kind='video', k = decoded pixel sum per sampled frame — see
+    q_mm_video_frames)."""
     a = q_mm_media_meta(spark, sf_dir).select(
         F.lit("meta").alias("kind"),
         "media_id",
@@ -1043,7 +1079,13 @@ def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pix_sum").cast("int").alias("k"),
         F.lit("16x24x3:q75").alias("info"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_mm_video_frames(spark, sf_dir).select(
+        F.lit("video").alias("kind"),
+        "media_id",
+        F.col("pix_sum").cast("int").alias("k"),
+        F.concat(F.lit("avi:"), F.col("frame_idx").cast("string")).alias("info"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # --------------------------------------------------------------------------
@@ -3086,6 +3128,13 @@ SELECT 'jpeg' AS kind, doc_id AS media_id,
        CAST(((37 + 7 * doc_id) % 256) * 1152 AS INT) AS k,
        '16x24x3:q75' AS info
 FROM documents WHERE doc_id < 48
+UNION ALL
+-- raw-AVI DIB decode is exact byte reshuffling, so each sampled flat
+-- frame's decoded pixel sum is the closed form v * 16 * 12 * 3
+SELECT 'video' AS kind, doc_id AS media_id,
+       CAST(((37 + 5 * doc_id + 11 * f.i) % 256) * 576 AS INT) AS k,
+       'avi:' || f.i AS info
+FROM documents, UNNEST([0, 1, 2]) AS f(i) WHERE doc_id < 48
 """
 
     # entries merged into multi-column rows in rounds 3-4 (their SQL lives
