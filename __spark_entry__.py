@@ -12,8 +12,10 @@ components) have exact SQL oracles via recursive CTEs. Float-valued
 results are rounded to 6 decimals ON BOTH SIDES so cross-engine
 summation-order noise (~1e-15) can't flip the value hash.
 
-Non-SQL-expressible entries (synchronous PLP label propagation, k-core)
-have no oracle → the driver records a rows-only check.
+Every registry entry has a hash-checked oracle (since round 3): the
+iterative and seeded kernels replay via chained fixed-round CTEs,
+portable md5 draws, and recursive-CTE state machines — there are no
+rows-only entries.
 """
 
 from __future__ import annotations
@@ -1093,18 +1095,22 @@ def q_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window counts per event type (timezone-proof: the
-    bucket is epoch-seconds // 3600, identical in both engines)."""
+    """Tumbling 1-hour window counts per event type THROUGH the library
+    operator (streaming/stateful.py::windowed_event_counts, batch mode —
+    the watermark is a no-op on batch input; the streaming path over the
+    same rows is pinned in tests/test_streaming.py). Timezone-proof
+    oracle mapping: tumbling windows are epoch-aligned, so the emitted
+    window start is exactly epoch-seconds // 3600."""
+    from networkit_spark.streaming.stateful import windowed_event_counts
+
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (
-        ev.groupBy(
-            (F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hour_bucket"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
+    return windowed_event_counts(ev).select(
+        (F.unix_timestamp("window_start") / F.lit(3600))
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
     )
 
 

@@ -80,8 +80,9 @@ def windowed_event_counts(
     only, evicted as the watermark advances (contrast
     :func:`streaming_degree_counts`, whose per-key state never expires
     by design). Works identically on a batch DataFrame (the watermark
-    is a no-op there), which is what the batch gate row
-    ``events_hourly`` checks numerically.
+    is a no-op there) — the gate row ``events_hourly`` calls this
+    function in batch mode and hash-checks it against the epoch-bucket
+    SQL oracle.
 
     Scale shape: one shuffle on (window, type); partial aggregation is
     map-side; the state store holds only open windows. Late rows older
