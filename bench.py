@@ -5,14 +5,25 @@ seconds plus PageRank superstep throughput (edges/sec per superstep —
 the BASELINE.md metric, edges/s = m / elapsed per
 /root/reference/benchmark/Benchmark.py:303).
 
+Noise robustness (round 7): every compute query runs
+$SPARK_GRAFT_BENCH_REPS times in-process (default 3) and the JSON
+carries per-query `queries_min` and `queries_median` alongside the
+first-pass `queries`/`value` (kept as the cross-round-comparable
+cold-ish reading). Two of the last three driver benches needed
+exclusive-hardware re-runs to interpret a 30-60%% uniform slowdown on
+git-unchanged kernels; the min over reps is the host-noise-resistant
+number — read `value_min` first. `load_graph` is measured once (the
+graph is memoized; a re-run would time the memo lookup, not the load).
+
 Usage: python bench.py            # sf0.1, local[32]
-       SPARK_GRAFT_CPUS=8 python bench.py
+       SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_REPS=1 python bench.py
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pyspark.sql import functions as F
@@ -40,13 +52,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
     extras: dict[str, object] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    def timed(name, fn, n_reps=None):
+        n = reps if n_reps is None else n_reps
+        runs: list[float] = []
+        out = None
+        for _ in range(n):
+            t0 = time.monotonic()
+            out = fn()
+            runs.append(round(time.monotonic() - t0, 3))
+        timings[name] = runs[0]
+        mins[name] = min(runs)
+        medians[name] = round(statistics.median(runs), 3)
+        print(f"  {name}: {runs}s", file=sys.stderr)
         return out
 
     # graph load: derive co-occurrence edges, symmetrize, cache.
@@ -58,7 +79,7 @@ def main() -> None:
         g = _co_graph(spark, sf_dir).cache()
         return g, g.edges.count()
 
-    g, m_sym = timed("load_graph", load)
+    g, m_sym = timed("load_graph", load, n_reps=1)
     m = m_sym // 2  # canonical undirected edge count (no self-loops here)
     extras["edges"] = m
     extras["nodes"] = g.num_nodes()
@@ -66,9 +87,13 @@ def main() -> None:
     pr = timed("pagerank", lambda: pagerank(g, damp=0.85, tol=1e-6))
     extras["pagerank_iterations"] = pr.iterations
     extras["pagerank_converged"] = pr.converged
-    # edges/sec per superstep over the symmetrized gather relation
+    # edges/sec per superstep over the symmetrized gather relation;
+    # the _min variant divides by the noise-resistant best-of-reps time
     extras["pagerank_edges_per_sec_per_superstep"] = round(
         m_sym * pr.iterations / timings["pagerank"]
+    )
+    extras["pagerank_edges_per_sec_per_superstep_min"] = round(
+        m_sym * pr.iterations / mins["pagerank"]
     )
 
     timed("components", lambda: connected_components(g).count())
@@ -103,8 +128,13 @@ def main() -> None:
             {
                 "metric": "wall_seconds_headline_queries",
                 "value": total,
+                "value_min": round(sum(mins.values()), 3),
+                "value_median": round(sum(medians.values()), 3),
                 "unit": "sec",
+                "reps": reps,
                 "queries": timings,
+                "queries_min": mins,
+                "queries_median": medians,
                 "sf": float(sf),
                 "cpus": cpus,
                 **extras,
