@@ -122,12 +122,15 @@ def affected_nodes(
     u, v = int(u), int(v)
     edges = g.edges
     if event_type == EDGE_ADDITION:
-        edges = edges.filter(
-            ~(
-                ((F.col("src") == u) & (F.col("dst") == v))
-                | ((F.col("src") == v) & (F.col("dst") == u))
-            )
-        )
+        # skip ONLY the added edge: on directed graphs a pre-existing
+        # reciprocal v→u edge stays in the without-edge base (the
+        # reference's bfsWithoutStartNeighbor(u, v) skips a single arc,
+        # AffectedNodes.cpp:62-74); undirected storage carries both
+        # orientations of the one added edge, so both rows go
+        skip = (F.col("src") == u) & (F.col("dst") == v)
+        if not g.directed:
+            skip = skip | ((F.col("src") == v) & (F.col("dst") == u))
+        edges = edges.filter(~skip)
     base = Graph(
         nodes=g.nodes,
         edges=edges.localCheckpoint(eager=True),

@@ -1015,5 +1015,21 @@ def test_affected_nodes_addition_and_removal(spark):
     for w in aff_d:
         assert got_d[w] == min(du_d.get(w, inf), dv_d.get(w, inf))
 
+    # DIRECTED addition with a PRE-EXISTING reciprocal v→u edge: the
+    # without-edge base skips only the added u→v arc (the reference's
+    # bfsWithoutStartNeighbor skips a single arc), so shortest paths
+    # through v→u must still count (ADVICE r6: the old both-direction
+    # filter silently dropped them)
+    d_recip = d_edges + [(vv, uu)]
+    gdr = Graph.of(spark, d_recip + [(uu, vv)], n=n, directed=True)
+    got_r = {
+        r["node"]: r["dist"]
+        for r in affected_nodes(gdr, "EDGE_ADDITION", uu, vv).collect()
+    }
+    aff_r, du_r, dv_r, _ = _ref_affected(d_recip, n, uu, vv, directed=True)
+    assert set(got_r) == aff_r
+    for w in aff_r:
+        assert got_r[w] == min(du_r.get(w, inf), dv_r.get(w, inf))
+
     with pytest.raises(ValueError, match="event_type"):
         affected_nodes(g_with, "NODE_ADDITION", uu, vv)
