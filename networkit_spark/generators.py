@@ -716,11 +716,26 @@ def pubweb(
     from pyspark.sql import Window
 
     areas, counts = _pubweb_areas(n, num_dense_areas, seed)
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    pos = _pubweb_positions(spark, n, areas, counts, seed)
+    edges = _pubweb_mutual_knn(spark, pos, neighborhood_radius, max_neighbors)
+    return Graph.from_edges(edges, directed=False, nodes=nodes)
+
+
+def _pubweb_positions(
+    spark: SparkSession, n: int, areas, counts, seed: int
+) -> DataFrame:
+    """The seeded PubWeb coordinate layout (id, x, y), shared by the
+    static generator and :func:`dynamic_pubweb_events`'s initial block
+    so the two can never silently desynchronize: per-area polar draws
+    for the clustered ids (prefix ranges from ``counts``), uniform
+    background for the rest, wrapped onto the unit torus."""
+    import math
+
     bounds, acc = [], 0
     for c in counts:
         acc += c
         bounds.append(acc)
-
     area_rows = []
     for a, c in enumerate(areas):
         lo = bounds[a - 1] if a else 0
@@ -728,8 +743,7 @@ def pubweb(
     area_df = spark.createDataFrame(
         area_rows, "lo long, hi long, ax double, ay double, rad double"
     )
-    nodes = spark.range(n).select(F.col("id").cast("long"))
-    assigned = nodes.join(
+    assigned = spark.range(n).select(F.col("id").cast("long")).join(
         F.broadcast(area_df),
         (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
         "left",
@@ -739,7 +753,7 @@ def pubweb(
     ux = _uniform(F.col("id"), seed * 13 + 3)
     uy = _uniform(F.col("id"), seed * 13 + 4)
     wrap = lambda c: F.pmod(c, F.lit(1.0))  # noqa: E731 — torus
-    pos = assigned.select(
+    return assigned.select(
         "id",
         wrap(
             F.when(F.col("rad").isNotNull(), F.col("ax") + F.cos(ang) * dst).otherwise(ux)
@@ -748,9 +762,6 @@ def pubweb(
             F.when(F.col("rad").isNotNull(), F.col("ay") + F.sin(ang) * dst).otherwise(uy)
         ).alias("y"),
     ).localCheckpoint(eager=True)
-
-    edges = _pubweb_mutual_knn(spark, pos, neighborhood_radius, max_neighbors)
-    return Graph.from_edges(edges, directed=False, nodes=nodes)
 
 
 def _pubweb_mutual_knn(
@@ -1261,13 +1272,17 @@ def dynamic_hyperbolic_events(
         ((u_m * 2.0 - 1.0) * F.lit(10.0 * float(move_distance))).alias("rmove"),
     ).localCheckpoint(eager=True)
 
-    def edge_set(st: DataFrame) -> set[tuple[int, int]]:
-        return {
-            (int(r["src"]), int(r["dst"]))
-            for r in _hyperbolic_threshold_edges(
+    def edge_df(st: DataFrame) -> DataFrame:
+        return (
+            _hyperbolic_threshold_edges(
                 spark, st.select("id", "theta", "r"), R, B, K
-            ).collect()
-        }
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+
+    def pairs(df: DataFrame) -> list[tuple[int, int]]:
+        return sorted((int(r["src"]), int(r["dst"])) for r in df.collect())
 
     rows: list[tuple] = []
     seq = 0
@@ -1277,11 +1292,11 @@ def dynamic_hyperbolic_events(
         rows.append((seq, t, u, v, w))
         seq += 1
 
-    cur_edges = edge_set(state)
+    cur = edge_df(state)
     if write_initial:
         for i in range(n):
             emit(NODE_ADDITION, i)
-        for a, b in sorted(cur_edges):
+        for a, b in pairs(cur):
             emit(EDGE_ADDITION, a, b, 1.0)
         emit(TIME_STEP)
 
@@ -1314,12 +1329,15 @@ def dynamic_hyperbolic_events(
             .otherwise(F.col("rmove"))
             .alias("rmove"),
         ).localCheckpoint(eager=True)
-        new_edges = edge_set(state)
-        for a, b in sorted(new_edges - cur_edges):
+        # distributed per-step diff: two anti-joins, only the (small)
+        # delta is collected — the full edge set never leaves the
+        # executors after the initial block
+        new = edge_df(state)
+        for a, b in pairs(new.join(cur, ["src", "dst"], "left_anti")):
             emit(EDGE_ADDITION, a, b, 1.0)
-        for a, b in sorted(cur_edges - new_edges):
+        for a, b in pairs(cur.join(new, ["src", "dst"], "left_anti")):
             emit(EDGE_REMOVAL, a, b, None)
-        cur_edges = new_edges
+        cur = new
         emit(TIME_STEP)
 
     events = _events_df(spark, rows)
@@ -1372,56 +1390,22 @@ def dynamic_pubweb_events(
     rng = _random.Random(seed)
     areas, _counts = _pubweb_areas(n, num_dense_areas, seed)
 
-    # initial positions: the static generator's seeded layout, collected
-    # once (the churn loop needs a mutable id → coordinate map)
-    g0 = pubweb(
-        spark,
-        n,
-        num_dense_areas=num_dense_areas,
-        neighborhood_radius=neighborhood_radius,
-        max_neighbors=max_neighbors,
-        seed=seed,
-    )
-    # rebuild the same positions the static generator drew
-    bounds, acc = [], 0
-    for c in _counts:
-        acc += c
-        bounds.append(acc)
-    area_rows = []
-    for a, c in enumerate(areas):
-        lo = bounds[a - 1] if a else 0
-        area_rows.append((lo, bounds[a], c["x"], c["y"], c["rad"]))
-    area_df = spark.createDataFrame(
-        area_rows, "lo long, hi long, ax double, ay double, rad double"
-    )
-    nodes0 = spark.range(n).select(F.col("id").cast("long"))
-    assigned = nodes0.join(
-        F.broadcast(area_df),
-        (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
-        "left",
-    )
-    ang = _uniform(F.col("id"), seed * 13 + 1) * (2.0 * math.pi)
-    dst = _uniform(F.col("id"), seed * 13 + 2) * F.col("rad")
-    ux = _uniform(F.col("id"), seed * 13 + 3)
-    uy = _uniform(F.col("id"), seed * 13 + 4)
-    wrap = lambda c: F.pmod(c, F.lit(1.0))  # noqa: E731 — torus
-    pos0 = assigned.select(
-        "id",
-        wrap(
-            F.when(F.col("rad").isNotNull(), F.col("ax") + F.cos(ang) * dst).otherwise(ux)
-        ).alias("x"),
-        wrap(
-            F.when(F.col("rad").isNotNull(), F.col("ay") + F.sin(ang) * dst).otherwise(uy)
-        ).alias("y"),
-    )
+    # initial layout: the SAME seeded position helper the static
+    # generator uses (a change to pubweb's drawing cannot desynchronize
+    # this stream's write_initial block), collected once — the churn
+    # loop needs a mutable id → coordinate map, and the per-step event
+    # contract below (weight updates on every surviving eligible edge)
+    # makes the event log itself O(|E|) per step, so the driver-side
+    # edge map is the same order as the required output
+    pos0 = _pubweb_positions(spark, n, areas, _counts, seed)
     coords: dict[int, tuple[float, float]] = {
         int(r["id"]): (float(r["x"]), float(r["y"])) for r in pos0.collect()
     }
     edges: dict[tuple[int, int], float] = {
         (int(r["src"]), int(r["dst"])): float(r["weight"])
-        for r in g0.edges.filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "weight")
-        .collect()
+        for r in _pubweb_mutual_knn(
+            spark, pos0, neighborhood_radius, max_neighbors
+        ).collect()
     }
     next_id = n
     num_churn = int(n * 0.05)
