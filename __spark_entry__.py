@@ -5189,19 +5189,27 @@ mcc AS (SELECT count(*) AS m FROM e0
         WHERE src IN (SELECT id FROM ccn) AND dst IN (SELECT id FROM ccn)),
 dia AS (SELECT max(sp.dist) AS d FROM sp
         WHERE sp.root IN (SELECT id FROM ccn)),
-nsamp AS (SELECT id FROM ccn
-          ORDER BY {_porthash_sql('id', 'nfh42:')} ASC, id ASC LIMIT 32),
+-- k = min(n_samples, |LCC|) like the library (sketches.py::
+-- neighborhood_function_heuristic), so the oracle stays coupled to the
+-- fixture size instead of silently assuming |LCC| > 32
+kk AS (SELECT least(32, (SELECT n FROM ncc)) AS k),
+nsamp AS (SELECT id FROM (
+            SELECT id, row_number() OVER (
+              ORDER BY {_porthash_sql('id', 'nfh42:')} ASC, id ASC) AS rn
+            FROM ccn)
+          WHERE rn <= (SELECT k FROM kk)),
 hh2 AS (SELECT sp.dist AS d, count(*) AS c FROM sp
         WHERE sp.root IN (SELECT id FROM nsamp) AND sp.dist > 0
         GROUP BY sp.dist),
 interior AS (
   SELECT dd.d,
-         (dd.v // 32) + CASE WHEN dd.v % 32 > 16 THEN 1
-                             WHEN dd.v % 32 = 16 THEN (dd.v // 32) % 2
-                             ELSE 0 END AS rounded
+         (dd.v // kk.k)
+         + CASE WHEN dd.v % kk.k * 2 > kk.k THEN 1
+                WHEN dd.v % kk.k * 2 = kk.k THEN (dd.v // kk.k) % 2
+                ELSE 0 END AS rounded
   FROM (SELECT g.d, coalesce(hh2.c, 0) * (SELECT n FROM ncc) AS v
         FROM (SELECT UNNEST(range(2, (SELECT d FROM dia))) AS d) g
-        LEFT JOIN hh2 ON hh2.d = g.d) dd),
+        LEFT JOIN hh2 ON hh2.d = g.d) dd, kk),
 hnfh AS (
   SELECT 'nfh' AS variant, 1 AS hop, 2.0 * (SELECT m FROM mcc) AS value
   UNION ALL
@@ -5211,8 +5219,11 @@ hnfh AS (
                                    PRECEDING AND CURRENT ROW) AS DOUBLE)
   FROM interior
   UNION ALL
+  -- hop=1 already covers a diameter-1 LCC; emitting the n(n-1) row
+  -- there would duplicate it
   SELECT 'nfh', CAST((SELECT d FROM dia) AS INT),
-         CAST((SELECT n FROM ncc) * ((SELECT n FROM ncc) - 1) AS DOUBLE))
+         CAST((SELECT n FROM ncc) * ((SELECT n FROM ncc) - 1) AS DOUBLE)
+  WHERE (SELECT d FROM dia) > 1)
 SELECT * FROM hexact UNION ALL SELECT * FROM hvol UNION ALL SELECT * FROM hnfh
 """
 
