@@ -744,6 +744,50 @@ class DynApproxBetweenness:
         return self.scores
 
 
+class DynTopHarmonicCloseness:
+    """Top-k harmonic closeness maintained under graph events
+    (``centrality/DynTopHarmonicCloseness.cpp``, Bisenius et al. —
+    the reference prunes per-event BFS work with affected-node bounds
+    and per-level cutoffs).
+
+    The distributed shape: each event batch folds into the graph via
+    :func:`apply_events` (last-writer-wins MERGE semantics) and the
+    top-k is recomputed from the ONE batched multi-source BFS that
+    every closeness kernel here shares — at DataFrame scale the shared
+    frontier already amortizes the per-source work the reference's
+    pruning exists to avoid, so the pruned-update machinery reduces to
+    a recompute over the shared table. Contract parity is the result
+    surface: ``ranking()`` returns the top-k (id, score) rows ordered
+    by harmonic closeness descending, ties by smallest id
+    (``DynTopHarmonicCloseness.cpp`` ranking()/topkNodesList()).
+    """
+
+    def __init__(self, g: Graph, k: int = 10) -> None:
+        from networkit_spark.operators.distance import top_closeness
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.graph = g
+        self.k = int(k)
+        self._top = top_closeness(g, k=self.k, harmonic=True).localCheckpoint(
+            eager=True
+        )
+
+    def ranking(self) -> DataFrame:
+        """Current top-k (id, score), ordered."""
+        return self._top
+
+    def update_batch(self, events: DataFrame) -> DataFrame:
+        """Fold an event batch (EVENT_SCHEMA) and refresh the top-k."""
+        from networkit_spark.operators.distance import top_closeness
+
+        self.graph = apply_events(self.graph, events)
+        self._top = top_closeness(
+            self.graph, k=self.k, harmonic=True
+        ).localCheckpoint(eager=True)
+        return self._top
+
+
 def run_event_stream(
     stream_events: DataFrame,
     base: Graph,

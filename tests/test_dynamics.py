@@ -537,3 +537,42 @@ def test_dynamic_pubweb_events(spark):
     e_init = sorted(map(tuple, g_init.canonical_undirected_edges().select("src", "dst").collect()))
     e_sta = sorted(map(tuple, g_sta.canonical_undirected_edges().select("src", "dst").collect()))
     assert e_init == e_sta
+
+
+def test_dyn_top_harmonic_closeness_matches_static(spark):
+    """DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.cpp
+    result contract): ranking() after each seeded event batch equals a
+    fresh top_closeness(harmonic=True) on the updated graph, for
+    additions and removals, ties by id."""
+    from networkit_spark.operators.distance import top_closeness
+    from networkit_spark.streaming.dynamics import (
+        EDGE_ADDITION,
+        EDGE_REMOVAL,
+        DynTopHarmonicCloseness,
+        events_of,
+    )
+
+    base = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 4)]
+    g0 = Graph.of(spark, base, n=8)
+    dyn = DynTopHarmonicCloseness(g0, k=4)
+
+    def rank(df):
+        return [(r["id"], round(r["score"], 9)) for r in df.collect()]
+
+    assert rank(dyn.ranking()) == rank(top_closeness(g0, k=4, harmonic=True))
+
+    ev1 = events_of(
+        spark, [(1, EDGE_ADDITION, 6, 0, 1.0), (2, EDGE_ADDITION, 6, 3, 1.0)]
+    )
+    got1 = rank(dyn.update_batch(ev1))
+    assert got1 == rank(top_closeness(dyn.graph, k=4, harmonic=True))
+
+    ev2 = events_of(spark, [(3, EDGE_REMOVAL, 1, 4, 1.0)])
+    got2 = rank(dyn.update_batch(ev2))
+    assert got2 == rank(top_closeness(dyn.graph, k=4, harmonic=True))
+    assert got1 != got2  # the batches actually moved the ranking
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k"):
+        DynTopHarmonicCloseness(g0, k=0)
