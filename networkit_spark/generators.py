@@ -221,6 +221,263 @@ def lfr_style(
     return Graph.from_edges(edges, nodes=nodes), truth
 
 
+def lfr(
+    spark: SparkSession,
+    degree_sequence: list[int],
+    community_size_sequence: list[int],
+    mu: float = 0.1,
+    seed: int = 42,
+    rewiring_rounds: int = 4,
+) -> tuple[Graph, DataFrame]:
+    """Sequence-conditioned LFR benchmark
+    (``generators/LFRGenerator.cpp`` setDegreeSequence /
+    setCommunitySizeSequence / setMu / assignNodesToCommunities /
+    generateIntra-/generateInterClusterGraph): explicit degree AND
+    community-size sequences — the standard community benchmark —
+    with the reference's realizability contract and rewiring
+    tolerance. Returns (graph, truth) with truth = (node, label);
+    realized community sizes equal the given sequence EXACTLY.
+
+    Faithful driver-side model steps (the sequences are O(n) ints —
+    model parameters like :func:`powerlaw_degree_sequence` /
+    :func:`havel_hakimi` take, not data): internal degrees from μ with
+    the reference's probabilistic rounding and minimum of 1
+    (``setMu``); realizability checks verbatim (max/min internal
+    degree vs community sizes plus the sorted greedy fit,
+    ``run():375-407``); node→community assignment by the reference's
+    algorithm — shuffled size-multiset first pass under the strict
+    ``intdeg < size`` feasibility, then random feasible placement with
+    eviction (``assignNodesToCommunities``).
+
+    Distributed edge realization (the O(m) part): per-community intra
+    stubs and global inter stubs are paired by seeded-hash order —
+    the configuration model — and invalid pairs (self-pairs,
+    duplicates, intra-community pairs in the inter graph) return
+    their stubs to the pool for up to ``rewiring_rounds`` re-pairings
+    with fresh salts, after which leftovers are dropped: the same
+    tolerance as the reference's edge-switching chain, which disables
+    the realizability check ("some edges might not be created") and
+    drops inter-graph intra-community edges it fails to rewire after
+    10·|E| attempts. Odd per-community stub sums lose one stub (the
+    reference instead bumps a random node ±1)."""
+    import random as _random
+
+    from pyspark.sql import Window
+
+    n = len(degree_sequence)
+    sizes = list(int(s) for s in community_size_sequence)
+    if n == 0 or not sizes:
+        raise ValueError("both sequences must be non-empty")
+    if sum(sizes) != n:
+        raise ValueError(
+            "community sizes must sum to the node count (the reference's "
+            "generatePowerlawCommunitySizeSequence grows the smallest "
+            "community to absorb the gap before generation)"
+        )
+    if max(degree_sequence) >= n:
+        raise ValueError(
+            "the maximum degree must be smaller than the number of nodes"
+        )
+    rng = _random.Random(seed)
+
+    # ---- internal degrees (setMu): (1-mu)·deg, probabilistic rounding,
+    # minimum internal degree of 1 for any non-isolated node
+    intd: list[int] = []
+    for d in degree_sequence:
+        d = int(d)
+        if d == 0:
+            intd.append(0)
+            continue
+        x = (1.0 - mu) * d
+        if x < 1.0:
+            intd.append(1)
+        else:
+            fl = int(x)
+            intd.append(fl + (1 if rng.random() < (x - fl) else 0))
+
+    # ---- realizability (run():375-407, same error wording intent)
+    pos_intd = [v for v in intd]
+    max_int, min_int = max(pos_intd), min(pos_intd)
+    max_size, min_size = max(sizes), min(sizes)
+    if max_int >= max_size:
+        raise ValueError(
+            "graph not realizable: the maximum internal degree is greater "
+            "than the largest possible internal degree"
+        )
+    if min_int >= min_size:
+        raise ValueError(
+            "graph not realizable: no node can be placed in the smallest "
+            "community"
+        )
+    sorted_int = sorted(pos_intd)
+    sorted_sizes = sorted(sizes)
+    it = 0
+    in_comm = 0
+    for deg in sorted_int:
+        if in_comm == sorted_sizes[it]:
+            it += 1
+            in_comm = 0
+        if deg >= sorted_sizes[it]:
+            raise ValueError(
+                "graph not realizable: community sizes too small or "
+                "internal degrees too large"
+            )
+        in_comm += 1
+
+    # ---- node → community (assignNodesToCommunities): shuffled
+    # size-multiset first pass, then random feasible placement with
+    # eviction; sizes are realized exactly
+    selection = [c for c, s in enumerate(sizes) for _ in range(s)]
+    rng.shuffle(selection)
+    assign: list[int | None] = [None] * n
+    remaining = list(sizes)
+    filled = [0] * len(sizes)
+    to_assign: list[int] = []
+    for u in range(n):
+        c = selection[u]
+        if sizes[c] > intd[u]:
+            assign[u] = c
+            remaining[c] -= 1
+            filled[c] += 1
+        else:
+            to_assign.append(u)
+    members: list[list[int]] = [[] for _ in sizes]
+    for u in range(n):
+        if assign[u] is not None:
+            members[assign[u]].append(u)
+    attempts = 0
+    while to_assign:
+        i = rng.randrange(len(to_assign))
+        u = to_assign[i]
+        to_assign[i] = to_assign[-1]
+        to_assign.pop()
+        c = rng.choice(selection)
+        while intd[u] >= sizes[c]:
+            c = rng.choice(selection)
+        members[c].append(u)
+        if remaining[c] > 0:
+            remaining[c] -= 1
+            attempts = 0
+        else:
+            r = rng.randrange(len(members[c]))
+            to_assign.append(members[c][r])
+            members[c][r] = members[c][-1]
+            members[c].pop()
+            attempts += 1
+        if attempts > 3 * n:
+            raise ValueError(
+                "could not assign nodes to communities (too many "
+                "high-degree nodes or communities too small) — the "
+                "reference would merge the two smallest communities and "
+                "retry; pass a coarser community_size_sequence"
+            )
+    comm_of = [0] * n
+    for c, ms in enumerate(members):
+        for u in ms:
+            comm_of[u] = c
+
+    # ---- distributed edge realization -------------------------------
+    prof = spark.createDataFrame(
+        [(u, comm_of[u], intd[u], int(degree_sequence[u]) - intd[u])
+         for u in range(n)],
+        "id long, comm long, intd long, extd long",
+    )
+    nodes = spark.range(n).select(F.col("id").cast("long"))
+    truth = prof.select(F.col("id").alias("node"), F.col("comm").alias("label"))
+
+    # inter pairing buckets: random pools bound each pairing window (a
+    # single global window would serialize the shuffle at scale); odd
+    # per-pool stubs just re-pair next round under a fresh bucketing
+    n_buckets = max(1, min(1024, n // 64))
+
+    def realize(stubs: DataFrame, same_comm_ok: bool, salt: int) -> DataFrame:
+        """Pair stubs within their per-round `pool` by seeded-hash
+        order; invalid pairs return their stubs for re-pairing;
+        leftovers drop. Intra pools are the community (pairing must
+        stay inside it); inter pools are random hash buckets."""
+        accepted = spark.createDataFrame([], "src long, dst long")
+        for rnd in range(rewiring_rounds):
+            if stubs.limit(1).count() == 0:
+                break
+            h = F.xxhash64("id", "stub", F.lit(salt * 1031 + rnd))
+            pool = (
+                F.col("comm")
+                if same_comm_ok
+                else F.pmod(
+                    F.xxhash64("id", "stub", F.lit(salt * 7919 + rnd)),
+                    F.lit(n_buckets),
+                )
+            )
+            w = Window.partitionBy("pool").orderBy(h, "id", "stub")
+            ranked = stubs.withColumn("pool", pool).withColumn(
+                "rn", F.row_number().over(w) - 1
+            )
+            a = ranked.filter(F.col("rn") % 2 == 0).select(
+                "pool",
+                (F.col("rn") / 2).cast("long").alias("pair"),
+                F.col("id").alias("a_id"),
+                F.col("comm").alias("a_comm"),
+                F.col("stub").alias("a_stub"),
+            )
+            b = ranked.filter(F.col("rn") % 2 == 1).select(
+                "pool",
+                (F.col("rn") / 2).cast("long").alias("pair"),
+                F.col("id").alias("b_id"),
+                F.col("comm").alias("b_comm"),
+                F.col("stub").alias("b_stub"),
+            )
+            pairs = a.join(b, ["pool", "pair"])
+            valid = pairs.filter(F.col("a_id") != F.col("b_id"))
+            if not same_comm_ok:
+                valid = valid.filter(F.col("a_comm") != F.col("b_comm"))
+            valid = valid.select(
+                F.least("a_id", "b_id").alias("src"),
+                F.greatest("a_id", "b_id").alias("dst"),
+                "a_id", "a_stub", "b_id", "b_stub",
+            )
+            # one winner per (src, dst) this round; no duplicates of
+            # already-accepted edges either
+            dw = Window.partitionBy("src", "dst").orderBy("a_id", "a_stub")
+            winners = (
+                valid.withColumn("dup", F.row_number().over(dw))
+                .filter(F.col("dup") == 1)
+                .drop("dup")
+                .join(accepted, ["src", "dst"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            accepted = accepted.unionByName(
+                winners.select("src", "dst")
+            ).localCheckpoint(eager=True)
+            used = winners.select(
+                F.col("a_id").alias("id"), F.col("a_stub").alias("stub")
+            ).unionByName(
+                winners.select(
+                    F.col("b_id").alias("id"), F.col("b_stub").alias("stub")
+                )
+            )
+            stubs = stubs.join(used, ["id", "stub"], "left_anti").localCheckpoint(
+                eager=True
+            )
+        return accepted
+
+    intra_stubs = prof.filter(F.col("intd") > 0).select(
+        "id",
+        "comm",
+        F.explode(F.sequence(F.lit(0), F.col("intd") - 1)).alias("stub"),
+    )
+    inter_stubs = prof.filter(F.col("extd") > 0).select(
+        "id",
+        "comm",
+        F.explode(
+            F.sequence(F.lit(1_000_000), F.col("extd") + F.lit(999_999))
+        ).alias("stub"),
+    )
+    intra_e = realize(intra_stubs, same_comm_ok=True, salt=seed * 7 + 11)
+    inter_e = realize(inter_stubs, same_comm_ok=False, salt=seed * 7 + 23)
+    edges = intra_e.unionByName(inter_e).dropDuplicates(["src", "dst"])
+    return Graph.from_edges(edges, nodes=nodes), truth
+
+
 def chain(spark: SparkSession, n: int) -> Graph:
     """Path graph 0-1-2-…-(n-1): worst case for naive min-label rounds."""
     edges = spark.range(n - 1).select(

@@ -320,3 +320,62 @@ def test_small_generator_stragglers(spark):
     # this seeded draw is verified realizable)
     g = havel_hakimi(spark, seq)
     assert sorted(r["deg"] for r in g.degrees().collect()) == sorted(seq)
+
+
+def test_lfr_exact_sequences(spark):
+    """Sequence-conditioned LFR (generators/LFRGenerator.cpp): realized
+    community sizes equal the given sequence EXACTLY; realized degrees
+    stay within the reference's rewiring tolerance (never above the
+    requested degree, small total shortfall); intra-community mixing
+    tracks 1-mu; the reference's realizability checks raise."""
+    import pytest as _pytest
+
+    from networkit_spark.generators import lfr, powerlaw_degree_sequence
+
+    degs = powerlaw_degree_sequence(600, 5, 24, gamma=-2.5, seed=3)
+    sizes = [150, 120, 90, 80, 60, 50, 30, 20]
+    g, truth = lfr(spark, degs, sizes, mu=0.2, seed=42)
+
+    # community sizes realized exactly
+    got_sizes = sorted(
+        r["count"] for r in truth.groupBy("label").count().collect()
+    )
+    assert got_sizes == sorted(sizes)
+    assert truth.count() == 600
+
+    # realized degrees: bounded above by the request, small shortfall
+    e = g.canonical_undirected_edges()
+    deg_of = {
+        r["id"]: r["d"]
+        for r in e.selectExpr("src AS id").unionAll(e.selectExpr("dst AS id"))
+        .groupBy("id").agg(F.count("*").alias("d")).collect()
+    }
+    realized = [deg_of.get(u, 0) for u in range(600)]
+    assert all(realized[u] <= degs[u] for u in range(600))
+    assert sum(realized) >= 0.9 * sum(degs), (sum(realized), sum(degs))
+
+    # mixing: intra fraction tracks 1 - mu
+    lab = truth
+    j = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    m = e.count()
+    intra = j.filter("ls = ld").count()
+    assert abs(intra / m - 0.8) < 0.08, (intra, m)
+
+    # deterministic at a fixed seed
+    g2, truth2 = lfr(spark, degs, sizes, mu=0.2, seed=42)
+    e1 = sorted((r["src"], r["dst"]) for r in e.collect())
+    e2 = sorted(
+        (r["src"], r["dst"]) for r in g2.canonical_undirected_edges().collect()
+    )
+    assert e1 == e2
+
+    # realizability contract (run():375-407)
+    with _pytest.raises(ValueError, match="sum to the node count"):
+        lfr(spark, degs, [300, 200], mu=0.2)
+    with _pytest.raises(ValueError, match="largest possible internal"):
+        lfr(spark, [50] * 100, [10] * 10, mu=0.0)
+    with _pytest.raises(ValueError, match="smallest community"):
+        lfr(spark, [8] * 100, [95, 5], mu=0.1)
