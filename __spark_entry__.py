@@ -905,11 +905,17 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     - dm: the DynamicDorogovtsevMendesGenerator stream (12 steps,
       portable md5 edge-index draws) replayed onto an empty graph
       (generators/DynamicDorogovtsevMendesGenerator.cpp) — the oracle
-      regrows the edge chain CTE-for-CTE and must match every edge.
-    The ForestFire / BarabasiAlbert / spatial streams use unbounded
-    rejection or transcendental movement draws, so they stay
-    pytest-pinned (tests/test_dynamics.py)."""
+      regrows the edge chain CTE-for-CTE and must match every edge;
+    - ba: the DynamicBarabasiAlbertGenerator stream (12 steps, k=2,
+      portable mode: degree-proportional uniform-edge-endpoint draws
+      with a bounded rejection budget) replayed the same way — the
+      oracle regrows the ordinal edge list CTE-for-CTE (gate-folded
+      round 7).
+    The ForestFire / spatial streams use unbounded rejection or
+    transcendental movement draws, so they stay pytest-pinned
+    (tests/test_dynamics.py)."""
     from networkit_spark.generators import (
+        dynamic_barabasi_albert_events,
         dynamic_dorogovtsev_mendes_events,
         dynamic_path_events,
     )
@@ -959,7 +965,15 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dm").alias("variant"), "src", "dst",
         F.round("weight", 6).alias("weight"),
     )
-    return a.unionByName(b).unionByName(c)
+    gba = apply_events(
+        empty,
+        dynamic_barabasi_albert_events(spark, 12, k=2, seed=42, portable_hash=True),
+    )
+    d = gba.edges.filter(F.col("src") < F.col("dst")).select(
+        F.lit("ba").alias("variant"), "src", "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # --------------------------------------------------------------------------
@@ -4010,8 +4024,44 @@ def _dm_replay_ctes(steps: int = 12, seed: int = 42) -> list[str]:
     return ctes
 
 
+def _ba_replay_ctes(steps: int = 12, seed: int = 42, attempts: int = 16) -> list[str]:
+    """Chained-CTE regrowth of the portable BarabasiAlbert stream (k=2):
+    node u draws ``attempts`` md5 indices over 2·|E| edge-endpoint slots
+    of the ordinal edge list; the first two DISTINCT picks in attempt
+    order become its targets (fewer if the budget exhausts), appended in
+    sorted order — exactly generators.py::
+    dynamic_barabasi_albert_events(portable_hash=True)."""
+    ctes = [
+        "bae2 AS (SELECT * FROM (VALUES "
+        "(0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))) t(ord, a, b))"
+    ]
+    for u in range(2, 2 + steps):
+        draw = _porthash_sql(f"('{u}:' || CAST(p.i AS VARCHAR))", f"ba{seed}:")
+        ctes.append(f"""ba_pk{u} AS MATERIALIZED (
+  SELECT p.i AS att,
+         CASE WHEN {draw} % (2 * (SELECT count(*) FROM bae{u})) % 2 = 0
+              THEN e.a ELSE e.b END AS pick
+  FROM UNNEST(range({attempts})) AS p(i)
+  JOIN bae{u} e
+    ON e.ord = ({draw} % (2 * (SELECT count(*) FROM bae{u}))) // 2)""")
+        ctes.append(
+            f"ba_t1{u} AS (SELECT pick FROM ba_pk{u} ORDER BY att LIMIT 1)"
+        )
+        ctes.append(
+            f"ba_t2{u} AS (SELECT pick FROM ba_pk{u} "
+            f"WHERE pick <> (SELECT pick FROM ba_t1{u}) ORDER BY att LIMIT 1)"
+        )
+        ctes.append(f"""bae{u + 1} AS MATERIALIZED (SELECT ord, a, b FROM bae{u}
+  UNION ALL
+  SELECT (SELECT count(*) FROM bae{u}) + row_number() OVER (ORDER BY pick) - 1,
+         CAST({u} AS BIGINT), pick
+  FROM (SELECT pick FROM ba_t1{u} UNION SELECT pick FROM ba_t2{u}) ts
+  WHERE pick IS NOT NULL)""")
+    return ctes
+
+
 def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) -> str:
-    ctes = _dm_replay_ctes(dm_steps, seed)
+    ctes = _dm_replay_ctes(dm_steps, seed) + _ba_replay_ctes(12, seed)
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT 'orders' AS variant, o_custkey AS src, o_orderkey + 1000000 AS dst,
        CAST(1.0 AS DOUBLE) AS weight
@@ -4021,6 +4071,8 @@ SELECT 'path', CAST(u.i AS BIGINT), CAST(u.i + 1 AS BIGINT), 1.0
 FROM UNNEST(range({path_steps})) AS u(i)
 UNION ALL
 SELECT 'dm', least(u, v), greatest(u, v), 1.0 FROM dme{3 + dm_steps}
+UNION ALL
+SELECT 'ba', least(a, b), greatest(a, b), 1.0 FROM bae{2 + 12}
 """
 
 

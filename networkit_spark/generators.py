@@ -1397,17 +1397,36 @@ def dynamic_forest_fire_events(
     return _events_df(spark, rows)
 
 
+BA_PORTABLE_ATTEMPTS = 16  # bounded duplicate-rejection budget (portable mode)
+
+
 def dynamic_barabasi_albert_events(
-    spark: SparkSession, n_steps: int, k: int = 2, seed: int = 42
+    spark: SparkSession,
+    n_steps: int,
+    k: int = 2,
+    seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """DynamicBarabasiAlbertGenerator
     (``generators/DynamicBarabasiAlbertGenerator.cpp``): start from a
     k-node path, then per step add one node wired to k distinct targets
     drawn ∝ degree (degree-weighted roulette with duplicate-rejection,
     the reference's loop). Seeded driver-side stream like the rest of
-    the Dynamic* family."""
+    the Dynamic* family.
+
+    ``portable_hash=True`` switches the roulette to the exactly-
+    equivalent uniform-endpoint-of-a-uniform-edge draw (an endpoint is
+    sampled ∝ its degree) with portable md5 indices over the
+    ordinal-numbered edge list and a BOUNDED duplicate-rejection budget
+    of ``BA_PORTABLE_ATTEMPTS`` per node — the first k distinct picks
+    in attempt order win (a step that exhausts the budget attaches
+    fewer edges; probability ≈ 2^-(budget-1), and the draw is
+    deterministic either way). Bounding the rejection is what makes
+    the stream SQL-replayable CTE-for-CTE (the dyn_replay 'ba' oracle),
+    the same trade the portable DorogovtsevMendes mode makes."""
     import random as _random
 
+    from networkit_spark.functions.porthash import md5_mod_py
     from networkit_spark.streaming.dynamics import (
         EDGE_ADDITION,
         NODE_ADDITION,
@@ -1426,6 +1445,7 @@ def dynamic_barabasi_albert_events(
         seq += 1
 
     deg: dict[int, int] = {}
+    edge_list: list[tuple[int, int]] = []  # ordinal order (portable draws)
     emit(NODE_ADDITION, 0)
     deg[0] = 0
     for i in range(1, k):
@@ -1433,30 +1453,43 @@ def dynamic_barabasi_albert_events(
         emit(EDGE_ADDITION, i, i - 1, 1.0)
         deg[i] = deg.get(i, 0) + 1
         deg[i - 1] += 1
+        edge_list.append((i, i - 1))
     emit(TIME_STEP)
     deg_sum = sum(deg.values())
     for u in range(k, k + int(n_steps)):
         emit(NODE_ADDITION, u)
         targets: set[int] = set()
-        # degree-weighted roulette over existing nodes, reject duplicates
-        while len(targets) < min(k, len(deg)):
-            x = rng.randint(0, max(deg_sum, 1))
-            acc = 0
-            pick = None
-            for v in sorted(deg):
-                acc += deg[v]
-                if x <= acc:
-                    pick = v
+        if portable_hash:
+            # uniform endpoint of a uniform edge = degree-proportional;
+            # first k distinct picks within the bounded attempt budget
+            m2 = 2 * len(edge_list)
+            for a in range(BA_PORTABLE_ATTEMPTS):
+                if len(targets) >= min(k, len(deg)) or m2 == 0:
                     break
-            if pick is None:
-                pick = max(deg)
-            targets.add(pick)
+                idx = md5_mod_py(f"{u}:{a}", salt=f"ba{seed}:") % m2
+                e = edge_list[idx // 2]
+                targets.add(e[idx % 2])
+        else:
+            # degree-weighted roulette over existing nodes, reject dups
+            while len(targets) < min(k, len(deg)):
+                x = rng.randint(0, max(deg_sum, 1))
+                acc = 0
+                pick = None
+                for v in sorted(deg):
+                    acc += deg[v]
+                    if x <= acc:
+                        pick = v
+                        break
+                if pick is None:
+                    pick = max(deg)
+                targets.add(pick)
         deg[u] = 0
         for v in sorted(targets):
             emit(EDGE_ADDITION, u, v, 1.0)
             deg[u] += 1
             deg[v] += 1
             deg_sum += 2
+            edge_list.append((u, v))
         emit(TIME_STEP)
     return _events_df(spark, rows)
 

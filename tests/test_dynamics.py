@@ -419,6 +419,32 @@ def test_dynamic_barabasi_albert_events(spark):
     assert max(degs, key=degs.get) < 5
     assert max(degs.values()) >= 2 * statistics.median(degs.values())
 
+    # portable mode: the uniform-edge-endpoint draw is an exact
+    # degree-proportional sampler; the stream replays to a transcription
+    # of the same bounded-attempt md5 draws (the dyn_replay 'ba' oracle
+    # regrows this CTE-for-CTE)
+    from networkit_spark.functions.porthash import md5_mod_py
+    from networkit_spark.generators import BA_PORTABLE_ATTEMPTS
+
+    evp = dynamic_barabasi_albert_events(spark, 8, k=2, seed=42, portable_hash=True)
+    gp = apply_events(empty, evp)
+    edge_list = [(1, 0)]
+    for u in range(2, 10):
+        targets: set[int] = set()
+        for a in range(BA_PORTABLE_ATTEMPTS):
+            if len(targets) >= 2:
+                break
+            idx = md5_mod_py(f"{u}:{a}", salt="ba42:") % (2 * len(edge_list))
+            targets.add(edge_list[idx // 2][idx % 2])
+        for v in sorted(targets):
+            edge_list.append((u, v))
+    want = sorted((min(a, b), max(a, b)) for a, b in edge_list)
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in gp.canonical_undirected_edges().collect()
+    )
+    assert got == want
+
 
 def test_dynamic_hyperbolic_events(spark):
     """DynamicHyperbolicGenerator (generators/
