@@ -910,13 +910,19 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       portable mode: degree-proportional uniform-edge-endpoint draws
       with a bounded rejection budget) replayed the same way — the
       oracle regrows the ordinal edge list CTE-for-CTE (gate-folded
-      round 7).
-    The ForestFire / spatial streams use unbounded rejection or
-    transcendental movement draws, so they stay pytest-pinned
-    (tests/test_dynamics.py)."""
+      round 7);
+    - ff: the DynamicForestFireGenerator stream (12 steps, p=0.3,
+      portable mode: integer-compare continue draws + md5 victim
+      indices) replayed by a single-row recursive-CTE state machine,
+      draw-for-draw (gate-folded round 7).
+    Only the SPATIAL streams stay pytest-pinned (transcendental
+    movement draws — cos/acosh ulps can flip threshold edges across
+    engines; tests/test_dynamics.py pins them by replay-vs-final-state
+    instead)."""
     from networkit_spark.generators import (
         dynamic_barabasi_albert_events,
         dynamic_dorogovtsev_mendes_events,
+        dynamic_forest_fire_events,
         dynamic_path_events,
     )
     from networkit_spark.graph import Graph
@@ -973,7 +979,15 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ba").alias("variant"), "src", "dst",
         F.round("weight", 6).alias("weight"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    gff = apply_events(
+        empty,
+        dynamic_forest_fire_events(spark, 12, p=0.3, seed=42, portable_hash=True),
+    )
+    e = gff.edges.filter(F.col("src") < F.col("dst")).select(
+        F.lit("ff").alias("variant"), "src", "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 # --------------------------------------------------------------------------
@@ -4060,9 +4074,83 @@ def _ba_replay_ctes(steps: int = 12, seed: int = 42, attempts: int = 16) -> list
     return ctes
 
 
+def _ff_replay_ctes(steps: int = 12, p: float = 0.3, seed: int = 42) -> list[str]:
+    """Single-row recursive-CTE state machine replaying the portable
+    ForestFire stream draw-for-draw (generators.py::
+    dynamic_forest_fire_events(portable_hash=True)): the row carries
+    (node being added v, ordinal edge list, BFS frontier, visited,
+    burned, per-node draw counter); each recursion step evaluates ONE
+    transition — new-step ambassador draw (md5 % v), one
+    continue+victim draw pair (continue iff md5 % PRIME < ⌊p·PRIME⌋,
+    victim = valid[md5 % |valid|] over the recomputed sorted unvisited
+    neighbor list — identical to the Python pop-by-index order), or a
+    frontier pop that finishes the step by appending (v, burned)
+    edges."""
+    thresh = int(p * DEFAULT_PRIME)
+    pfx = f"ff{seed}:"
+    return [f"""ff_st AS (
+  SELECT 0 AS rn, CAST(1 AS BIGINT) AS v,
+         CAST([] AS STRUCT(a BIGINT, b BIGINT)[]) AS adj,
+         CAST([] AS BIGINT[]) AS frontier,
+         CAST([] AS BIGINT[]) AS visited,
+         CAST([] AS BIGINT[]) AS burned,
+         CAST(0 AS BIGINT) AS t
+  UNION ALL
+  SELECT ff_st.rn + 1,
+         CASE WHEN tf.c3 AND tf.fin THEN ff_st.v + 1 ELSE ff_st.v END,
+         CASE WHEN tf.c3 AND tf.fin
+              THEN ff_st.adj || list_transform(ff_st.burned,
+                     w -> struct_pack(a := ff_st.v, b := w))
+              ELSE ff_st.adj END,
+         CASE WHEN tf.c1 THEN [ta.amb]
+              WHEN tf.c2 THEN list_append(ff_st.frontier, tc.victim)
+              ELSE ff_st.frontier[2:] END,
+         CASE WHEN tf.c1 THEN [ta.amb]
+              WHEN tf.c2 THEN list_append(ff_st.visited, tc.victim)
+              WHEN tf.fin THEN CAST([] AS BIGINT[])
+              ELSE ff_st.visited END,
+         CASE WHEN tf.c1 THEN [ta.amb]
+              WHEN tf.c2 THEN list_append(ff_st.burned, tc.victim)
+              WHEN tf.fin THEN CAST([] AS BIGINT[])
+              ELSE ff_st.burned END,
+         CASE WHEN tf.c2 THEN ff_st.t + 1 ELSE CAST(0 AS BIGINT) END
+  FROM ff_st,
+    LATERAL (SELECT len(ff_st.frontier) = 0 AS newstep) tn,
+    LATERAL (SELECT CASE WHEN tn.newstep
+        THEN (md5_number_lower('{pfx}a:' || CAST(ff_st.v AS VARCHAR))
+              % {DEFAULT_PRIME}) % ff_st.v
+        END AS amb) ta,
+    LATERAL (SELECT CASE WHEN tn.newstep THEN NULL
+        ELSE ff_st.frontier[1] END AS x) tx,
+    LATERAL (SELECT CASE WHEN tn.newstep THEN CAST([] AS BIGINT[])
+        ELSE list_sort(list_filter(
+               list_concat(
+                 list_transform(list_filter(ff_st.adj, e -> e.a = tx.x), e -> e.b),
+                 list_transform(list_filter(ff_st.adj, e -> e.b = tx.x), e -> e.a)),
+               w -> NOT list_contains(ff_st.visited, w)))
+        END AS valid) tv,
+    LATERAL (SELECT
+        (NOT tn.newstep) AND len(tv.valid) > 0
+          AND (md5_number_lower('{pfx}c:' || CAST(ff_st.v AS VARCHAR) || ':'
+               || CAST(tx.x AS VARCHAR) || ':' || CAST(ff_st.t AS VARCHAR))
+               % {DEFAULT_PRIME}) < {thresh} AS cont) tk,
+    LATERAL (SELECT CASE WHEN tk.cont
+        THEN tv.valid[CAST((md5_number_lower('{pfx}i:' || CAST(ff_st.v AS VARCHAR)
+             || ':' || CAST(tx.x AS VARCHAR) || ':' || CAST(ff_st.t AS VARCHAR))
+             % {DEFAULT_PRIME}) % len(tv.valid) AS BIGINT) + 1]
+        END AS victim) tc,
+    LATERAL (SELECT tn.newstep AS c1,
+                    tk.cont AS c2,
+                    (NOT tn.newstep) AND (NOT tk.cont) AS c3,
+                    (NOT tn.newstep) AND (NOT tk.cont)
+                      AND len(ff_st.frontier) = 1 AS fin) tf
+  WHERE ff_st.v <= {steps}
+)""", "ff_fin AS (SELECT adj FROM ff_st ORDER BY rn DESC LIMIT 1)"]
+
+
 def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) -> str:
-    ctes = _dm_replay_ctes(dm_steps, seed) + _ba_replay_ctes(12, seed)
-    return "WITH " + ",\n".join(ctes) + f"""
+    ctes = _dm_replay_ctes(dm_steps, seed) + _ba_replay_ctes(12, seed) + _ff_replay_ctes(12, 0.3, seed)
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"""
 SELECT 'orders' AS variant, o_custkey AS src, o_orderkey + 1000000 AS dst,
        CAST(1.0 AS DOUBLE) AS weight
 FROM orders WHERE o_orderstatus <> 'F'
@@ -4073,6 +4161,9 @@ UNION ALL
 SELECT 'dm', least(u, v), greatest(u, v), 1.0 FROM dme{3 + dm_steps}
 UNION ALL
 SELECT 'ba', least(a, b), greatest(a, b), 1.0 FROM bae{2 + 12}
+UNION ALL
+SELECT 'ff', least(u.e.a, u.e.b), greatest(u.e.a, u.e.b), 1.0
+FROM ff_fin, UNNEST(ff_fin.adj) AS u(e)
 """
 
 

@@ -1343,15 +1343,24 @@ def dynamic_forest_fire_events(
     n_steps: int,
     p: float = 0.3,
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """DynamicForestFireGenerator
     (``generators/DynamicForestFireGenerator.cpp``, undirected form):
     each step adds a node, picks a uniformly random ambassador, burns a
     geometric(p) number of unvisited neighbors breadth-first, and wires
     the new node to every burned node. Seeded draws in the reference's
-    order (continue-probability then victim index)."""
+    order (continue-probability then victim index).
+
+    ``portable_hash=True`` replaces the RNG with portable md5 draws —
+    ambassador = md5 % v, continue iff md5 % PRIME < ⌊p·PRIME⌋ (an
+    exact integer compare, no float), victim index = md5 % |valid| —
+    keyed by (step, burning node, draw counter), which makes the whole
+    burning process SQL-replayable as a recursive-CTE state machine
+    (the dyn_replay 'ff' oracle replays it draw-for-draw)."""
     import random as _random
 
+    from networkit_spark.functions.porthash import DEFAULT_PRIME, md5_mod_py
     from networkit_spark.streaming.dynamics import (
         EDGE_ADDITION,
         NODE_ADDITION,
@@ -1359,6 +1368,7 @@ def dynamic_forest_fire_events(
     )
 
     rng = _random.Random(seed)
+    thresh = int(p * DEFAULT_PRIME)
     rows: list[tuple] = []
     seq = 0
 
@@ -1371,7 +1381,10 @@ def dynamic_forest_fire_events(
     emit(NODE_ADDITION, 0)
     emit(TIME_STEP)
     for v in range(1, 1 + int(n_steps)):
-        a = rng.choice(sorted(nbrs))
+        if portable_hash:
+            a = md5_mod_py(f"a:{v}", salt=f"ff{seed}:") % v
+        else:
+            a = rng.choice(sorted(nbrs))
         emit(NODE_ADDITION, v)
         visited = {a}
         frontier = [a]
@@ -1380,10 +1393,18 @@ def dynamic_forest_fire_events(
             x = frontier.pop(0)
             valid = sorted(w for w in nbrs[x] if w not in visited)
             chosen = []
+            t = 0
             while valid:
-                if rng.random() > p:
-                    break
-                chosen.append(valid.pop(rng.randrange(len(valid))))
+                if portable_hash:
+                    if md5_mod_py(f"c:{v}:{x}:{t}", salt=f"ff{seed}:") >= thresh:
+                        break
+                    i = md5_mod_py(f"i:{v}:{x}:{t}", salt=f"ff{seed}:") % len(valid)
+                    t += 1
+                else:
+                    if rng.random() > p:
+                        break
+                    i = rng.randrange(len(valid))
+                chosen.append(valid.pop(i))
             for w in chosen:
                 visited.add(w)
                 frontier.append(w)

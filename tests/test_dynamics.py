@@ -396,6 +396,41 @@ def test_dynamic_generator_event_streams(spark):
     assert g3.num_nodes() == 9
     assert connected_components(g3).select("label").distinct().count() == 1
 
+    # portable mode replays a direct transcription of the md5 burning
+    # draws (the dyn_replay 'ff' oracle regrows this state machine
+    # draw-for-draw in SQL)
+    from networkit_spark.functions.porthash import DEFAULT_PRIME, md5_mod_py
+
+    evp = dynamic_forest_fire_events(spark, 8, p=0.3, seed=42, portable_hash=True)
+    gp = apply_events(empty, evp)
+    thresh = int(0.3 * DEFAULT_PRIME)
+    nbrs = {0: set()}
+    want_e = []
+    for v in range(1, 9):
+        a = md5_mod_py(f"a:{v}", salt="ff42:") % v
+        visited, frontier, burned = {a}, [a], [a]
+        while frontier:
+            x = frontier.pop(0)
+            valid = sorted(w for w in nbrs[x] if w not in visited)
+            t = 0
+            while valid:
+                if md5_mod_py(f"c:{v}:{x}:{t}", salt="ff42:") >= thresh:
+                    break
+                i = md5_mod_py(f"i:{v}:{x}:{t}", salt="ff42:") % len(valid)
+                t += 1
+                w = valid.pop(i)
+                visited.add(w)
+                frontier.append(w)
+                burned.append(w)
+        nbrs[v] = set(burned)
+        for w in burned:
+            nbrs[w].add(v)
+            want_e.append((w, v))
+    got_e = sorted(
+        map(tuple, gp.canonical_undirected_edges().select("src", "dst").collect())
+    )
+    assert got_e == sorted(want_e)
+
 
 def test_dynamic_barabasi_albert_events(spark):
     """DynamicBarabasiAlbert (DynamicBarabasiAlbertGenerator.cpp):
