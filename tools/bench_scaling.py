@@ -156,6 +156,52 @@ def orchestrate() -> None:
     print(json.dumps(summary))
 
 
+def reps(n_reps: int, out_path: str | None) -> None:
+    """Run the full N→4N pair ``n_reps`` times back-to-back in one
+    exclusive session and report the MEDIAN whole-job and steady
+    efficiencies (the round-5/6 protocol point: no single noisy pair
+    should require arguing from a discarded attempt). Writes the
+    composite JSON to ``out_path`` when given."""
+    import statistics
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    runs = []
+    for i in range(n_reps):
+        out = subprocess.run(
+            [sys.executable, __file__],
+            check=True,
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        summary = json.loads(lines[-1])
+        per_run = [json.loads(l) for l in lines[:-1]]
+        runs.append({"summary": summary, "runs": per_run})
+        print(json.dumps({"rep": i + 1, **summary}))
+    whole = sorted(r["summary"]["whole_job_efficiency"] for r in runs)
+    steady = sorted(r["summary"]["steady_efficiency"] for r in runs)
+    composite = {
+        "tool": (
+            "tools/bench_scaling.py reps (taskset-pinned local[N], fresh JVM "
+            f"per level, ActiveProcessorCount=N, shuffle partitions {SHUFFLE_PARTS})"
+        ),
+        "input": runs[0]["summary"]["input"],
+        "cpu_pair": runs[0]["summary"]["cpu_pair"],
+        "n_reps": n_reps,
+        "whole_job_efficiency_all": [r["summary"]["whole_job_efficiency"] for r in runs],
+        "steady_efficiency_all": [r["summary"]["steady_efficiency"] for r in runs],
+        "whole_job_efficiency_median": statistics.median(whole),
+        "steady_efficiency_median": statistics.median(steady),
+        "meets_0.8_target": statistics.median(whole) >= 0.8,
+        "reps": runs,
+    }
+    print(json.dumps({k: v for k, v in composite.items() if k != "reps"}))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(composite, f, indent=1)
+
+
 if __name__ == "__main__":
     if len(sys.argv) == 1:
         orchestrate()
@@ -163,5 +209,7 @@ if __name__ == "__main__":
         gen(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     elif sys.argv[1] == "run":
         run(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif sys.argv[1] == "reps":
+        reps(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
     else:
         raise SystemExit(f"unknown mode {sys.argv[1]}")
