@@ -915,6 +915,10 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       portable mode: integer-compare continue draws + md5 victim
       indices) replayed by a single-row recursive-CTE state machine,
       draw-for-draw (gate-folded round 7).
+    - io:* (gate-folded r7): persistence replay — the sub200 co-graph
+      round-tripped through each serialization bridge (.nkb double +
+      varint, Thrill, graph-tool, GEXF, METIS, edge list); see
+      _io_roundtrip_frames.
     Only the SPATIAL streams stay pytest-pinned (transcendental
     movement draws — cos/acosh ulps can flip threshold edges across
     engines; tests/test_dynamics.py pins them by replay-vs-final-state
@@ -987,7 +991,88 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ff").alias("variant"), "src", "dst",
         F.round("weight", 6).alias("weight"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    out = a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    for frame in _io_roundtrip_frames(spark, sf_dir):
+        out = out.unionByName(frame)
+    return out
+
+
+def _io_roundtrip_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Persistence replay (io:* variants of dyn_replay, gate-folded r7):
+    push the sub200 co-graph through every serialization bridge — native
+    ``.nkb`` (double + varint weight formats, ``sources/nkb.py``), Thrill
+    binary, graph-tool binary, GEXF (``sources/exotic.py``), METIS and
+    text edge list (``sources/readers.py``) — read each file back, and
+    emit the canonical surviving edges. The oracle is the identity: the
+    same sub200 edge set with the same exact weight stamps, so any
+    encode/decode bug (varint boundary, width, half-edge convention,
+    weight-format detection) breaks the value hash."""
+    import tempfile
+
+    from networkit_spark.sources.exotic import (
+        read_gexf,
+        read_graphtool_binary,
+        read_thrill,
+        write_gexf,
+        write_graphtool_binary,
+        write_thrill,
+    )
+    from networkit_spark.sources.nkb import (
+        read_networkit_binary,
+        write_networkit_binary,
+    )
+    from networkit_spark.sources.readers import (
+        read_edge_list,
+        read_metis,
+        write_edge_list,
+        write_metis,
+    )
+
+    g = _co_subgraph200(spark, sf_dir)  # node ids 0..199: already dense
+    canon = g.edges.filter(F.col("src") < F.col("dst"))
+    frac = canon.select(
+        "src", "dst",
+        (1.0 + ((F.col("src") * 7 + F.col("dst")) % 5) / 4.0).alias("weight"),
+    )
+    ints = canon.select(
+        "src", "dst",
+        (1.0 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("weight"),
+    )
+    gw = Graph.from_edges(frac, weighted=True, nodes=g.nodes)
+    gi = Graph.from_edges(ints, weighted=True, nodes=g.nodes)
+    tmp = tempfile.mkdtemp(prefix="nk_gate_io_")
+    frames: list[DataFrame] = []
+
+    def emit(tag: str, h: Graph) -> None:
+        frames.append(
+            h.edges.filter(F.col("src") <= F.col("dst")).select(
+                F.lit(tag).alias("variant"), "src", "dst",
+                F.round("weight", 6).alias("weight"),
+            )
+        )
+
+    p = f"{tmp}/g.nkb"
+    write_networkit_binary(gw, p, chunks=3)
+    emit("io:nkb", read_networkit_binary(spark, p))
+    p = f"{tmp}/gi.nkb"
+    write_networkit_binary(gi, p, chunks=2)
+    emit("io:nkb_int", read_networkit_binary(spark, p))
+    p = f"{tmp}/g.thrill"
+    write_thrill(g, p)
+    emit("io:thrill", read_thrill(spark, p))
+    p = f"{tmp}/g.gt"
+    write_graphtool_binary(g, p)
+    emit("io:graphtool", read_graphtool_binary(spark, p))
+    p = f"{tmp}/g.gexf"
+    write_gexf(gw, p)
+    emit("io:gexf", read_gexf(spark, p))
+    p = f"{tmp}/g.metis"
+    write_metis(g, p)
+    emit("io:metis", read_metis(spark, p))
+    p = f"{tmp}/g.el"
+    write_edge_list(g, p)
+    emit("io:edgelist", read_edge_list(spark, p, separator="\t"))
+    return frames
 
 
 # --------------------------------------------------------------------------
@@ -4150,6 +4235,32 @@ def _ff_replay_ctes(steps: int = 12, p: float = 0.3, seed: int = 42) -> list[str
 
 def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) -> str:
     ctes = _dm_replay_ctes(dm_steps, seed) + _ba_replay_ctes(12, seed) + _ff_replay_ctes(12, 0.3, seed)
+    # io:* variants — a round-trip is the identity map, so the oracle is
+    # simply the sub200 canonical edge set (+ the exact weight formulas
+    # stamped by q_dyn_replay; .25-step doubles are binary-exact in both
+    # engines, so round(…,6) cannot diverge).
+    ctes.append(
+        """ioc AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+)"""
+    )
+    io_unions = "".join(
+        f"""
+UNION ALL
+SELECT '{tag}', src, dst, {wexpr} FROM ioc"""
+        for tag, wexpr in [
+            ("io:nkb", "round(1.0 + ((src * 7 + dst) % 5) / 4.0, 6)"),
+            ("io:nkb_int", "CAST(1 + (src + dst) % 5 AS DOUBLE)"),
+            ("io:thrill", "1.0"),
+            ("io:graphtool", "1.0"),
+            ("io:gexf", "round(1.0 + ((src * 7 + dst) % 5) / 4.0, 6)"),
+            ("io:metis", "1.0"),
+            ("io:edgelist", "1.0"),
+        ]
+    )
     return "WITH RECURSIVE " + ",\n".join(ctes) + f"""
 SELECT 'orders' AS variant, o_custkey AS src, o_orderkey + 1000000 AS dst,
        CAST(1.0 AS DOUBLE) AS weight
@@ -4163,7 +4274,7 @@ UNION ALL
 SELECT 'ba', least(a, b), greatest(a, b), 1.0 FROM bae{2 + 12}
 UNION ALL
 SELECT 'ff', least(u.e.a, u.e.b), greatest(u.e.a, u.e.b), 1.0
-FROM ff_fin, UNNEST(ff_fin.adj) AS u(e)
+FROM ff_fin, UNNEST(ff_fin.adj) AS u(e){io_unions}
 """
 
 

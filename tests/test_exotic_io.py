@@ -1,0 +1,196 @@
+"""Thrill / graph-tool binary / GEXF bridges — byte-level goldens and
+round-trips (reference: io/ThrillGraphBinary*, io/GraphToolBinary*,
+GEXFIO.py)."""
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.sources.exotic import (
+    read_gexf,
+    read_graphtool_binary,
+    read_thrill,
+    write_gexf,
+    write_graphtool_binary,
+    write_thrill,
+)
+
+
+def canon(g):
+    rows = g.edges.collect()
+    if g.directed:
+        return sorted((r.src, r.dst) for r in rows)
+    return sorted((r.src, r.dst) for r in rows if r.src <= r.dst)
+
+
+def test_thrill_golden_bytes(spark, tmp_path):
+    # path 0-1-2: half-edges live on the SMALLER endpoint's list
+    # (ThrillGraphBinaryWriter.cpp:28: u's list keeps v with u <= v).
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=3)
+    p = str(tmp_path / "g.thrill")
+    write_thrill(g, p)
+    raw = open(p, "rb").read()
+    assert raw == (
+        b"\x01" + (1).to_bytes(4, "little")  # node 0: deg 1, [1]
+        + b"\x01" + (2).to_bytes(4, "little")  # node 1: deg 1, [2]
+        + b"\x00"  # node 2: deg 0
+    )
+
+
+def test_thrill_roundtrip(spark, tmp_path):
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (1, 1)], n=5)
+    p = str(tmp_path / "g.thrill")
+    write_thrill(g, p)
+    h = read_thrill(spark, p)
+    assert not h.directed
+    assert h.num_nodes() == 5
+    assert canon(h) == canon(g)
+
+
+def test_thrill_directed_raises(spark, tmp_path):
+    g = Graph.of(spark, [(0, 1)], n=2, directed=True)
+    with pytest.raises(ValueError, match="undirected"):
+        write_thrill(g, str(tmp_path / "x.thrill"))
+
+
+def test_thrill_large_degree_leb128(spark, tmp_path):
+    # degree 200 needs a 2-byte LEB128 varint
+    edges = [(0, v) for v in range(1, 201)]
+    g = Graph.of(spark, edges, n=201)
+    p = str(tmp_path / "star.thrill")
+    write_thrill(g, p)
+    raw = open(p, "rb").read()
+    assert raw[0] == (200 & 0x7F) | 0x80 and raw[1] == 200 >> 7
+    h = read_thrill(spark, p)
+    assert canon(h) == canon(g)
+
+
+def test_graphtool_golden_header(spark, tmp_path):
+    g = Graph.of(spark, [(0, 1), (1, 2)], n=3)
+    p = str(tmp_path / "g.gt")
+    write_graphtool_binary(g, p)
+    raw = open(p, "rb").read()
+    assert raw[:8] == bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74, 0x01, 0x00])
+    assert raw[8:16] == (0).to_bytes(8, "little")  # empty comment
+    assert raw[16] == 0  # undirected
+    assert raw[17:25] == (3).to_bytes(8, "little")
+    # undirected keeps v <= u: node 0 [], node 1 [0], node 2 [1]; width 1
+    assert raw[25:] == (
+        (0).to_bytes(8, "little")
+        + (1).to_bytes(8, "little") + b"\x00"
+        + (1).to_bytes(8, "little") + b"\x01"
+    )
+
+
+def test_graphtool_roundtrip_directed(spark, tmp_path):
+    g = Graph.of(spark, [(0, 1), (1, 0), (1, 2), (2, 2)], n=4, directed=True)
+    p = str(tmp_path / "d.gt")
+    write_graphtool_binary(g, p)
+    h = read_graphtool_binary(spark, p)
+    assert h.directed and h.num_nodes() == 4
+    assert canon(h) == canon(g)
+
+
+def test_graphtool_roundtrip_width2(spark, tmp_path):
+    # n=300 forces 2-byte neighbor ids
+    edges = [(i, i + 1) for i in range(299)]
+    g = Graph.of(spark, edges, n=300)
+    p = str(tmp_path / "w2.gt")
+    write_graphtool_binary(g, p)
+    h = read_graphtool_binary(spark, p)
+    assert h.num_nodes() == 300
+    assert canon(h) == canon(g)
+
+
+def test_graphtool_bad_header(spark, tmp_path):
+    p = str(tmp_path / "bad.gt")
+    open(p, "wb").write(b"\x00" * 32)
+    with pytest.raises(ValueError, match="header"):
+        read_graphtool_binary(spark, p)
+
+
+def test_binary_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.exotic import (
+        read_binary_partition,
+        write_binary_partition,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0), (3, 5)], "node long, label long"
+    )
+    for width in (4, 8):
+        p = str(tmp_path / f"p{width}.bin")
+        write_binary_partition(labels, p, width=width)
+        import os
+
+        assert os.path.getsize(p) == 4 * width
+        got = read_binary_partition(spark, p, width=width)
+        assert sorted((r.node, r.label) for r in got.collect()) == [
+            (0, 2), (1, 2), (2, 0), (3, 5),
+        ]
+
+
+def test_binary_edge_list_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.exotic import (
+        read_binary_edge_list_partition,
+        write_binary_edge_list_partition,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, 7), (1, 0), (2, 7)], "node long, label long"
+    )
+    p = str(tmp_path / "elp.bin")
+    write_binary_edge_list_partition(labels, p, first_node=1, width=4)
+    raw = open(p, "rb").read()
+    # node-order (node+1, label) uint32 pairs
+    assert raw[:8] == (1).to_bytes(4, "little") + (7).to_bytes(4, "little")
+    got = read_binary_edge_list_partition(spark, p, first_node=1, width=4)
+    assert sorted((r.node, r.label) for r in got.collect()) == [
+        (0, 7), (1, 0), (2, 7),
+    ]
+
+
+def test_gexf_roundtrip_weighted(spark, tmp_path):
+    g = Graph.of(
+        spark, [(0, 1, 2.5), (1, 2, 0.25), (2, 0, 4.0)], n=4, weighted=True
+    )
+    p = str(tmp_path / "g.gexf")
+    write_gexf(g, p)
+    h = read_gexf(spark, p)
+    assert not h.directed and h.weighted
+    assert h.num_nodes() == 4
+    got = sorted(
+        (r.src, r.dst, r.weight) for r in h.edges.collect() if r.src <= r.dst
+    )
+    want = sorted(
+        (r.src, r.dst, r.weight) for r in g.edges.collect() if r.src <= r.dst
+    )
+    assert got == want
+
+
+def test_gexf_roundtrip_directed(spark, tmp_path):
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 0)], n=3, directed=True)
+    p = str(tmp_path / "d.gexf")
+    write_gexf(g, p)
+    h = read_gexf(spark, p)
+    assert h.directed and canon(h) == canon(g)
+
+
+def test_gexf_namespaced_string_ids(spark, tmp_path):
+    # foreign GEXF: xmlns + non-numeric ids (document-order dense remap)
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">
+  <graph defaultedgetype="undirected" mode="static">
+    <nodes><node id="a"/><node id="b"/><node id="c"/></nodes>
+    <edges>
+      <edge id="0" source="a" target="b"/>
+      <edge id="1" source="b" target="c" weight="3.5"/>
+    </edges>
+  </graph>
+</gexf>"""
+    p = str(tmp_path / "ns.gexf")
+    open(p, "w").write(xml)
+    h = read_gexf(spark, p)
+    assert h.num_nodes() == 3 and not h.directed and h.weighted
+    assert canon(h) == [(0, 1), (1, 2)]
+    w = {(r.src, r.dst): r.weight for r in h.edges.collect()}
+    assert w[(1, 2)] == 3.5 and w[(0, 1)] == 1.0
