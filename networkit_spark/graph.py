@@ -258,6 +258,70 @@ class Graph:
     def remove_self_loops(self) -> "Graph":
         return replace(self, edges=self.edges.filter(F.col("src") != F.col("dst")))
 
+    # --------------------------------------------------------- mutation views
+    # The Graph is an immutable DataFrame view, so the reference's mutators
+    # (``graph.pyx`` addNode/removeNode/restoreNode/addEdge/removeEdge/
+    # setWeight/increaseWeight) return NEW Graphs; each is one seq-ordered
+    # event batch through the GraphUpdater fold (streaming/dynamics.py),
+    # which is also the bulk path for large edit logs.
+    def _with_events(self, rows: list[tuple]) -> "Graph":
+        from networkit_spark.streaming.dynamics import apply_events
+
+        ev = self.edges.sparkSession.createDataFrame(
+            rows, "seq long, type string, u long, v long, w double"
+        )
+        return apply_events(self, ev)
+
+    def add_nodes(self, ids: list[int]) -> "Graph":
+        """Graph::addNodes (``graph.pyx:addNodes``)."""
+        return self._with_events(
+            [(i, "NODE_ADDITION", int(u), None, None) for i, u in enumerate(ids)]
+        )
+
+    def remove_nodes(self, ids: list[int]) -> "Graph":
+        """Graph::removeNode (``graph.pyx:233``): drops incident edges;
+        the id can later be brought back (edgeless) via restore_nodes."""
+        return self._with_events(
+            [(i, "NODE_REMOVAL", int(u), None, None) for i, u in enumerate(ids)]
+        )
+
+    def restore_nodes(self, ids: list[int]) -> "Graph":
+        """Graph::restoreNode: re-adds a removed id WITHOUT its former
+        edges (they were deleted at removal time)."""
+        return self._with_events(
+            [(i, "NODE_RESTORATION", int(u), None, None) for i, u in enumerate(ids)]
+        )
+
+    def add_edges(self, edge_list: list[tuple]) -> "Graph":
+        """Graph::addEdge batch: (u, v[, w]) tuples."""
+        return self._with_events(
+            [
+                (i, "EDGE_ADDITION", int(e[0]), int(e[1]),
+                 float(e[2]) if len(e) > 2 else 1.0)
+                for i, e in enumerate(edge_list)
+            ]
+        )
+
+    def remove_edges(self, pairs: list[tuple]) -> "Graph":
+        """Graph::removeEdge batch."""
+        return self._with_events(
+            [(i, "EDGE_REMOVAL", int(u), int(v), None) for i, (u, v) in enumerate(pairs)]
+        )
+
+    def set_weights(self, triples: list[tuple]) -> "Graph":
+        """Graph::setWeight batch: (u, v, w)."""
+        return self._with_events(
+            [(i, "EDGE_WEIGHT_UPDATE", int(u), int(v), float(w))
+             for i, (u, v, w) in enumerate(triples)]
+        )
+
+    def increase_weights(self, triples: list[tuple]) -> "Graph":
+        """Graph::increaseWeight batch: (u, v, Δw)."""
+        return self._with_events(
+            [(i, "EDGE_WEIGHT_INCREMENT", int(u), int(v), float(w))
+             for i, (u, v, w) in enumerate(triples)]
+        )
+
     def density(self) -> float:
         """GraphTools::density (``GraphTools.hpp:130``): m / (n*(n-1)),
         doubled for undirected (self-loops excluded from m)."""

@@ -89,8 +89,14 @@ def apply_events(g: Graph, events: DataFrame) -> Graph:
     """Replay an ordered event batch onto ``g`` (GraphUpdater semantics).
 
     Undirected graphs key edge events canonically (min, max); the result
-    re-symmetrizes. Edges touching removed nodes are dropped (NetworKit's
-    removeNode drops incident edges, ``graph.pyx:233``).
+    re-symmetrizes. Node removals drop incident edges AT THE REMOVAL'S
+    SEQUENCE POSITION (NetworKit's removeNode drops incident edges,
+    ``graph.pyx:233``): a later NODE_RESTORATION restores the id but NOT
+    its edges (``Graph.hpp restoreNode`` — "previously deleted" edges
+    stay deleted), while an EDGE_ADDITION after the restoration re-adds
+    normally. Implemented by lifting each NODE_REMOVAL to per-edge
+    removal events on the node's candidate incident edges and folding
+    them into the same seq-ordered per-edge event list.
     """
     # ---------------------------------------------------------------- nodes
     nev = events.filter(
@@ -132,8 +138,35 @@ def apply_events(g: Graph, events: DataFrame) -> Graph:
     else:
         key = [F.col("u").alias("src"), F.col("v").alias("dst")]
         base = g.edges
+    edge_events = eev.select(*key, F.struct("seq", "type", "w").alias("e"))
+    # lift node removals onto candidate incident edges (base ∪ edge-event
+    # keys) so the removal lands at its true position in each edge's fold
+    removals = nev.filter(F.col("type") == NODE_REMOVAL).select(
+        F.col("u").alias("nid"), "seq"
+    )
+    if not removals.isEmpty():
+        cand = (
+            base.select("src", "dst")
+            .unionByName(edge_events.select("src", "dst"))
+            .distinct()
+        )
+        lifted = None
+        for side in ("src", "dst"):
+            hit = cand.join(
+                F.broadcast(removals.withColumnRenamed("nid", side)), side
+            ).select(
+                "src",
+                "dst",
+                F.struct(
+                    "seq",
+                    F.lit(EDGE_REMOVAL).alias("type"),
+                    F.lit(None).cast("double").alias("w"),
+                ).alias("e"),
+            )
+            lifted = hit if lifted is None else lifted.unionByName(hit)
+        edge_events = edge_events.unionByName(lifted)
     folded = (
-        eev.select(*key, F.struct("seq", "type", "w").alias("e"))
+        edge_events
         .groupBy("src", "dst")
         .agg(F.sort_array(F.collect_list("e")).alias("evs"))
     )
