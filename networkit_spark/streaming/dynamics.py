@@ -234,11 +234,27 @@ def parse_dgs_lines(lines: DataFrame) -> DataFrame:
 class DynConnectedComponents:
     """Incrementally-maintained connected components
     (``components/DynConnectedComponents.cpp`` semantics: additions are
-    cheap merges; removals recompute).
+    cheap merges; removals are handled with component-local work).
 
     ``labels`` always holds (node, label) with label = min node id of the
     component — the same canonical labeling as the static kernel, so
     ``update_batch`` output is directly comparable with a fresh run.
+
+    Removal path (r7): a removal can only split the component(s) the
+    removed edges/nodes lived in, so CC is recomputed ONLY on the
+    induced subgraph of those affected components (the distributed
+    analogue of the reference's BFS-from-the-severed-edge reachability
+    probe). Because both the static kernel and this class label with
+    the component's min node id, the scoped labels stitch verbatim onto
+    the untouched components' old labels. The stitched seed then runs
+    through the same warm-start min-label merge loop as the additions
+    path, which (a) applies any additions in the same batch, including
+    merges between affected and untouched components, and (b) is a
+    provably-correct finisher: from any seed where each label class is
+    a subset of a true component labeled by its own min member, min
+    propagation converges to the per-component min. Worst case (severing
+    the giant component) degrades to the static kernel's cost; removals
+    in small components touch only those components' edges.
     """
 
     def __init__(self, g: Graph, runner: SuperstepRunner | None = None) -> None:
@@ -251,32 +267,54 @@ class DynConnectedComponents:
     def update_batch(self, events: DataFrame) -> DataFrame:
         from networkit_spark.operators.components import connected_components
 
-        has_removal = (
-            events.filter(
-                F.col("type").isin(EDGE_REMOVAL, NODE_REMOVAL)
-            ).limit(1).count()
-            > 0
-        )
+        rm = events.filter(F.col("type").isin(EDGE_REMOVAL, NODE_REMOVAL))
+        has_removal = not rm.isEmpty()
+        old = self.labels
         self.graph = apply_events(self.graph, events)
+        memb = self.graph.nodes.join(
+            old.withColumnRenamed("node", "id"), "id", "left"
+        )  # (id, label) — label null for nodes added this batch
         if has_removal:
-            # removals can split components — recompute (reference's
-            # expensive path, DynConnectedComponents.cpp handles it with
-            # stored edge presence; recompute is the batch analogue)
-            self.labels = connected_components(self.graph, runner=self.runner)
-            return self.labels
-
-        # additions only merge: warm-start min-label propagation from the
-        # previous labels; new nodes seed with their own id
-        labels = (
-            self.graph.nodes.join(
-                self.labels.withColumnRenamed("node", "id"), "id", "left"
+            # scope: components containing an endpoint of a removal
+            touched = (
+                rm.select(F.col("u").alias("node"))
+                .unionByName(
+                    rm.filter(F.col("v").isNotNull()).select(
+                        F.col("v").alias("node")
+                    )
+                )
+                .distinct()
             )
-            .select(
+            affected = old.join(touched, "node").select("label").distinct()
+            aff_nodes = memb.join(F.broadcast(affected), "label", "left_semi")
+            sub_labels = connected_components(
+                self.graph.subgraph_from_nodes(aff_nodes.select("id")),
+                runner=self.runner,
+            )
+            # untouched components (and brand-new nodes) keep old/own labels
+            seed = (
+                memb.join(F.broadcast(affected), "label", "left_anti")
+                .select(
+                    F.col("id").alias("node"),
+                    F.coalesce("label", F.col("id")).alias("label"),
+                )
+                .unionByName(sub_labels)
+            )
+            if events.filter(
+                F.col("type").isin(EDGE_ADDITION, NODE_ADDITION)
+            ).isEmpty():
+                # pure-removal batch: the stitched seed IS the exact
+                # labeling — no full-graph merge pass needed
+                self.labels = seed.localCheckpoint(eager=True)
+                return self.labels
+        else:
+            # additions only merge: warm-start from the previous labels;
+            # new nodes seed with their own id
+            seed = memb.select(
                 F.col("id").alias("node"),
                 F.coalesce("label", F.col("id")).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        labels = seed.localCheckpoint(eager=True)
         edges = (
             self.graph.symmetrized_edges()
             if self.graph.directed

@@ -101,6 +101,53 @@ def test_dyn_cc_removal_recomputes(spark):
     assert len(set(labels.values())) == 2 and labels[2] == 2
 
 
+def test_dyn_cc_removal_is_component_scoped(spark):
+    # two components; severing one must not disturb the other's labels,
+    # and the result must equal a fresh static run (min-id labels)
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7)], n=8)
+    dyn = DynConnectedComponents(g)
+    ev = events_of(spark, [(1, "EDGE_REMOVAL", 1, 2, None)])
+    labels = _labels(dyn.update_batch(ev))
+    fresh = _labels(connected_components(apply_events(g, ev)))
+    assert labels == fresh
+    assert labels[2] == 2 and labels[3] == 2          # split half relabeled
+    assert labels[5] == labels[6] == labels[7] == 5   # untouched comp kept
+
+
+def test_dyn_cc_mixed_batch_split_and_cross_merge(spark):
+    # one batch: split {0,1,2,3} at (1,2) AND merge the severed half into
+    # the previously-untouched component {5,6} — exercises the stitched
+    # seed + full-graph merge finisher
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3), (5, 6)], n=7)
+    dyn = DynConnectedComponents(g)
+    ev = events_of(spark, [
+        (1, "EDGE_REMOVAL", 1, 2, None),
+        (2, "EDGE_ADDITION", 3, 5, 1.0),
+        (3, "EDGE_ADDITION", 4, 6, 1.0),
+    ])
+    labels = _labels(dyn.update_batch(ev))
+    fresh = _labels(connected_components(apply_events(g, ev)))
+    assert labels == fresh
+    assert labels[5] == labels[4] == labels[2] == 2   # merged via 3-5, 4-6
+    assert labels[0] == labels[1] == 0
+
+
+def test_dyn_cc_node_removal_and_successive_batches(spark):
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 0), (3, 4)], n=5)
+    dyn = DynConnectedComponents(g)
+    l1 = _labels(dyn.update_batch(
+        events_of(spark, [(1, "NODE_REMOVAL", 1, None, None)])
+    ))
+    g1 = apply_events(g, events_of(spark, [(1, "NODE_REMOVAL", 1, None, None)]))
+    assert l1 == _labels(connected_components(g1))
+    assert 1 not in l1 and l1[0] == l1[2] == 0  # triangle survives via (2,0)
+    # follow-up additions warm-start from the scoped labels
+    l2 = _labels(dyn.update_batch(
+        events_of(spark, [(1, "EDGE_ADDITION", 2, 3, 1.0)])
+    ))
+    assert l2[4] == 0 and len(set(l2.values())) == 1
+
+
 def test_apsp_update_additions_matches_recompute(spark):
     """DynAPSP batch insertion == fresh APSP (DynAPSP.cpp updateMatrix)."""
     from networkit_spark.operators.distance import (
