@@ -91,6 +91,7 @@ from networkit_spark.operators.reachability import (
 )
 from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble, tce
 from networkit_spark.operators.spectral import laplacian_centrality
+from networkit_spark.operators.layout import num_edge_crossings, pivot_mds
 
 __all__ = [
     "pagerank",
@@ -175,4 +176,6 @@ __all__ = [
     "tce",
     "pagerank_nibble",
     "laplacian_centrality",
+    "pivot_mds",
+    "num_edge_crossings",
 ]
