@@ -609,14 +609,64 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Algebraic distance per edge (distance/AlgebraicDistance.cpp):
-    4 systems, 5 Jacobi iterations, ω=0.5, L2 norm. The portable-md5
-    uniform init makes the whole computation reproducible in DuckDB."""
+    """Coordinate-embedding kernels in one (variant, src, dst, score)
+    table (layout family gate-folded round 7):
+    - algdist: algebraic distance per edge
+      (distance/AlgebraicDistance.cpp): 4 systems, 5 Jacobi iterations,
+      ω=0.5, L2 norm; the portable-md5 uniform init makes the whole
+      computation reproducible in DuckDB;
+    - pivot_b: the double-centered pivot-distance matrix PivotMDS
+      eigen-decomposes (viz/PivotMDS.cpp:44-76) on the <200 subgraph
+      with explicit pivots 0..7 (j = root id) — the distributed half of
+      the layout kernel, present entries only, (src=node, dst=j);
+    - crossings: numEdgeCrossings
+      (viz/GraphLayoutAlgorithm.hpp:numEdgeCrossings) of the <200
+      subgraph under the deterministic layout x=id, y=(id²) mod 97,
+      mirrored quirks included (b2 uses segment 1's slope; collinear
+      parallel pairs count; ordered double-count halved) — one row
+      (src=-1, dst=-1, score=count).
+    The seeded power iteration atop pivot_b stays pytest-pinned (dense
+    numpy replay in tests/test_layout.py) — driver-side k×k work, not
+    SQL-replayable at tolerance semantics."""
     from networkit_spark.operators.algebraic import algebraic_distances
+    from networkit_spark.operators.layout import (
+        centered_pivot_distances,
+        num_edge_crossings,
+    )
 
     g = _co_graph(spark, sf_dir)
     out = algebraic_distances(g, num_systems=4, num_iters=5, omega=0.5, norm=2)
-    return out.select("src", "dst", F.round("score", 6).alias("score"))
+    a = out.select(
+        F.lit("algdist").alias("variant"),
+        "src",
+        "dst",
+        F.round("score", 6).alias("score"),
+    )
+
+    sub = _co_subgraph200(spark, sf_dir)
+    piv = spark.createDataFrame(
+        [(i, i) for i in range(8)], "root long, j int"
+    )
+    b = centered_pivot_distances(sub, piv).select(
+        F.lit("pivot_b").alias("variant"),
+        F.col("node").alias("src"),
+        F.col("j").cast("long").alias("dst"),
+        F.round("b", 6).alias("score"),
+    )
+
+    coords = sub.nodes.select(
+        "id",
+        F.array(
+            F.col("id").cast("double"),
+            ((F.col("id") * F.col("id")) % 97).cast("double"),
+        ).alias("pos"),
+    )
+    nx = num_edge_crossings(sub, coords, max_edges=None)
+    c = spark.createDataFrame(
+        [("crossings", -1, -1, float(nx))],
+        "variant string, src long, dst long, score double",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2705,10 +2755,75 @@ nrm AS (
   SELECT node,
          {", ".join(f"(mm.mn{i} - l{i}) / (mm.mn{i} - mm.mx{i}) AS l{i}" for i in range(4))}
   FROM fin, mm
+),
+-- layout family (round 7): sub200 prelude under s_ names
+s_e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+s_edges AS MATERIALIZED (SELECT src, dst FROM s_e0 UNION ALL SELECT dst, src FROM s_e0),
+-- pivot_b: BFS from explicit pivots 0..7, present-only double centering
+-- (b = d - rowMean - colMean + grandMean over reached entries; the
+-- arithmetic order matches centered_pivot_distances exactly)
+s_walk(root, node, dist) AS (
+  SELECT CAST(u.i AS BIGINT), CAST(u.i AS BIGINT), CAST(0 AS BIGINT)
+  FROM UNNEST(range(8)) AS u(i)
+  UNION
+  SELECT w.root, e.dst, w.dist + 1
+  FROM s_walk w JOIN s_edges e ON w.node = e.src WHERE w.dist < 96
+),
+s_sp AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM s_walk GROUP BY root, node),
+s_trip AS (SELECT node, root AS j, CAST(dist AS DOUBLE) AS d FROM s_sp),
+s_rm AS (SELECT node, sum(d) / 8.0 AS rm FROM s_trip GROUP BY node),
+s_cm AS (SELECT j, sum(d) / 200.0 AS cm FROM s_trip GROUP BY j),
+s_gm AS (SELECT sum(d) / 1600.0 AS gm FROM s_trip),
+pivot_rows AS (
+  SELECT 'pivot_b' AS variant, t.node AS src, t.j AS dst,
+         round(t.d - r.rm - c.cm + s_gm.gm, 6) AS score
+  FROM s_trip t JOIN s_rm r ON t.node = r.node JOIN s_cm c ON t.j = c.j, s_gm
+),
+-- crossings: deterministic layout x=id, y=(id*id) mod 97; reference
+-- quirks replicated (b2 uses segment 1's slope, collinear parallels
+-- count, ordered double-count halved); no vertical segments exist
+-- because x is injective, so plain division is total here
+s_seg AS (
+  SELECT src, dst,
+         CAST(src AS DOUBLE) AS x1, CAST((src * src) % 97 AS DOUBLE) AS y1,
+         CAST(dst AS DOUBLE) AS x2, CAST((dst * dst) % 97 AS DOUBLE) AS y2
+  FROM s_e0
+),
+s_pairs AS (
+  SELECT a.x1 AS ux, a.y1 AS uy, a.x2 AS vx, a.y2 AS vy,
+         b.x1 AS px, b.y1 AS py, b.x2 AS qx, b.y2 AS qy
+  FROM s_seg a, s_seg b
+  WHERE NOT (a.src = b.src AND a.dst = b.dst)
+),
+s_lin AS (
+  SELECT *, (vy - uy) / (vx - ux) AS m1, (qy - py) / (qx - px) AS m2
+  FROM s_pairs
+),
+s_hit AS (
+  SELECT CASE
+    WHEN m1 <> m2 THEN (CASE
+      WHEN (py - m1 * px - (uy - m1 * ux)) / (m1 - m2) >= least(ux, vx)
+       AND (py - m1 * px - (uy - m1 * ux)) / (m1 - m2) >= least(px, qx)
+       AND (py - m1 * px - (uy - m1 * ux)) / (m1 - m2) <= greatest(ux, vx)
+       AND (py - m1 * px - (uy - m1 * ux)) / (m1 - m2) <= greatest(px, qx)
+      THEN 1 ELSE 0 END)
+    WHEN uy - m1 * ux = py - m1 * px THEN 1 ELSE 0 END AS hit
+  FROM s_lin
+),
+cross_row AS (
+  SELECT 'crossings' AS variant, CAST(-1 AS BIGINT) AS src,
+         CAST(-1 AS BIGINT) AS dst,
+         CAST(CAST(sum(hit) AS BIGINT) // 2 AS DOUBLE) AS score
+  FROM s_hit
 )
-SELECT e.src, e.dst,
+SELECT 'algdist' AS variant, e.src, e.dst,
        round(sqrt({" + ".join(f"pow(a.l{i} - b.l{i}, 2)" for i in range(4))}), 6) AS score
 FROM e0 e JOIN nrm a ON e.src = a.node JOIN nrm b ON e.dst = b.node
+UNION ALL SELECT variant, src, dst, score FROM pivot_rows
+UNION ALL SELECT variant, src, dst, score FROM cross_row
 """,
         "graph_local_degree": f"""
 WITH {GRAPH_PRELUDE_SQL},

@@ -91,7 +91,11 @@ from networkit_spark.operators.reachability import (
 )
 from networkit_spark.operators.scd import clique_detect, gce, pagerank_nibble, tce
 from networkit_spark.operators.spectral import laplacian_centrality
-from networkit_spark.operators.layout import num_edge_crossings, pivot_mds
+from networkit_spark.operators.layout import (
+    centered_pivot_distances,
+    num_edge_crossings,
+    pivot_mds,
+)
 
 __all__ = [
     "pagerank",
@@ -178,4 +182,5 @@ __all__ = [
     "laplacian_centrality",
     "pivot_mds",
     "num_edge_crossings",
+    "centered_pivot_distances",
 ]

@@ -56,30 +56,25 @@ def _pivot_table(g: Graph, k: int, seed: int) -> DataFrame:
     )
 
 
-def pivot_mds(
+def centered_pivot_distances(
     g: Graph,
-    dim: int = 2,
-    num_pivots: int = 250,
-    seed: int = 42,
+    pivots: DataFrame,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
-    """(id, pos) — pos is an array<double> of length ``dim``
-    (``PivotMDS::run``, ``viz/PivotMDS.cpp:20-107``).
-
-    ``num_pivots`` is clamped to n like the reference's WARN branch.
-    """
+    """(node, j, b) — the present-entry double-centered pivot-distance
+    matrix C that PivotMDS eigen-decomposes (``viz/PivotMDS.cpp:44-76``;
+    the distributed half of the kernel). ``pivots`` is (root, j) with
+    dense column index j; absent (unreached) entries are the exact CSR
+    zeros and are NOT emitted. Exposed so deterministic pivot sets can
+    be replayed externally (the correctness gate feeds explicit pivots
+    a SQL oracle can reproduce; ``pivot_mds`` feeds the seeded draw)."""
     from networkit_spark.operators.distance import (
         multi_source_bfs,
         multi_source_sssp,
     )
-    from networkit_spark.plans.pin import pin
 
     n = g.num_nodes()
-    if n == 0:
-        raise ValueError("pivot_mds on an empty graph")
-    k = min(num_pivots, n)
-
-    pivots = _pivot_table(g, k, seed)
+    k = pivots.count()
     if g.weighted:
         dists = multi_source_sssp(g, pivots.select("root"), runner=runner)
     else:
@@ -100,7 +95,7 @@ def pivot_mds(
     row_means = trip.groupBy("node").agg(
         (F.sum("d") / F.lit(float(k))).alias("rm")
     )
-    centered = (
+    return (
         trip.join(F.broadcast(col_means), "j")
         .join(row_means, "node")
         .crossJoin(F.broadcast(grand))
@@ -110,6 +105,29 @@ def pivot_mds(
             (F.col("d") - F.col("rm") - F.col("cm") + F.col("g")).alias("b"),
         )
     )
+
+
+def pivot_mds(
+    g: Graph,
+    dim: int = 2,
+    num_pivots: int = 250,
+    seed: int = 42,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """(id, pos) — pos is an array<double> of length ``dim``
+    (``PivotMDS::run``, ``viz/PivotMDS.cpp:20-107``).
+
+    ``num_pivots`` is clamped to n like the reference's WARN branch.
+    """
+    from networkit_spark.plans.pin import pin
+
+    n = g.num_nodes()
+    if n == 0:
+        raise ValueError("pivot_mds on an empty graph")
+    k = min(num_pivots, n)
+
+    pivots = _pivot_table(g, k, seed)
+    centered = centered_pivot_distances(g, pivots, runner=runner)
 
     # densify to one k-vector per node (missing pivot entries stay 0.0,
     # mirroring the CSR zeros) — one groupBy, all JVM-side expressions
