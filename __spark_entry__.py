@@ -625,13 +625,32 @@ def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
       mirrored quirks included (b2 uses segment 1's slope; collinear
       parallel pairs count; ordered double-count halved) — one row
       (src=-1, dst=-1, score=count).
-    The seeded power iteration atop pivot_b stays pytest-pinned (dense
-    numpy replay in tests/test_layout.py) — driver-side k×k work, not
-    SQL-replayable at tolerance semantics."""
+    - maxent_s: the MaxentStress known-distance set S at k=2
+      (viz/MaxentStress.cpp computeKnownDistances:455-483 — direct
+      neighbors at edge weight, hop-2 ball members at depth 2) on the
+      <200 subgraph;
+    - maxent_rhs: the attractive rhs of the maxent Laplacian solve
+      (computeCoordinateLaplacianTerm, MaxentStress.cpp:383-404) over S
+      under the same deterministic layout the crossings row uses
+      (x=id, y=(id²) mod 97) — (src=node, dst=axis 0/1);
+    - maxent_m: the S-restricted layout measures ldme and
+      meanDistanceError (MaxentStress.cpp:305-330) for that layout —
+      (src=-1, dst=0/1, score).
+    The seeded power iteration atop pivot_b and the iterative maxent
+    solve loop stay pytest-pinned (dense numpy replays in
+    tests/test_layout.py / tests/test_maxent.py) — tolerance-controlled
+    iteration, not SQL-replayable; the distributed building blocks
+    (S, rhs, measures) are what hash here."""
     from networkit_spark.operators.algebraic import algebraic_distances
     from networkit_spark.operators.layout import (
         centered_pivot_distances,
         num_edge_crossings,
+    )
+    from networkit_spark.operators.maxent import (
+        _attractive_rhs,
+        maxent_known_distances,
+        maxent_ldme,
+        maxent_mean_distance_error,
     )
 
     g = _co_graph(spark, sf_dir)
@@ -666,7 +685,40 @@ def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("crossings", -1, -1, float(nx))],
         "variant string, src long, dst long, score double",
     )
-    return a.unionByName(b).unionByName(c)
+
+    s2 = maxent_known_distances(sub, k=2)
+    ms = s2.select(
+        F.lit("maxent_s").alias("variant"),
+        "src",
+        "dst",
+        F.round("d", 6).alias("score"),
+    )
+    cw = sub.nodes.select(
+        "id",
+        F.col("id").cast("double").alias("c0"),
+        ((F.col("id") * F.col("id")) % 97).cast("double").alias("c1"),
+    )
+    rhs = _attractive_rhs(s2, cw, 2)
+    mr = rhs.select(
+        F.lit("maxent_rhs").alias("variant"),
+        F.col("id").alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+        F.round("c0", 6).alias("score"),
+    ).unionByName(
+        rhs.select(
+            F.lit("maxent_rhs").alias("variant"),
+            F.col("id").alias("src"),
+            F.lit(1).cast("long").alias("dst"),
+            F.round("c1", 6).alias("score"),
+        )
+    )
+    ldme = maxent_ldme(s2, coords)
+    mde = maxent_mean_distance_error(s2, coords)
+    mm = spark.createDataFrame(
+        [("maxent_m", -1, 0, round(ldme, 6)), ("maxent_m", -1, 1, round(mde, 6))],
+        "variant string, src long, dst long, score double",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(ms).unionByName(mr).unionByName(mm)
 
 
 def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2818,12 +2870,52 @@ cross_row AS (
          CAST(-1 AS BIGINT) AS dst,
          CAST(CAST(sum(hit) AS BIGINT) // 2 AS DOUBLE) AS score
   FROM s_hit
+),
+-- maxent known distances at k=2: neighbors at edge weight (1.0 here),
+-- hop-2 ball members (reachable in 2, not 1, not self) at depth 2
+s_h2 AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst
+  FROM s_edges a JOIN s_edges b ON a.dst = b.src
+  WHERE a.src <> b.dst
+    AND NOT EXISTS (
+      SELECT 1 FROM s_edges e WHERE e.src = a.src AND e.dst = b.dst
+    )
+),
+s_kd AS MATERIALIZED (
+  SELECT src, dst, 1.0 AS d FROM s_edges
+  UNION ALL
+  SELECT src, dst, 2.0 FROM s_h2
+),
+-- layout x=id, y=(id*id) mod 97 shared with the crossings row; geo and
+-- the 1e-5 floor match _attractive_rhs / maxent_ldme exactly
+m_geo AS (
+  SELECT src, dst, d,
+         CAST(src AS DOUBLE) - CAST(dst AS DOUBLE) AS dx,
+         CAST((src * src) % 97 AS DOUBLE) - CAST((dst * dst) % 97 AS DOUBLE) AS dy
+  FROM s_kd
+),
+m_dist AS (SELECT *, sqrt(dx * dx + dy * dy) AS geo FROM m_geo),
+m_rhs AS (
+  SELECT src AS id,
+         sum((1.0 / (d * d)) * d / greatest(geo, 1e-5) * dx) AS rx,
+         sum((1.0 / (d * d)) * d / greatest(geo, 1e-5) * dy) AS ry
+  FROM m_dist GROUP BY src
+),
+m_meas AS (
+  SELECT sqrt(sum(pow(d - geo, 2)) / count(*)) AS ldme,
+         sum(abs(geo - d) / d) / count(*) AS mde
+  FROM m_dist
 )
 SELECT 'algdist' AS variant, e.src, e.dst,
        round(sqrt({" + ".join(f"pow(a.l{i} - b.l{i}, 2)" for i in range(4))}), 6) AS score
 FROM e0 e JOIN nrm a ON e.src = a.node JOIN nrm b ON e.dst = b.node
 UNION ALL SELECT variant, src, dst, score FROM pivot_rows
 UNION ALL SELECT variant, src, dst, score FROM cross_row
+UNION ALL SELECT 'maxent_s', src, dst, round(d, 6) FROM s_kd
+UNION ALL SELECT 'maxent_rhs', id, CAST(0 AS BIGINT), round(rx, 6) FROM m_rhs
+UNION ALL SELECT 'maxent_rhs', id, CAST(1 AS BIGINT), round(ry, 6) FROM m_rhs
+UNION ALL SELECT 'maxent_m', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), round(ldme, 6) FROM m_meas
+UNION ALL SELECT 'maxent_m', CAST(-1 AS BIGINT), CAST(1 AS BIGINT), round(mde, 6) FROM m_meas
 """,
         "graph_local_degree": f"""
 WITH {GRAPH_PRELUDE_SQL},
