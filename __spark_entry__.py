@@ -635,12 +635,27 @@ def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
       (x=id, y=(id²) mod 97) — (src=node, dst=axis 0/1);
     - maxent_m: the S-restricted layout measures ldme and
       meanDistanceError (MaxentStress.cpp:305-330) for that layout —
-      (src=-1, dst=0/1, score).
-    The seeded power iteration atop pivot_b and the iterative maxent
-    solve loop stay pytest-pinned (dense numpy replays in
-    tests/test_layout.py / tests/test_maxent.py) — tolerance-controlled
-    iteration, not SQL-replayable; the distributed building blocks
-    (S, rhs, measures) are what hash here."""
+      (src=-1, dst=0/1, score);
+    - lamg_elim / lamg_elim_f: one LAMG low-degree elimination stage
+      (numerics/LAMG/MultiLevelSetup.hpp lowDegreeSweep:317-343 +
+      eliminationOperators:345-358, hash-local-min rule with the md5
+      porthash): the Schur-complement coarse edge list (src, dst, w)
+      and the eliminated f set (src=id, dst=-1, score=weighted degree).
+      The dense sub200 co-graph has almost no degree<=3 nodes, so the
+      stage runs on a deterministic porthash edge sample (canonical
+      edge kept iff md5('lsp:'||least*1000003+greatest) % 5 == 0 —
+      mean degree ~2, plenty of elimination candidates), replayed
+      identically in the oracle;
+    - lamg_aff: LAMG TV affinities (generateTVs:458-475 +
+      computeAffinityMatrix:574-617) — 4 porthash test vectors, 4
+      weighted-Jacobi sweeps on L·t=0, c_uv = (Σ t_u t_v)²/(ns_u·ns_v)
+      on the strong edges (all of them here: uniform weights).
+    The seeded power iteration atop pivot_b, the iterative maxent solve
+    loop, and the LAMG V-cycle/PCG solve stay pytest-pinned (numpy
+    replays / lstsq parity in tests/test_layout.py, tests/test_maxent.py,
+    tests/test_lamg.py) — tolerance-controlled iteration, not
+    SQL-replayable; the distributed building blocks (S, rhs, measures,
+    elimination stage, affinities) are what hash here."""
     from networkit_spark.operators.algebraic import algebraic_distances
     from networkit_spark.operators.layout import (
         centered_pivot_distances,
@@ -718,7 +733,59 @@ def q_graph_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("maxent_m", -1, 0, round(ldme, 6)), ("maxent_m", -1, 1, round(mde, 6))],
         "variant string, src long, dst long, score double",
     )
-    return a.unionByName(b).unionByName(c).unionByName(ms).unionByName(mr).unionByName(mm)
+
+    from networkit_spark.operators.lamg import (
+        _affinities,
+        _elimination_stage,
+        _smooth_tvs,
+        _strong_edges,
+    )
+
+    ledges = (
+        sub.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("weight").cast("double")).alias("w"))
+    )
+    lnodes = sub.nodes.select("id")
+    from networkit_spark.functions.porthash import md5_mod
+
+    lkey = F.least("src", "dst") * F.lit(1000003) + F.greatest("src", "dst")
+    sp = ledges.filter(md5_mod(lkey, salt="lsp:") % 5 == 0)
+    spn = sp.select(F.col("src").alias("id")).distinct()
+    n_sp = spn.count()
+    stage, ce, _cn, _c2 = _elimination_stage(sp, spn, n_sp, 0, porthash=True)
+    # couple the gate to the fixture: the stage must be productive, else
+    # the SQL replay (which always eliminates) silently diverges
+    assert stage is not None, "sparsified sub200 elimination stage degenerated"
+    le = ce.select(
+        F.lit("lamg_elim").alias("variant"),
+        "src",
+        "dst",
+        F.round("w", 6).alias("score"),
+    )
+    lf = stage.f.select(
+        F.lit("lamg_elim_f").alias("variant"),
+        F.col("id").alias("src"),
+        F.lit(-1).cast("long").alias("dst"),
+        F.round("d", 6).alias("score"),
+    )
+    tvs = _smooth_tvs(ledges, lnodes, 4, 4, seed=11, porthash=True)
+    la = _affinities(_strong_edges(ledges), tvs, 4).select(
+        F.lit("lamg_aff").alias("variant"),
+        "src",
+        "dst",
+        F.round("aff", 6).alias("score"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(ms)
+        .unionByName(mr)
+        .unionByName(mm)
+        .unionByName(le)
+        .unionByName(lf)
+        .unionByName(la)
+    )
 
 
 def q_graph_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2905,6 +2972,65 @@ m_meas AS (
   SELECT sqrt(sum(pow(d - geo, 2)) / count(*)) AS ldme,
          sum(abs(geo - d) / d) / count(*) AS mde
   FROM m_dist
+),
+-- LAMG elimination stage 0 (md5-porthash hash-local-min independent set
+-- of structural degree <= 3, Schur fill w_ju*w_uk/d_u) + TV affinities.
+-- The elimination runs on a porthash edge sample (the dense sub200 has
+-- almost no degree<=3 nodes); TVs/affinities stay on the full graph.
+l_nodes AS (SELECT DISTINCT src AS id FROM s_edges),
+l_deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM s_edges GROUP BY src),
+lsp AS MATERIALIZED (
+  SELECT src, dst FROM s_edges
+  WHERE {md5_mod_sql('least(src, dst) * 1000003 + greatest(src, dst)', salt='lsp:')} % 5 = 0
+),
+lsp_deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM lsp GROUP BY src),
+le_h AS (SELECT id, {md5_mod_sql('id', salt='le0:')} AS h FROM (SELECT DISTINCT src AS id FROM lsp)),
+le_cand AS (SELECT id, d FROM lsp_deg WHERE d <= 3),
+le_bad AS (
+  SELECT DISTINCT e.src AS id
+  FROM lsp e
+  JOIN le_cand a ON e.src = a.id JOIN le_cand b ON e.dst = b.id
+  JOIN le_h hs ON e.src = hs.id JOIN le_h hd ON e.dst = hd.id
+  WHERE hd.h < hs.h OR (hd.h = hs.h AND e.dst < e.src)
+),
+le_f AS MATERIALIZED (
+  SELECT id, d FROM le_cand WHERE id NOT IN (SELECT id FROM le_bad)
+),
+le_fe AS (SELECT e.src, e.dst, 1.0 AS w, f.d FROM lsp e JOIN le_f f ON e.src = f.id),
+le_fill AS (
+  SELECT a.dst AS src, b.dst AS dst, a.w * b.w / a.d AS w
+  FROM le_fe a JOIN le_fe b ON a.src = b.src WHERE a.dst <> b.dst
+),
+le_coarse AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT e.src, e.dst, 1.0 AS w FROM lsp e
+    WHERE e.src NOT IN (SELECT id FROM le_f)
+      AND e.dst NOT IN (SELECT id FROM le_f)
+    UNION ALL SELECT src, dst, w FROM le_fill
+  ) GROUP BY src, dst
+),
+-- 4 porthash TVs, 4 weighted-Jacobi sweeps on L t = 0, unrolled
+l_tv0 AS MATERIALIZED (
+  SELECT id, {", ".join(f"2.0 * (CAST({md5_mod_sql('id', salt=f'lamg{11 * 1009 + k}:')} AS DOUBLE) / 2147483629.0) - 1.0 AS t{k}" for k in range(4))}
+  FROM l_nodes
+),
+{"".join(chr(10).join([
+    f"l_g{s} AS (SELECT e.src AS id, " + ", ".join(f"sum(t.t{k}) AS g{k}" for k in range(4)) + f" FROM l_tv{s - 1} t JOIN s_edges e ON t.id = e.dst GROUP BY e.src),",
+    f"l_tv{s} AS MATERIALIZED (SELECT t.id, " + ", ".join(
+        f"(1.0 - 2.0/3.0) * t.t{k} + (2.0/3.0) * coalesce(g.g{k}, 0.0) / greatest(coalesce(dd.d, 0.0), 1e-300) AS t{k}"
+        for k in range(4)
+    ) + f" FROM l_tv{s - 1} t LEFT JOIN l_g{s} g ON t.id = g.id LEFT JOIN l_deg dd ON t.id = dd.id),",
+    "",
+]) for s in range(1, 5))}
+l_ns AS (SELECT id, t0*t0 + t1*t1 + t2*t2 + t3*t3 AS ns FROM l_tv4),
+lamg_aff_rows AS (
+  SELECT e.src, e.dst,
+         round(((a.t0*b.t0 + a.t1*b.t1 + a.t2*b.t2 + a.t3*b.t3)
+                * (a.t0*b.t0 + a.t1*b.t1 + a.t2*b.t2 + a.t3*b.t3))
+               / greatest(na.ns * nb.ns, 1e-300), 6) AS score
+  FROM s_edges e
+  JOIN l_tv4 a ON e.src = a.id JOIN l_tv4 b ON e.dst = b.id
+  JOIN l_ns na ON e.src = na.id JOIN l_ns nb ON e.dst = nb.id
 )
 SELECT 'algdist' AS variant, e.src, e.dst,
        round(sqrt({" + ".join(f"pow(a.l{i} - b.l{i}, 2)" for i in range(4))}), 6) AS score
@@ -2916,6 +3042,9 @@ UNION ALL SELECT 'maxent_rhs', id, CAST(0 AS BIGINT), round(rx, 6) FROM m_rhs
 UNION ALL SELECT 'maxent_rhs', id, CAST(1 AS BIGINT), round(ry, 6) FROM m_rhs
 UNION ALL SELECT 'maxent_m', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), round(ldme, 6) FROM m_meas
 UNION ALL SELECT 'maxent_m', CAST(-1 AS BIGINT), CAST(1 AS BIGINT), round(mde, 6) FROM m_meas
+UNION ALL SELECT 'lamg_elim', src, dst, round(w, 6) FROM le_coarse
+UNION ALL SELECT 'lamg_elim_f', id, CAST(-1 AS BIGINT), round(d, 6) FROM le_f
+UNION ALL SELECT 'lamg_aff', src, dst, score FROM lamg_aff_rows
 """,
         "graph_local_degree": f"""
 WITH {GRAPH_PRELUDE_SQL},

@@ -96,6 +96,7 @@ from networkit_spark.operators.layout import (
     num_edge_crossings,
     pivot_mds,
 )
+from networkit_spark.operators.lamg import LamgHierarchy, lamg_hierarchy, lamg_solve
 
 __all__ = [
     "pagerank",
@@ -183,4 +184,7 @@ __all__ = [
     "pivot_mds",
     "num_edge_crossings",
     "centered_pivot_distances",
+    "lamg_hierarchy",
+    "lamg_solve",
+    "LamgHierarchy",
 ]
