@@ -281,14 +281,128 @@ def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mc_matching(sub) -> DataFrame:
+    """Deterministic one-round hash-dominant matching on the sub200
+    canonical edges (the gate input for MatchingCoarsening): an edge is
+    matched iff it is the (md5-hash, src, dst)-minimal edge incident to
+    BOTH endpoints — one LocalMax-style round, valid by construction
+    (each endpoint nominates exactly one best edge), replayed verbatim
+    by the oracle's two row_number windows. Returns (u, v), u < v."""
+    from networkit_spark.functions.porthash import md5_mod
+
+    ce = sub.canonical_undirected_edges().select(
+        "src",
+        "dst",
+        md5_mod(F.col("src") * 1_000_003 + F.col("dst"), salt="mc:").alias("h"),
+    )
+    inc = ce.select(F.col("src").alias("ep"), "src", "dst", "h").unionByName(
+        ce.select(F.col("dst").alias("ep"), "src", "dst", "h")
+    )
+    w = Window.partitionBy("ep").orderBy("h", "src", "dst")
+    best = inc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+
+
 def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ParallelPartitionCoarsening by label = id % 10: contracted edges."""
+    """Coarsening/projection/overlap family in one
+    (variant, src, dst, weight) table:
+    - ppc: ParallelPartitionCoarsening by label = id % 10 on the full
+      co-graph — contracted edges (coarsening/
+      ParallelPartitionCoarsening.cpp);
+    - mc / mcmap: MatchingCoarsening (coarsening/MatchingCoarsening.cpp)
+      on the (src+dst)%11+1-weighted sub200 graph under the
+      hash-dominant one-round matching — coarse canonical edges
+      (src, dst, summed weight) and the fine→coarse map
+      (src=node, dst=coarse, 1.0); coarse ids are the reference's
+      ordinal carried-node ranks;
+    - proj: ClusteringProjector::projectBack
+      (coarsening/ClusteringProjector.cpp:14) of the coarse clustering
+      label = coarse % 7 through that map — (src=node, dst=label, 1.0);
+    - ov2 / ov3: HashingOverlapper (overlap/HashingOverlapper.cpp) of
+      (id%5, id%7) and (id%3, id%4, id%5) on the sub200 node set —
+      (src=node, dst=compacted core label, 1.0); the oracle replays the
+      byte-wise djb2 (list_reduce with stop-at-zero-byte) and compacts
+      with dense_rank."""
+    from networkit_spark.operators.coarsening import (
+        hashing_overlapper,
+        matching_coarsening,
+        project_back,
+    )
     from networkit_spark.operators.community_quality import coarsen
 
     g = _co_graph(spark, sf_dir)
     labels = g.nodes.select(F.col("id").alias("node"), (F.col("id") % 10).alias("label"))
     cg = coarsen(g, labels)
-    return cg.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+    ppc = cg.edges.select(
+        F.lit("ppc").alias("variant"),
+        "src",
+        "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+
+    sub = _co_subgraph200(spark, sf_dir)
+    weighted = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select(
+            "src",
+            "dst",
+            ((F.col("src") + F.col("dst")) % 11 + 1).cast("double").alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    mcg, f2c = matching_coarsening(weighted, _mc_matching(sub))
+    mc = mcg.edges.filter(F.col("src") <= F.col("dst")).select(
+        F.lit("mc").alias("variant"),
+        "src",
+        "dst",
+        F.round("weight", 6).alias("weight"),
+    )
+    mcmap = f2c.select(
+        F.lit("mcmap").alias("variant"),
+        F.col("node").alias("src"),
+        F.col("coarse").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    coarse_labels = mcg.nodes.select(
+        F.col("id").alias("node"), (F.col("id") % 7).alias("label")
+    )
+    proj = project_back(f2c, coarse_labels).select(
+        F.lit("proj").alias("variant"),
+        F.col("node").alias("src"),
+        F.col("label").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+    def part(m: int) -> DataFrame:
+        return sub.nodes.select(
+            F.col("id").alias("node"), (F.col("id") % m).alias("label")
+        )
+
+    ov2 = hashing_overlapper(sub, [part(5), part(7)]).select(
+        F.lit("ov2").alias("variant"),
+        F.col("node").alias("src"),
+        F.col("label").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    ov3 = hashing_overlapper(sub, [part(3), part(4), part(5)]).select(
+        F.lit("ov3").alias("variant"),
+        F.col("node").alias("src"),
+        F.col("label").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return (
+        ppc.unionByName(mc)
+        .unionByName(mcmap)
+        .unionByName(proj)
+        .unionByName(ov2)
+        .unionByName(ov3)
+    )
 
 
 def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1201,10 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     - io:* (gate-folded r7): persistence replay — the sub200 co-graph
       round-tripped through each serialization bridge (.nkb double +
       varint, Thrill, graph-tool, GEXF, METIS, edge list); see
-      _io_roundtrip_frames.
+      _io_roundtrip_frames;
+    - seir (gate-folded r7): the EpidemicSimulationSEIR census on the
+      sub200 co-graph (12 rounds, portable md5 contact draws), rounds
+      unrolled as chained CTEs; see _seir_frame.
     Only the SPATIAL streams stay pytest-pinned (transcendental
     movement draws — cos/acosh ulps can flip threshold edges across
     engines; tests/test_dynamics.py pins them by replay-vs-final-state
@@ -1163,7 +1280,30 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
     for frame in _io_roundtrip_frames(spark, sf_dir):
         out = out.unionByName(frame)
-    return out
+    return out.unionByName(_seir_frame(spark, sf_dir))
+
+
+def _seir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seir variant (gate-folded r7): EpidemicSimulationSEIR
+    (``simulation/EpidemicSimulationSEIR.cpp``) on the sub200 co-graph —
+    12 rounds, transP=0.3, eTime=2, iTime=4, index case = the smallest
+    non-isolated node, portable md5 contact draws. Output = the census
+    rows (src=round, dst=compartment 0..3, weight=population); the
+    oracle unrolls the identical 12 sweeps as chained CTEs,
+    draw-for-draw (integer threshold compare — exact both engines)."""
+    from networkit_spark.operators.simulation import epidemic_simulation_seir
+
+    sub = _co_subgraph200(spark, sf_dir)
+    zero = int(sub.edges.agg(F.min("src")).collect()[0][0])
+    census = epidemic_simulation_seir(
+        sub, t_max=12, trans_p=0.3, e_time=2, i_time=4, zero=zero, seed=7
+    )
+    return census.select(
+        F.lit("seir").alias("variant"),
+        F.col("t").alias("src"),
+        F.col("state").alias("dst"),
+        F.col("population").cast("double").alias("weight"),
+    )
 
 
 def _io_roundtrip_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
@@ -2594,12 +2734,7 @@ SELECT round((SELECT c FROM intra) / (SELECT m FROM m)
 WITH {GRAPH_PRELUDE_SQL}
 SELECT round(count(*)::DOUBLE, 6) AS cut_weight FROM e0 WHERE src % 10 <> dst % 10
 """,
-        "graph_coarsen": f"""
-WITH {GRAPH_PRELUDE_SQL}
-SELECT src % 10 AS src, dst % 10 AS dst,
-       round(sum(CAST(CASE WHEN src % 10 = dst % 10 THEN 0.5 ELSE 1.0 END AS DOUBLE)), 6) AS weight
-FROM edges GROUP BY 1, 2
-""",
+        "graph_coarsen": _graph_coarsen_sql(),
         "graph_katz": f"""
 WITH RECURSIVE {GRAPH_PRELUDE_SQL},
 alpha AS (SELECT CAST(1.0 AS DOUBLE) / (1 + max(deg)) AS a FROM deg),
@@ -4569,6 +4704,134 @@ def _ff_replay_ctes(steps: int = 12, p: float = 0.3, seed: int = 42) -> list[str
 )""", "ff_fin AS (SELECT adj FROM ff_st ORDER BY rn DESC LIMIT 1)"]
 
 
+def _seir_replay_ctes(
+    t_max: int, trans_p: float, e_time: int, i_time: int, seed: int
+) -> list[str]:
+    """Chained CTEs replaying epidemic_simulation_seir
+    (operators/simulation.py) sweep-for-sweep on the sub200 co-graph
+    (``ioc`` must already exist): per round, round-start-I nodes contact
+    neighbors under the portable md5 draw (integer threshold compare),
+    E ages to I, I ages to R, census after the sweep."""
+    threshold = int(trans_p * DEFAULT_PRIME)
+    ctes = [
+        "seir_e AS MATERIALIZED (SELECT src, dst FROM ioc UNION ALL SELECT dst, src FROM ioc)",
+        "seir_zero AS (SELECT min(src) AS z FROM seir_e)",
+        """seir_s0 AS MATERIALIZED (
+  SELECT CAST(u.i AS BIGINT) AS id,
+         CASE WHEN u.i = (SELECT z FROM seir_zero) THEN 2 ELSE 0 END AS state,
+         CAST(0 AS BIGINT) AS ts
+  FROM UNNEST(range(200)) AS u(i))""",
+    ]
+    for t in range(t_max):
+        draw = md5_mod_sql("e.src * 1000003 + e.dst", salt=f"seir{seed}.{t}:")
+        ctes.append(
+            f"""seir_x{t} AS (
+  SELECT DISTINCT e.dst AS id FROM seir_e e
+  JOIN seir_s{t} i ON e.src = i.id
+  WHERE i.state = 2 AND {draw} < {threshold})"""
+        )
+        ctes.append(
+            f"""seir_s{t + 1} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN s.state = 1 AND {t} - s.ts >= {e_time} THEN 2
+              WHEN s.state = 2 AND {t} - s.ts >= {i_time} THEN 3
+              WHEN s.state = 0 AND x.id IS NOT NULL THEN 1
+              ELSE s.state END AS state,
+         CASE WHEN (s.state = 1 AND {t} - s.ts >= {e_time})
+                OR (s.state = 2 AND {t} - s.ts >= {i_time})
+                OR (s.state = 0 AND x.id IS NOT NULL)
+              THEN CAST({t} AS BIGINT) ELSE s.ts END AS ts
+  FROM seir_s{t} s LEFT JOIN seir_x{t} x ON s.id = x.id)"""
+        )
+    return ctes
+
+
+def _seir_census_sql(t_max: int) -> str:
+    """UNION ALL tail emitting the per-round 4-compartment census."""
+    return "".join(
+        f"""
+UNION ALL
+SELECT 'seir', CAST({t} AS BIGINT), CAST(gs.s AS BIGINT), CAST(count(x.id) AS DOUBLE)
+FROM (VALUES (0), (1), (2), (3)) gs(s)
+LEFT JOIN seir_s{t + 1} x ON x.state = gs.s GROUP BY gs.s"""
+        for t in range(t_max)
+    )
+
+
+def _djb2_sql(key: str) -> str:
+    """DuckDB expression replaying the reference's djb2 over the
+    little-endian bytes of a non-negative int64, stopping at the first
+    zero byte (``overlap/HashingOverlapper.cpp:17-26``) — the exact
+    column expression networkit_spark.operators.coarsening._djb2
+    computes in Spark."""
+    bytes_ = ", ".join(f"CAST((({key}) >> {8 * i}) & 255 AS BIGINT)" for i in range(8))
+    lst = f"[{bytes_}]"
+    return (
+        f"list_reduce(list_prepend(CAST(5381 AS BIGINT), "
+        f"CASE WHEN list_position({lst}, 0) IS NULL THEN {lst} "
+        f"ELSE {lst}[1:list_position({lst}, 0) - 1] END), (h, b) -> h * 33 + b)"
+    )
+
+
+def _graph_coarsen_sql() -> str:
+    """Oracle for the coarsening/projection/overlap variant table: ppc
+    keeps the original full-graph %10 contraction; mc/mcmap/proj replay
+    MatchingCoarsening under the hash-dominant one-round matching
+    (two row_number windows → both-endpoint-best edges, ordinal
+    carried-node coarse ids); ov2/ov3 replay HashingOverlapper byte-wise
+    djb2 + dense_rank compaction."""
+    ov2_key = "(xor(id % 5, 65535) << 16) | xor(id % 7, 65535)"
+    ov3_raw = " + ".join(
+        f"({_djb2_sql(f'(id % {m}) * {c + 2}')} & 65535)"
+        for c, m in enumerate((3, 4, 5))
+    )
+    return f"""
+WITH {GRAPH_PRELUDE_SQL},
+sc_e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+sc_nodes AS (SELECT CAST(u.i AS BIGINT) AS id FROM UNNEST(range(200)) AS u(i)),
+sc_h AS MATERIALIZED (
+  SELECT src, dst, {md5_mod_sql("src * 1000003 + dst", salt="mc:")} AS h FROM sc_e0),
+sc_inc AS (
+  SELECT src AS ep, src, dst, h FROM sc_h
+  UNION ALL SELECT dst, src, dst, h FROM sc_h),
+sc_best AS (
+  SELECT ep, src, dst FROM (
+    SELECT ep, src, dst,
+           row_number() OVER (PARTITION BY ep ORDER BY h, src, dst) AS rk
+    FROM sc_inc) WHERE rk = 1),
+sc_match AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM sc_best GROUP BY src, dst HAVING count(*) = 2),
+sc_carried AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS coarse
+  FROM sc_nodes WHERE id NOT IN (SELECT v FROM sc_match)),
+sc_map AS MATERIALIZED (
+  SELECT id AS node, coarse FROM sc_carried
+  UNION ALL
+  SELECT m.v, c.coarse FROM sc_match m JOIN sc_carried c ON m.u = c.id),
+sc_ce AS (
+  SELECT least(a.coarse, b.coarse) AS src, greatest(a.coarse, b.coarse) AS dst,
+         sum(CAST((e.src + e.dst) % 11 + 1 AS DOUBLE)) AS w
+  FROM sc_e0 e JOIN sc_map a ON e.src = a.node JOIN sc_map b ON e.dst = b.node
+  GROUP BY 1, 2),
+sc_ov2 AS (
+  SELECT id, {_djb2_sql(ov2_key)} AS raw FROM sc_nodes),
+sc_ov3 AS (
+  SELECT id, {ov3_raw} AS raw FROM sc_nodes)
+SELECT 'ppc' AS variant, src % 10 AS src, dst % 10 AS dst,
+       round(sum(CAST(CASE WHEN src % 10 = dst % 10 THEN 0.5 ELSE 1.0 END AS DOUBLE)), 6) AS weight
+FROM edges GROUP BY 1, 2, 3
+UNION ALL SELECT 'mc', src, dst, round(w, 6) FROM sc_ce
+UNION ALL SELECT 'mcmap', node, coarse, 1.0 FROM sc_map
+UNION ALL SELECT 'proj', node, coarse % 7, 1.0 FROM sc_map
+UNION ALL SELECT 'ov2', id, dense_rank() OVER (ORDER BY raw) - 1, 1.0 FROM sc_ov2
+UNION ALL SELECT 'ov3', id, dense_rank() OVER (ORDER BY raw) - 1, 1.0 FROM sc_ov3
+"""
+
+
 def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) -> str:
     ctes = _dm_replay_ctes(dm_steps, seed) + _ba_replay_ctes(12, seed) + _ff_replay_ctes(12, 0.3, seed)
     # io:* variants — a round-trip is the identity map, so the oracle is
@@ -4583,6 +4846,7 @@ def _dyn_replay_sql(dm_steps: int = 12, path_steps: int = 20, seed: int = 42) ->
   WHERE a.l_partkey < 200 AND b.l_partkey < 200
 )"""
     )
+    ctes += _seir_replay_ctes(t_max=12, trans_p=0.3, e_time=2, i_time=4, seed=7)
     io_unions = "".join(
         f"""
 UNION ALL
@@ -4610,7 +4874,7 @@ UNION ALL
 SELECT 'ba', least(a, b), greatest(a, b), 1.0 FROM bae{2 + 12}
 UNION ALL
 SELECT 'ff', least(u.e.a, u.e.b), greatest(u.e.a, u.e.b), 1.0
-FROM ff_fin, UNNEST(ff_fin.adj) AS u(e){io_unions}
+FROM ff_fin, UNNEST(ff_fin.adj) AS u(e){io_unions}{_seir_census_sql(12)}
 """
 
 

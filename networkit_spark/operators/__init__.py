@@ -97,6 +97,13 @@ from networkit_spark.operators.layout import (
     pivot_mds,
 )
 from networkit_spark.operators.lamg import LamgHierarchy, lamg_hierarchy, lamg_solve
+from networkit_spark.operators.coarsening import (
+    hashing_overlapper,
+    matching_coarsening,
+    project_back,
+    project_back_to_finest,
+)
+from networkit_spark.operators.simulation import epidemic_simulation_seir
 
 __all__ = [
     "pagerank",
@@ -187,4 +194,9 @@ __all__ = [
     "lamg_hierarchy",
     "lamg_solve",
     "LamgHierarchy",
+    "matching_coarsening",
+    "project_back",
+    "project_back_to_finest",
+    "hashing_overlapper",
+    "epidemic_simulation_seir",
 ]
