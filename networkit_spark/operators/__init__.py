@@ -104,6 +104,11 @@ from networkit_spark.operators.coarsening import (
     project_back_to_finest,
 )
 from networkit_spark.operators.simulation import epidemic_simulation_seir
+from networkit_spark.operators.coloring import (
+    adjacency_eigenvectors,
+    bfs_sample,
+    spectral_coloring,
+)
 
 __all__ = [
     "pagerank",
@@ -199,4 +204,7 @@ __all__ = [
     "project_back_to_finest",
     "hashing_overlapper",
     "epidemic_simulation_seir",
+    "adjacency_eigenvectors",
+    "spectral_coloring",
+    "bfs_sample",
 ]
