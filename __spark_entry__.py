@@ -1659,7 +1659,21 @@ def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_local_similarity + the round-3 simmelian entry):
     (method, src, dst, score). The first three run on the full co-graph;
     simmelian (rank-overlap, maxRank=5) runs on the <200 subgraph like
-    its round-3 standalone row did."""
+    its round-3 standalone row did. Round 7 adds the edgescores family
+    on the full co-graph over the (src+dst)%11+1 attribute: gmean
+    (GeometricMeanScore), multiscale (MultiscaleScore), cct
+    (ChanceCorrectedTriangleScore, floor-quantized — dyadic .5 ties),
+    rescore (RandomEdgeScore, portable draws), linearize
+    (EdgeScoreLinearizer, canonical tie-break), normalize
+    (EdgeScoreNormalizer invert to [0.25, 0.75])."""
+    from networkit_spark.operators.edgescores import (
+        chance_corrected_triangle_score,
+        edge_score_linearizer,
+        edge_score_normalizer,
+        geometric_mean_score,
+        multiscale_score,
+        random_edge_score,
+    )
     from networkit_spark.operators.sparsification import (
         jaccard_similarity_scores,
         local_degree_scores,
@@ -1667,6 +1681,12 @@ def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = _co_graph(spark, sf_dir)
+    # deterministic edge attribute for the r7 edgescores variants
+    attr = g.canonical_undirected_edges().select(
+        "src",
+        "dst",
+        ((F.col("src") + F.col("dst")) % 11 + 1).cast("double").alias("score"),
+    )
     parts = [
         jaccard_similarity_scores(g).select(
             F.lit("jaccard").alias("method"), "src", "dst",
@@ -1685,6 +1705,35 @@ def q_graph_sparsifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _q_prefix_jaccard_sub200(spark, sf_dir).select(
             F.lit("prefix_jaccard").alias("method"), "src", "dst", "score"
+        ),
+        # r7 edgescores family (edgescores/ + remaining sparsification
+        # scores) over the (src+dst)%11+1 attribute
+        geometric_mean_score(g, attr).select(
+            F.lit("gmean").alias("method"), "src", "dst",
+            F.round("score", 6).alias("score"),
+        ),
+        multiscale_score(g, attr).select(
+            F.lit("multiscale").alias("method"), "src", "dst",
+            F.round("score", 6).alias("score"),
+        ),
+        # floor-quantized, not round: tri·(n−2)/((du−1)(dv−1)) lands on
+        # exact dyadic .5 ties (power-of-two denominators) where Spark
+        # HALF_UP and DuckDB half-even disagree; floor has no ties
+        chance_corrected_triangle_score(g).select(
+            F.lit("cct").alias("method"), "src", "dst",
+            (F.floor(F.col("score") * 1e6) / 1e6).alias("score"),
+        ),
+        random_edge_score(g, seed=5).select(
+            F.lit("rescore").alias("method"), "src", "dst",
+            F.round("score", 6).alias("score"),
+        ),
+        edge_score_linearizer(g, attr).select(
+            F.lit("linearize").alias("method"), "src", "dst",
+            F.round("score", 6).alias("score"),
+        ),
+        edge_score_normalizer(attr, invert=True, lower=0.25, upper=0.75).select(
+            F.lit("normalize").alias("method"), "src", "dst",
+            F.round("score", 6).alias("score"),
         ),
     ]
     out = parts[0]
@@ -6007,10 +6056,48 @@ ls AS (
   ) GROUP BY src, dst
 )
 """
-    out["graph_sparsifiers"] = _SPARSIFY_COMMON + """
+    out["graph_sparsifiers"] = _SPARSIFY_COMMON + f""",
+att AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 11 + 1 AS DOUBLE) AS a FROM e0),
+asum AS MATERIALIZED (
+  SELECT id, sum(a) AS s, count(*) AS d FROM (
+    SELECT src AS id, a FROM att UNION ALL SELECT dst, a FROM att
+  ) GROUP BY id),
+attm AS (SELECT count(*) AS m FROM e0)
 SELECT 'jaccard' AS method, src, dst, score FROM jac
 UNION ALL SELECT 'local_degree', src, dst, score FROM ld
 UNION ALL SELECT 'local_similarity', src, dst, score FROM ls
+UNION ALL
+SELECT 'gmean', t.src, t.dst, round(t.a / sqrt(su.s * sv.s), 6)
+FROM att t JOIN asum su ON t.src = su.id JOIN asum sv ON t.dst = sv.id
+UNION ALL
+SELECT 'multiscale', t.src, t.dst,
+       round(greatest(1.0 - pow(1.0 - t.a / su.s, su.d - 1),
+                      1.0 - pow(1.0 - t.a / sv.s, sv.d - 1)), 6)
+FROM att t JOIN asum su ON t.src = su.id JOIN asum sv ON t.dst = sv.id
+UNION ALL
+SELECT 'cct', e.src, e.dst,
+       floor(CASE WHEN e.tri > 0
+                  THEN e.tri::DOUBLE * ((SELECT count(*) FROM nodes) - 2)
+                       / ((du.deg - 1) * (dv.deg - 1))
+                  WHEN du.deg = 1 OR dv.deg = 1 THEN 1.0 ELSE 0.0 END * 1e6) / 1e6
+FROM etri e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
+UNION ALL
+SELECT 'rescore', src, dst,
+       round(CAST({md5_mod_sql("src * 1000003 + dst", salt="res5:")} AS DOUBLE)
+             / {DEFAULT_PRIME}, 6)
+FROM e0
+UNION ALL
+SELECT 'linearize', src, dst,
+       round((row_number() OVER (ORDER BY a, src, dst) - 1)::DOUBLE
+             / ((SELECT m FROM attm) - 1), 6)
+FROM att
+UNION ALL
+SELECT 'normalize', t.src, t.dst, round(nf.factor * t.a + nf.offset, 6)
+FROM att t CROSS JOIN (
+  SELECT -((0.75 - 0.25) / (max(a) - min(a))) AS factor,
+         0.75 - min(a) * (-((0.75 - 0.25) / (max(a) - min(a)))) AS offset
+  FROM att
+) nf
 """
 
     out["graph_hopplot"] = f"""

@@ -104,6 +104,17 @@ from networkit_spark.operators.coarsening import (
     project_back_to_finest,
 )
 from networkit_spark.operators.simulation import epidemic_simulation_seir
+from networkit_spark.operators.edgescores import (
+    chance_corrected_triangle_score,
+    edge_score_as_weight,
+    edge_score_blender,
+    edge_score_linearizer,
+    edge_score_normalizer,
+    geometric_mean_score,
+    multiscale_score,
+    random_edge_score,
+    random_node_edge_score,
+)
 from networkit_spark.operators.coloring import (
     adjacency_eigenvectors,
     bfs_sample,
@@ -207,4 +218,13 @@ __all__ = [
     "adjacency_eigenvectors",
     "spectral_coloring",
     "bfs_sample",
+    "edge_score_as_weight",
+    "edge_score_blender",
+    "edge_score_linearizer",
+    "edge_score_normalizer",
+    "geometric_mean_score",
+    "random_edge_score",
+    "multiscale_score",
+    "chance_corrected_triangle_score",
+    "random_node_edge_score",
 ]
