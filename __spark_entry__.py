@@ -2369,7 +2369,26 @@ def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_lp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction evaluation scores in one (metric, u, v, score)
     table: KatzIndex pair scores + the held-out ROC AUC as the
-    (u, v) = (-1, -1) row (merged graph_katz_index + graph_roc)."""
+    (u, v) = (-1, -1) row (merged graph_katz_index + graph_roc).
+    Round 7 adds, on the sub200 graph and its distance-2 pair set
+    (MissingLinksFinder): mlf2 (the pairs), ari (AdjustedRandIndex —
+    the reference's set_union quirk replicated), same_comm
+    (SameCommunityIndex over labels id%7), thresh
+    (LinkThresholder::byCount top-50 under ScoreComp), rls
+    (RandomLinkSampler kept-edge set, portable rank), pr
+    (PrecisionRecallMetric points keyed by floor(recall·1e6)).
+    All float variants floor-quantize (dyadic .5 rounding ties).
+    AlgebraicDistanceIndex stays pytest-pinned (30-iteration float
+    smoothing; tests/test_linkpred_utils.py)."""
+    from networkit_spark.operators.linkprediction import (
+        adjusted_rand_index,
+        link_thresholder_by_count,
+        missing_links_finder,
+        precision_recall_points,
+        random_link_sampler_by_count,
+        same_community_index,
+    )
+
     a = q_graph_katz_index(spark, sf_dir).select(
         F.lit("katz").alias("metric"), "u", "v", F.col("katz").alias("score")
     )
@@ -2379,7 +2398,52 @@ def q_graph_lp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("v"),
         F.col("auc").alias("score"),
     )
-    return a.unionByName(b)
+    sub = _co_subgraph200(spark, sf_dir)
+    q6 = lambda c: (F.floor(c * 1e6) / 1e6).alias("score")  # noqa: E731
+    pairs = missing_links_finder(sub, 2).localCheckpoint(eager=True)
+    mlf = pairs.select(
+        F.lit("mlf2").alias("metric"), "u", "v", F.lit(1.0).alias("score")
+    )
+    ari = adjusted_rand_index(sub, pairs)
+    ari_rows = ari.select(F.lit("ari").alias("metric"), "u", "v", q6(F.col("score")))
+    labels7 = sub.nodes.select(
+        F.col("id").alias("node"), (F.col("id") % 7).alias("label")
+    )
+    sc = same_community_index(sub, pairs, labels7).select(
+        F.lit("same_comm").alias("metric"), "u", "v", "score"
+    )
+    th = link_thresholder_by_count(ari, 50).select(
+        F.lit("thresh").alias("metric"), "u", "v", F.lit(1.0).alias("score")
+    )
+    rls = random_link_sampler_by_count(sub, 600, seed=11)
+    rls_rows = rls.canonical_undirected_edges().select(
+        F.lit("rls").alias("metric"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(1.0).alias("score"),
+    )
+    stats = (
+        pairs.join(
+            sub.edges.select(F.col("src").alias("u"), F.col("dst").alias("z")), "u"
+        )
+        .join(sub.edges.select(F.col("src").alias("v"), F.col("dst").alias("z")), ["v", "z"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pr_scored = pairs.join(stats, ["u", "v"], "left").fillna(0, subset=["common"]).select(
+        F.col("common").cast("double").alias("score"),
+        F.when((F.col("u") * F.col("v")) % 3 == 0, 1).otherwise(0).alias("label"),
+    )
+    pr = precision_recall_points(pr_scored).select(
+        F.lit("pr").alias("metric"),
+        F.floor(F.col("recall") * 1e6).cast("long").alias("u"),
+        F.lit(-1).cast("long").alias("v"),
+        q6(F.col("precision")),
+    )
+    out = a.unionByName(b)
+    for df in (mlf, ari_rows, sc, th, rls_rows, pr):
+        out = out.unionByName(df)
+    return out
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3658,6 +3722,10 @@ SELECT 'roc_auc' AS metric, CAST(-1 AS BIGINT) AS u, CAST(-1 AS BIGINT) AS v,
        r.auc AS score FROM (
 {base["graph_roc"]}
 ) r
+UNION ALL
+SELECT z.metric, z.u, z.v, z.score FROM (
+{_lp_utils_sql()}
+) z
 """
     base["sim_topk"] = _variant_union("method", [
         ("exact", base["sim_cosine_topk"]),
@@ -4751,6 +4819,84 @@ def _ff_replay_ctes(steps: int = 12, p: float = 0.3, seed: int = 42) -> list[str
                       AND len(ff_st.frontier) = 1 AS fin) tf
   WHERE ff_st.v <= {steps}
 )""", "ff_fin AS (SELECT adj FROM ff_st ORDER BY rn DESC LIMIT 1)"]
+
+
+def _lp_utils_sql() -> str:
+    """r7 linkprediction-utility variants on the sub200 graph: the
+    distance-2 pair set (closed form: ≥1 common neighbor, not adjacent),
+    ARI with the reference's set_union quirk (b = c = |union|),
+    SameCommunityIndex over id%7, byCount top-50 threshold, the
+    portable RandomLinkSampler kept set, and PrecisionRecall points.
+    Float variants floor-quantize to 1e-6 (dyadic .5 rounding ties
+    split Spark HALF_UP from DuckDB half-even)."""
+    rls_rank = md5_mod_sql("src * 1000003 + dst", salt="rls11:")
+    return f"""
+WITH lp_e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200),
+lp_edges AS MATERIALIZED (
+  SELECT src, dst FROM lp_e0 UNION ALL SELECT dst, src FROM lp_e0),
+lp_deg AS (SELECT src AS id, count(*) AS deg FROM lp_edges GROUP BY src),
+lp_cand AS (
+  SELECT a.src AS u, b.dst AS v, count(*) AS common
+  FROM lp_edges a JOIN lp_edges b ON a.dst = b.src
+  WHERE a.src < b.dst GROUP BY 1, 2),
+lp_d2 AS MATERIALIZED (
+  SELECT c.u, c.v, c.common FROM lp_cand c
+  LEFT JOIN lp_e0 e ON e.src = c.u AND e.dst = c.v
+  WHERE e.src IS NULL),
+lp_ari AS MATERIALIZED (
+  SELECT d.u, d.v,
+         CASE WHEN (a * b + a * c + 2 * a * dd + b * b + b * dd + c * c + c * dd) <> 0
+              THEN (2 * (a * dd - b * c))
+                   / (a * b + a * c + 2 * a * dd + b * b + b * dd + c * c + c * dd)
+              ELSE 0.0 END AS score
+  FROM (
+    SELECT d.u, d.v,
+           CAST(d.common AS DOUBLE) AS a,
+           CAST(du.deg + dv.deg - d.common AS DOUBLE) AS b,
+           CAST(du.deg + dv.deg - d.common AS DOUBLE) AS c,
+           CAST(200 - (du.deg + dv.deg - d.common) AS DOUBLE) AS dd
+    FROM lp_d2 d JOIN lp_deg du ON d.u = du.id JOIN lp_deg dv ON d.v = dv.id
+  ) d),
+lp_pr_by AS (
+  SELECT CAST(common AS DOUBLE) AS s,
+         sum(CASE WHEN (u * v) % 3 = 0 THEN 1.0 ELSE 0.0 END) AS p,
+         sum(CASE WHEN (u * v) % 3 = 0 THEN 0.0 ELSE 1.0 END) AS nn
+  FROM lp_d2 GROUP BY 1),
+lp_pr_cum AS (
+  SELECT s,
+         sum(p) OVER (ORDER BY s DESC) AS tp,
+         sum(p + nn) OVER (ORDER BY s DESC) AS pp
+  FROM lp_pr_by),
+lp_pr_pts AS (
+  SELECT tp / (SELECT sum(p) FROM lp_pr_by) AS recall, tp / pp AS precision, s
+  FROM lp_pr_cum),
+lp_pr AS (
+  SELECT recall, precision FROM (
+    SELECT recall, precision,
+           row_number() OVER (PARTITION BY recall ORDER BY s ASC) AS rk
+    FROM lp_pr_pts) WHERE rk = 1)
+SELECT 'mlf2' AS metric, u, v, 1.0 AS score FROM lp_d2
+UNION ALL
+SELECT 'ari', u, v, floor(score * 1e6) / 1e6 FROM lp_ari
+UNION ALL
+SELECT 'same_comm', u, v,
+       CASE WHEN u % 7 = v % 7 THEN 1.0 ELSE 0.0 END FROM lp_d2
+UNION ALL
+SELECT 'thresh', u, v, 1.0 FROM (
+  SELECT u, v, row_number() OVER (ORDER BY score DESC, u ASC, v ASC) AS rk
+  FROM lp_ari) WHERE rk <= 50
+UNION ALL
+SELECT 'rls', src AS u, dst AS v, 1.0 FROM (
+  SELECT src, dst, row_number() OVER (ORDER BY {rls_rank}, src, dst) AS rk
+  FROM lp_e0) WHERE rk <= 600
+UNION ALL
+SELECT 'pr', CAST(floor(recall * 1e6) AS BIGINT), CAST(-1 AS BIGINT),
+       floor(precision * 1e6) / 1e6 FROM lp_pr
+"""
 
 
 def _seir_replay_ctes(

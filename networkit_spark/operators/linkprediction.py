@@ -230,3 +230,294 @@ def roc_points(
             (F.col("ctp") / F.lit(float(totals["P"] or 1))).alias("tpr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round-7 linkprediction utilities
+# --------------------------------------------------------------------------
+
+
+def _pair_neighbor_stats(g: Graph, pairs: DataFrame) -> DataFrame:
+    """(u, v, common, du, dv) for arbitrary pairs: common neighbors via
+    two adjacency joins aggregated per pair, degrees joined on."""
+    adj = _adjacency(g)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    common = (
+        pairs.join(adj.select(F.col("node").alias("u"), F.col("nbr").alias("z")), "u")
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("nbr").alias("z")),
+            ["v", "z"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(common, ["u", "v"], "left")
+        .fillna(0, subset=["common"])
+        .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u", "left")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v", "left")
+        .fillna(0, subset=["du", "dv"])
+    )
+
+
+def adjusted_rand_index(g: Graph, pairs: DataFrame) -> DataFrame:
+    """(u, v, score) — AdjustedRandIndex
+    (``linkprediction/AdjustedRandIndex.cpp:8-33``). Replicated exactly
+    as the reference computes it: its ``uDifference``/``vDifference``
+    are built with ``std::set_union`` (``:17-22``), so b = c = |N(u) ∪
+    N(v)| — the computed (not the apparently intended) values are the
+    parity target. a = |N(u) ∩ N(v)|, d = n − |union|;
+    score = 2(ad − bc)/(ab + ac + 2ad + b² + bd + c² + cd), 0 on zero
+    denominator."""
+    n = g.num_nodes()
+    st = _pair_neighbor_stats(g, pairs)
+    a = F.col("common").cast("double")
+    uni = (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+    b = uni
+    c = uni
+    d = F.lit(float(n)) - uni
+    denom = a * b + a * c + 2 * a * d + b * b + b * d + c * c + c * d
+    return st.select(
+        "u",
+        "v",
+        F.when(denom != 0, (2 * (a * d - b * c)) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+def same_community_index(
+    g: Graph, pairs: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
+    """(u, v, score) — 1 iff both endpoints share a community
+    (``linkprediction/SameCommunityIndex.cpp:20-22``; the reference runs
+    PLM at construction — pass ``labels`` to reuse a precomputed
+    partition, else PLM runs here too)."""
+    if labels is None:
+        from networkit_spark.operators.louvain import plm
+
+        labels = plm(g).labels
+    lab = labels.select("node", "label")
+    return (
+        pairs.join(lab.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u")
+        .join(lab.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v")
+        .select(
+            "u",
+            "v",
+            F.when(F.col("lu") == F.col("lv"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("score"),
+        )
+    )
+
+
+def algebraic_distance_index(
+    g: Graph,
+    pairs: DataFrame,
+    num_systems: int = 10,
+    num_iters: int = 30,
+    omega: float = 0.5,
+    norm: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(u, v, score) — AlgebraicDistanceIndex
+    (``linkprediction/AlgebraicDistanceIndex.cpp``): ``num_iters``
+    Jacobi-ω smoothing sweeps of ``num_systems`` uniform(0,1) test
+    vectors (portable md5 init — the reference draws
+    ``Aux::Random::real()``), then the ℓ_norm distance between the two
+    endpoints' load vectors (norm=0 → max norm). Unlike the graph-level
+    :func:`networkit_spark.operators.algebraic.algebraic_distances`
+    there is NO min-max normalization — the index scores raw loads
+    (``runImpl``, ``AlgebraicDistanceIndex.cpp:37-57``); isolated nodes
+    keep their initial loads (the reference divides by a zero weighted
+    degree there — NaN scores; we keep the old load, documented)."""
+    from networkit_spark.functions.porthash import DEFAULT_PRIME, md5_mod
+    from networkit_spark.plans.pin import pin
+
+    k = num_systems
+    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
+        "src", "dst", "weight"
+    )
+    edges = pin(edges)
+    loads = pin(
+        g.nodes.select(
+            "id",
+            *[
+                (
+                    md5_mod(F.col("id"), salt=f"adi{seed}.{i}:").cast("double")
+                    / F.lit(float(DEFAULT_PRIME))
+                ).alias(f"l{i}")
+                for i in range(k)
+            ],
+        )
+    )
+    for it in range(num_iters):
+        gathered = (
+            edges.join(loads.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum("weight").alias("wdeg"),
+                *[
+                    F.sum(F.col("weight") * F.col(f"l{i}")).alias(f"s{i}")
+                    for i in range(k)
+                ],
+            )
+        )
+        loads = loads.join(gathered.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            *[
+                F.when(
+                    F.col("wdeg").isNotNull() & (F.col("wdeg") > 0),
+                    (1.0 - omega) * F.col(f"l{i}")
+                    + omega * F.col(f"s{i}") / F.col("wdeg"),
+                )
+                .otherwise(F.col(f"l{i}"))
+                .alias(f"l{i}")
+                for i in range(k)
+            ],
+        )
+        if (it + 1) % 4 == 0 or it == num_iters - 1:
+            loads = pin(loads)
+    j = (
+        pairs.join(loads.withColumnRenamed("id", "u"), "u")
+        .join(
+            loads.select(
+                F.col("id").alias("v"),
+                *[F.col(f"l{i}").alias(f"r{i}") for i in range(k)],
+            ),
+            "v",
+        )
+    )
+    diffs = [F.abs(F.col(f"l{i}") - F.col(f"r{i}")) for i in range(k)]
+    if norm == 0:
+        score = F.greatest(*diffs) if k > 1 else diffs[0]
+    else:
+        score = F.pow(
+            sum((F.pow(dv, float(norm)) for dv in diffs[1:]), F.pow(diffs[0], float(norm))),
+            1.0 / norm,
+        )
+    return j.select("u", "v", F.coalesce(score, F.lit(0.0)).alias("score"))
+
+
+def missing_links_finder(g: Graph, k: int) -> DataFrame:
+    """All node pairs (u < v) at distance EXACTLY ``k``
+    (``linkprediction/MissingLinksFinder.cpp:findAtDistance``). One
+    frontier join per hop, k hops total — the output itself is the
+    k-hop neighborhood table, so nothing beyond the answer
+    materializes."""
+    from networkit_spark.plans.pin import pin
+
+    sym = (g.symmetrized_edges() if g.directed else g.edges).select("src", "dst")
+    sym = pin(sym.filter(F.col("src") != F.col("dst")).distinct())
+    dist = g.nodes.select(F.col("id").alias("root"), F.col("id").alias("node"),
+                          F.lit(0).alias("dist"))
+    frontier = dist
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("src", "node"), "node")
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("root", "node").withColumn("seen", F.lit(1)),
+                  ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = pin(nxt)
+        dist = pin(dist.unionByName(nxt))
+        frontier = nxt
+    return (
+        frontier.filter(F.col("root") < F.col("node"))
+        .select(F.col("root").alias("u"), F.col("node").alias("v"))
+    )
+
+
+def link_thresholder_by_score(scored: DataFrame, min_score: float) -> DataFrame:
+    """Pairs with score ≥ min_score, (u, v)-sorted downstream
+    (``LinkThresholder::byScore`` keeps ``!(score < minScore)``)."""
+    return scored.filter(~(F.col("score") < min_score)).select("u", "v")
+
+
+def link_thresholder_by_count(scored: DataFrame, num_links: int) -> DataFrame:
+    """Top ``num_links`` pairs by (score desc, (u, v) asc) — the
+    reference's ScoreComp ordering (``PredictionsSorter.hpp``)."""
+    total = scored.count()
+    if num_links > total:
+        raise ValueError("num_links > predictions count")
+    return (
+        scored.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+        .limit(num_links)
+        .select("u", "v")
+    )
+
+
+def link_thresholder_by_percentage(scored: DataFrame, pct: float) -> DataFrame:
+    """``byCount(percentage · count)`` (``LinkThresholder.cpp:33-38``)."""
+    if pct < 0 or pct > 1:
+        raise ValueError("Given percentage is not in [0, 1].")
+    return link_thresholder_by_count(scored, int(pct * scored.count()))
+
+
+def random_link_sampler_by_count(g: Graph, num_train: int, seed: int = 42) -> Graph:
+    """Training graph keeping ``num_train`` edges
+    (``linkprediction/RandomLinkSampler.cpp``). The reference removes
+    edges one at a time via the node-biased ``GraphTools::randomEdge``
+    — a sequential chain; here the kept set is the ``num_train``
+    smallest canonical edges under a seeded md5 rank (uniform sample,
+    deterministic at any parallelism — documented deviation)."""
+    from networkit_spark.functions.porthash import md5_mod
+
+    can = g.canonical_undirected_edges()
+    m = can.count()
+    if num_train > m:
+        raise ValueError("num_train > number of edges")
+    keep = (
+        can.withColumn(
+            "h", md5_mod(F.col("src") * F.lit(1_000_003) + F.col("dst"), salt=f"rls{seed}:")
+        )
+        .orderBy("h", "src", "dst")
+        .limit(num_train)
+        .select("src", "dst")
+    )
+    kept = g.edges.join(
+        keep.unionByName(keep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        ["src", "dst"],
+        "left_semi",
+    )
+    return Graph(nodes=g.nodes, edges=kept, directed=g.directed, weighted=g.weighted)
+
+
+def random_link_sampler_by_percentage(g: Graph, pct: float, seed: int = 42) -> Graph:
+    if pct < 0 or pct > 1:
+        raise ValueError("Given percentage is not in [0, 1].")
+    m = g.canonical_undirected_edges().count()
+    return random_link_sampler_by_count(g, int(pct * m), seed=seed)
+
+
+def precision_recall_points(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """(recall, precision) per distinct score threshold descending
+    (``linkprediction/PrecisionRecallMetric.cpp:generatePoints``): at
+    each threshold t, predictions with score ≥ t are positive; when
+    consecutive thresholds repeat a recall the LAST precision wins
+    (the reference pops the stale point)."""
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("double")).alias("p"),
+        F.sum(F.lit(1.0) - F.col(label_col).cast("double")).alias("n"),
+    )
+    totals = by_score.agg(F.sum("p").alias("P")).collect()[0]
+    P = float(totals["P"] or 1.0)
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        by_score.withColumn("tp", F.sum("p").over(w))
+        .withColumn("pp", F.sum("p").over(w) + F.sum("n").over(w))
+        .select(
+            (F.col("tp") / F.lit(P)).alias("recall"),
+            (F.col("tp") / F.col("pp")).alias("precision"),
+            F.col("s"),
+        )
+    )
+    # last precision per recall value = the one at the LOWEST threshold
+    w2 = Window.partitionBy("recall").orderBy(F.asc("s"))
+    return (
+        pts.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("recall", "precision")
+    )
