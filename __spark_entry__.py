@@ -1600,12 +1600,22 @@ def q_graph_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-similarity scalars in one row (merged round-2 entries:
-    NMI / ARI / Jaccard / graph-structural Rand between id%10 and id%7)."""
+    NMI / ARI / Jaccard / graph-structural Rand between id%10 and id%7).
+    Round 7 adds: CoverF1Similarity unweighted+weighted averages (cx vs
+    cy covers), CoverHubDominance unweighted average (cx), the sampled
+    node/graph structural Rand dissimilarities (portable md5 samples,
+    500 each), and DynamicNMIDistance over the even-id snapshot
+    restriction. Float columns floor-quantize (dyadic .5 ties)."""
     from networkit_spark.operators.community_quality import (
         adjusted_rand_dissimilarity,
+        cover_f1_similarity,
+        cover_hub_dominance,
+        dynamic_nmi_distance,
         graph_structural_rand_dissimilarity,
         jaccard_dissimilarity,
         nmi_distance,
+        sampled_graph_structural_rand_dissimilarity,
+        sampled_node_structural_rand_dissimilarity,
     )
 
     from networkit_spark.operators.community_quality import overlapping_nmi_distance
@@ -1626,6 +1636,12 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = g.num_nodes()
+    import math
+
+    q6 = lambda x: math.floor(x * 1e6) / 1e6  # noqa: E731
+    cf1 = cover_f1_similarity(g, cx, cy)
+    chd = cover_hub_dominance(g, cx)
+    old = a.filter(F.col("node") % 2 == 0)
     return spark.createDataFrame(
         [
             (
@@ -1634,10 +1650,18 @@ def q_graph_partition_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(jaccard_dissimilarity(a, b), 6),
                 round(graph_structural_rand_dissimilarity(g, a, b), 6),
                 round(overlapping_nmi_distance(cx, cy, n), 6),
+                q6(cf1["unweighted_avg"]),
+                q6(cf1["weighted_avg"]),
+                q6(chd["unweighted_avg"]),
+                q6(sampled_node_structural_rand_dissimilarity(a, b, 500, seed=13)),
+                q6(sampled_graph_structural_rand_dissimilarity(g, a, b, 500, seed=13)),
+                q6(dynamic_nmi_distance(g, old, b)),
             )
         ],
         "nmi_distance double, ari_distance double, jaccard_distance double, "
-        "gs_rand_distance double, onmi_distance double",
+        "gs_rand_distance double, onmi_distance double, coverf1_uavg double, "
+        "coverf1_wavg double, cover_hub_uavg double, snsr double, sgsr double, "
+        "dyn_nmi double",
     )
 
 
@@ -3774,11 +3798,13 @@ UNION ALL SELECT 'prefix_jaccard' AS method, p.src, p.dst, p.score FROM (
 """
     )
     base["graph_partition_dist"] = f"""
-SELECT t.*, o.onmi_distance FROM (
+SELECT t.*, o.onmi_distance, r7.* FROM (
 {base["graph_partition_dist"]}
 ) t CROSS JOIN (
 {_ONMI_SQL}
-) o
+) o CROSS JOIN (
+{_pdist_r7_sql()}
+) r7
 """
     base["graph_msf"] = _MSF_SUB200_SQL
     base["graph_matching"] = _matching_sql()
@@ -4819,6 +4845,82 @@ def _ff_replay_ctes(steps: int = 12, p: float = 0.3, seed: int = 42) -> list[str
                       AND len(ff_st.frontier) = 1 AS fin) tf
   WHERE ff_st.v <= {steps}
 )""", "ff_fin AS (SELECT adj FROM ff_st ORDER BY rn DESC LIMIT 1)"]
+
+
+def _pdist_r7_sql() -> str:
+    """One-row replay of the r7 partition-dist additions: CoverF1 /
+    CoverHubDominance on the cx/cy covers, portable-sample node/graph
+    structural Rand, DynamicNMIDistance on the even-id restriction.
+    All six columns floor-quantize to 1e-6."""
+    snsr_rank = md5_mod_sql("id", salt="snsr13:")
+    sgsr_rank = md5_mod_sql("src * 1000003 + dst", salt="sgsr13:")
+    return f"""
+WITH {GRAPH_PRELUDE_SQL},
+cx AS MATERIALIZED (
+  SELECT id AS node, id % 10 AS subset FROM nodes
+  UNION ALL SELECT id, 10 FROM nodes WHERE id % 3 = 0),
+cy AS MATERIALIZED (
+  SELECT id AS node, id % 7 AS subset FROM nodes
+  UNION ALL SELECT id, 7 FROM nodes WHERE id % 5 = 0),
+csz AS (SELECT subset AS cs, count(*) AS csz FROM cx GROUP BY 1),
+rsz AS (SELECT subset AS rs, count(*) AS rsz FROM cy GROUP BY 1),
+ol AS (
+  SELECT x.subset AS cs, y.subset AS rs, count(*) AS ol
+  FROM cx x JOIN cy y ON x.node = y.node GROUP BY 1, 2),
+bestf1 AS (
+  SELECT o.cs,
+         max(2.0 * (o.ol::DOUBLE / r.rsz) * (o.ol::DOUBLE / c.csz)
+             / (o.ol::DOUBLE / r.rsz + o.ol::DOUBLE / c.csz)) AS f1
+  FROM ol o JOIN csz c ON o.cs = c.cs JOIN rsz r ON o.rs = r.rs GROUP BY 1),
+cf1 AS (
+  SELECT avg(coalesce(b.f1, 0.0)) AS ua,
+         sum(coalesce(b.f1, 0.0) * c.csz) / (SELECT count(*) FROM cx) AS wa
+  FROM csz c LEFT JOIN bestf1 b ON c.cs = b.cs),
+chd_int AS (
+  SELECT x.subset, e.src, count(*) AS ideg
+  FROM edges e
+  JOIN cx x ON e.src = x.node JOIN cx y ON e.dst = y.node
+  WHERE x.subset = y.subset AND e.src <> e.dst
+  GROUP BY 1, 2),
+chd_max AS (SELECT subset, max(ideg) AS mx FROM chd_int GROUP BY 1),
+chd AS (
+  SELECT avg(CASE WHEN c.csz > 1
+                  THEN coalesce(m.mx, 0)::DOUBLE / (c.csz - 1)
+                  ELSE 1.0 END) AS ua
+  FROM csz c LEFT JOIN chd_max m ON c.cs = m.subset),
+snsr_rk AS (
+  SELECT id, row_number() OVER (ORDER BY {snsr_rank}, id) AS rk FROM nodes),
+snsr AS (
+  SELECT 1.0 - sum(CASE WHEN (x.id % 10 = y.id % 10) = (x.id % 7 = y.id % 7)
+                        THEN 1.0 ELSE 0.0 END) / count(*) AS v
+  FROM snsr_rk x JOIN snsr_rk y ON y.rk = x.rk + 1 AND x.rk <= 500),
+sgsr_e AS (
+  SELECT src, dst, row_number() OVER (ORDER BY {sgsr_rank}, src, dst) AS rk
+  FROM e0),
+sgsr AS (
+  SELECT 1.0 - sum(CASE WHEN (src % 10 = dst % 10) = (src % 7 = dst % 7)
+                        THEN 1.0 ELSE 0.0 END) / count(*) AS v
+  FROM sgsr_e WHERE rk <= 500),
+dn_nodes AS (SELECT id FROM nodes WHERE id % 2 = 0),
+dn_n AS (SELECT count(*)::DOUBLE AS n FROM dn_nodes),
+dn_pa AS (SELECT id % 10 AS la, count(*)::DOUBLE AS s FROM dn_nodes GROUP BY 1),
+dn_pb AS (SELECT id % 7 AS lb, count(*)::DOUBLE AS s FROM dn_nodes GROUP BY 1),
+dn_cells AS (SELECT id % 10 AS la, id % 7 AS lb, count(*)::DOUBLE AS s
+             FROM dn_nodes GROUP BY 1, 2),
+dn_mi AS (SELECT sum((c.s / (SELECT n FROM dn_n))
+                     * log2(c.s * (SELECT n FROM dn_n) / (pa.s * pb.s))) AS v
+          FROM dn_cells c JOIN dn_pa pa USING (la) JOIN dn_pb pb USING (lb)),
+dn_ha AS (SELECT -sum((s / (SELECT n FROM dn_n)) * log2(s / (SELECT n FROM dn_n))) AS v FROM dn_pa),
+dn_hb AS (SELECT -sum((s / (SELECT n FROM dn_n)) * log2(s / (SELECT n FROM dn_n))) AS v FROM dn_pb)
+SELECT
+  floor((SELECT ua FROM cf1) * 1e6) / 1e6 AS coverf1_uavg,
+  floor((SELECT wa FROM cf1) * 1e6) / 1e6 AS coverf1_wavg,
+  floor((SELECT ua FROM chd) * 1e6) / 1e6 AS cover_hub_uavg,
+  floor((SELECT v FROM snsr) * 1e6) / 1e6 AS snsr,
+  floor((SELECT v FROM sgsr) * 1e6) / 1e6 AS sgsr,
+  floor((1.0 - 2.0 * (SELECT v FROM dn_mi)
+         / ((SELECT v FROM dn_ha) + (SELECT v FROM dn_hb))) * 1e6) / 1e6 AS dyn_nmi
+"""
 
 
 def _lp_utils_sql() -> str:

@@ -742,3 +742,199 @@ def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
     cells = pa.join(pb, "node")
     reps = cells.groupBy("la", "lb").agg(F.min("node").alias("label"))
     return cells.join(reps, ["la", "lb"]).select("node", "label")
+
+
+# --------------------------------------------------------------------------
+# round-7 cover measures + sampled Rand + dynamic NMI
+# --------------------------------------------------------------------------
+
+
+def _cover_summary(vals: DataFrame, memberships: int) -> dict:
+    """LocalCoverEvaluation summary (``community/LocalCoverEvaluation``
+    contract): unweighted average over non-empty clusters, average
+    weighted by cluster size over total MEMBERSHIPS (not nodes — a node
+    counts once per subset it belongs to), min, max. ``vals``:
+    (subset, value, sz)."""
+    row = vals.agg(
+        F.avg("value").alias("ua"),
+        (F.sum(F.col("value") * F.col("sz")) / F.lit(float(memberships))).alias("wa"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    return {
+        "unweighted_avg": float(row["ua"] or 0.0),
+        "weighted_avg": float(row["wa"] or 0.0),
+        "min": float(row["mn"] or 0.0),
+        "max": float(row["mx"] or 0.0),
+    }
+
+
+def cover_f1_similarity(g: Graph, cover: DataFrame, reference: DataFrame) -> dict:
+    """CoverF1Similarity (``community/CoverF1Similarity.cpp:14-77``):
+    per cluster of ``cover``, the best F1 against any overlapping
+    reference cluster (precision = overlap/|ref cluster|, recall =
+    overlap/|cluster|). Covers are (node, subset) membership tables.
+    Returns the LocalCoverEvaluation summary dict + ``values``
+    (subset, value, sz). Plan: one membership join → per-(subset, ref)
+    overlap counts → per-subset max — two shuffles."""
+    c = cover.select("node", F.col("subset").alias("cs"))
+    r = reference.select("node", F.col("subset").alias("rs"))
+    csz = c.groupBy("cs").agg(F.count(F.lit(1)).alias("csz"))
+    rsz = r.groupBy("rs").agg(F.count(F.lit(1)).alias("rsz"))
+    overlap = (
+        c.join(r, "node")
+        .groupBy("cs", "rs")
+        .agg(F.count(F.lit(1)).alias("ol"))
+        .join(csz, "cs")
+        .join(rsz, "rs")
+    )
+    f1 = overlap.withColumn(
+        "f1",
+        2.0
+        * (F.col("ol") / F.col("rsz"))
+        * (F.col("ol") / F.col("csz"))
+        / (F.col("ol") / F.col("rsz") + F.col("ol") / F.col("csz")),
+    )
+    best = f1.groupBy("cs").agg(F.max("f1").alias("value"))
+    vals = (
+        csz.join(best, "cs", "left")
+        .fillna(0.0, subset=["value"])
+        .select(F.col("cs").alias("subset"), "value", F.col("csz").alias("sz"))
+    )
+    memberships = c.count()
+    out = _cover_summary(vals, memberships)
+    out["values"] = vals
+    return out
+
+
+def cover_hub_dominance(g: Graph, cover: DataFrame) -> dict:
+    """CoverHubDominance (``community/CoverHubDominance.cpp:7-64``):
+    per subset, max internal degree / (size − 1) (1 for singletons);
+    internal = neighbor shares the subset. Summary dict + ``values``."""
+    c = cover.select("node", "subset")
+    sizes = c.groupBy("subset").agg(F.count(F.lit(1)).alias("sz"))
+    e = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    )
+    internal = (
+        e.join(c.select(F.col("node").alias("src"), "subset"), "src")
+        .join(c.select(F.col("node").alias("dst"), F.col("subset").alias("s2")), "dst")
+        .filter(F.col("subset") == F.col("s2"))
+        .groupBy("subset", "src")
+        .agg(F.count(F.lit(1)).alias("ideg"))
+        .groupBy("subset")
+        .agg(F.max("ideg").alias("mx"))
+    )
+    vals = sizes.join(internal, "subset", "left").select(
+        "subset",
+        F.when(F.col("sz") > 1, F.coalesce("mx", F.lit(0)) / (F.col("sz") - 1))
+        .otherwise(F.lit(1.0))
+        .alias("value"),
+        "sz",
+    )
+    out = _cover_summary(vals, c.count())
+    out["values"] = vals
+    return out
+
+
+def sampled_node_structural_rand_dissimilarity(
+    a: DataFrame, b: DataFrame, max_samples: int = 1000, seed: int = 42
+) -> float:
+    """SampledNodeStructuralRandMeasure
+    (``community/SampledNodeStructuralRandMeasure.cpp``): the node-pair
+    Rand dissimilarity estimated from ``max_samples`` sampled pairs.
+    The reference draws pairs with its sequential RNG; here the sample
+    is the ``max_samples`` smallest md5-ranked node pairs drawn from a
+    deterministic pairing of hash-shuffled nodes — uniform, seeded, and
+    identical at any parallelism (documented deviation)."""
+    from networkit_spark.functions.porthash import md5_mod
+
+    nodes = a.select("node").join(b.select("node"), "node")
+    ranked = nodes.select(
+        "node", md5_mod(F.col("node"), salt=f"snsr{seed}:").alias("h")
+    ).withColumn("rk", F.row_number().over(Window.orderBy("h", "node")))
+    pairs = (
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("y.rk") == F.col("x.rk") + 1)
+            & (F.col("x.rk") <= max_samples),  # rank filter, not limit:
+            # limit() on an unordered join picks arbitrary rows
+        )
+        .select(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
+    )
+    la = a.withColumnRenamed("label", "l")
+    lb = b.withColumnRenamed("label", "m")
+    j = (
+        pairs.join(la.select(F.col("node").alias("u"), F.col("l").alias("lu")), "u")
+        .join(la.select(F.col("node").alias("v"), F.col("l").alias("lv")), "v")
+        .join(lb.select(F.col("node").alias("u"), F.col("m").alias("mu")), "u")
+        .join(lb.select(F.col("node").alias("v"), F.col("m").alias("mv")), "v")
+    )
+    row = j.agg(
+        F.sum(
+            F.when(
+                ((F.col("lu") == F.col("lv")) & (F.col("mu") == F.col("mv")))
+                | ((F.col("lu") != F.col("lv")) & (F.col("mu") != F.col("mv"))),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("agree"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return 0.0
+    return 1.0 - float(row["agree"]) / float(row["n"])
+
+
+def sampled_graph_structural_rand_dissimilarity(
+    g: Graph, a: DataFrame, b: DataFrame, max_samples: int = 1000, seed: int = 42
+) -> float:
+    """SampledGraphStructuralRandMeasure
+    (``community/SampledGraphStructuralRandMeasure.cpp``): Rand
+    dissimilarity over sampled EDGES. Sample = the ``max_samples``
+    smallest md5-ranked canonical edges (uniform over edges; the
+    reference's node-then-neighbor draw is degree-biased — documented
+    deviation, both estimate the same edge-pair agreement rate)."""
+    from networkit_spark.functions.porthash import md5_mod
+
+    edges = (
+        g.canonical_undirected_edges()
+        .withColumn(
+            "h",
+            md5_mod(F.col("src") * F.lit(1_000_003) + F.col("dst"), salt=f"sgsr{seed}:"),
+        )
+        .orderBy("h", "src", "dst")
+        .limit(max_samples)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    la = a.withColumnRenamed("label", "l")
+    lb = b.withColumnRenamed("label", "m")
+    j = (
+        edges.join(la.select(F.col("node").alias("u"), F.col("l").alias("lu")), "u")
+        .join(la.select(F.col("node").alias("v"), F.col("l").alias("lv")), "v")
+        .join(lb.select(F.col("node").alias("u"), F.col("m").alias("mu")), "u")
+        .join(lb.select(F.col("node").alias("v"), F.col("m").alias("mv")), "v")
+    )
+    row = j.agg(
+        F.sum(
+            F.when(
+                ((F.col("lu") == F.col("lv")) & (F.col("mu") == F.col("mv")))
+                | ((F.col("lu") != F.col("lv")) & (F.col("mu") != F.col("mv"))),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("agree"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return 0.0
+    return 1.0 - float(row["agree"]) / float(row["n"])
+
+
+def dynamic_nmi_distance(g: Graph, old: DataFrame, new: DataFrame) -> float:
+    """DynamicNMIDistance (``community/DynamicNMIDistance.cpp:9-100``):
+    NMI distance between two clustering snapshots restricted to the
+    nodes present in BOTH (isInBoth) and in the new graph — exactly the
+    inner join :func:`nmi_distance` already computes, with the node set
+    additionally filtered to g's."""
+    ids = g.nodes.select(F.col("id").alias("node"))
+    return nmi_distance(old.join(ids, "node"), new.join(ids, "node"))
