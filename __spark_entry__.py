@@ -2508,8 +2508,19 @@ def q_graph_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRankNibble + GCE + TCE communities around seed 0 on the <200
     subgraph (merged graph_nibble + graph_gce; TCE gate-folded round 5).
     TCE runs in portable_sum mode (ordered per-term fold) so its float
-    score sums are bit-identical to the DuckDB list_reduce replay."""
-    from networkit_spark.operators.scd import tce
+    score sums are bit-identical to the DuckDB list_reduce replay.
+    Round 7 adds: rbfs (RandomBFS ball, seed 0, size 40, portable
+    partial-level order), setcond (SetConductance of that ball, encoded
+    node = floor(φ·1e6)), gtc (SCDGroundTruthComparison best-jaccard of
+    the seed-0/seed-1 balls vs the id%5 cover, encoded node =
+    seed·10⁷ + floor(j·1e6)). TwoPhaseL and CombinedSCD stay
+    pytest-pinned (sequential add/prune state; tests/test_scd_extras)."""
+    from networkit_spark.operators.scd import (
+        random_bfs_scd,
+        scd_ground_truth_comparison,
+        set_conductance,
+        tce,
+    )
 
     a = q_graph_nibble(spark, sf_dir).select(
         F.lit("nibble").alias("method"), F.col("id").alias("node")
@@ -2522,10 +2533,37 @@ def q_graph_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = tce(
             sub, seeds=[0], max_iterations=TCE_ROUNDS, portable_sum=True
         ).localCheckpoint(eager=True)
+        rb0 = random_bfs_scd(sub, [0], com_size=40, seed=7).localCheckpoint(
+            eager=True
+        )
+        rb1 = random_bfs_scd(sub, [1], com_size=30, seed=7).localCheckpoint(
+            eager=True
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return a.unionByName(b).unionByName(
-        c.select(F.lit("tce").alias("method"), "node")
+    import math
+
+    cond = set_conductance(sub, rb0)
+    gt = sub.nodes.select(F.col("id").alias("node"), (F.col("id") % 5).alias("subset"))
+    found = rb0.select(F.lit(0).cast("long").alias("seed"), "node").unionByName(
+        rb1.select(F.lit(1).cast("long").alias("seed"), "node")
+    )
+    gtc = scd_ground_truth_comparison(sub, gt, found)
+    enc = [
+        (
+            "gtc",
+            int(r["seed"]) * 10_000_000 + math.floor(float(r["jaccard"]) * 1e6),
+        )
+        for r in gtc["scores"].collect()
+    ]
+    extra = spark.createDataFrame(
+        [("setcond", math.floor(cond * 1e6))] + enc, "method string, node long"
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c.select(F.lit("tce").alias("method"), "node"))
+        .unionByName(rb0.select(F.lit("rbfs").alias("method"), "node"))
+        .unionByName(extra)
     )
 
 
@@ -5353,17 +5391,53 @@ def _tce_sql(rounds: int = TCE_ROUNDS) -> str:
 def _scd_sql() -> str:
     """(method, node) oracle for graph_scd: PageRankNibble + GCE + TCE
     replay."""
-    return f"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    rbfs_rank = md5_mod_sql("node", salt="rbfsl7:")
+    return f"""WITH RECURSIVE e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       WHERE a.l_partkey < 200 AND b.l_partkey < 200),
 {_nibble_sql()},
 {_gce_sql()},
-{_tce_sql()}
+{_tce_sql()},
+rwalk(root, node, dist) AS (
+  SELECT u.r, CAST(u.r AS BIGINT), CAST(0 AS BIGINT) FROM (SELECT UNNEST([0, 1]) AS r) u
+  UNION
+  SELECT w.root, e.dst, w.dist + 1 FROM rwalk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < 96),
+rd AS MATERIALIZED (SELECT root, node, min(dist) AS dist FROM rwalk GROUP BY 1, 2),
+rb_rk AS (
+  SELECT root, node, dist,
+         row_number() OVER (PARTITION BY root, dist ORDER BY {rbfs_rank}, node) AS rkl,
+         (SELECT count(*) FROM rd dd WHERE dd.root = rd.root AND dd.dist < rd.dist) AS pc
+  FROM rd),
+rb0 AS MATERIALIZED (SELECT node FROM rb_rk WHERE root = 0 AND pc + rkl <= 40),
+rb1 AS MATERIALIZED (SELECT node FROM rb_rk WHERE root = 1 AND pc + rkl <= 30),
+sc AS (
+  SELECT CASE WHEN v.vol > 0 AND (2 * m.m - v.vol) > 0
+              THEN CAST(c.cut AS DOUBLE) / least(v.vol, 2 * m.m - v.vol)
+              ELSE 1.0 END AS phi
+  FROM (SELECT count(*) AS cut FROM edges e JOIN rb0 a ON e.src = a.node
+        WHERE e.dst NOT IN (SELECT node FROM rb0)) c,
+       (SELECT count(*) AS vol FROM edges e JOIN rb0 a ON e.src = a.node) v,
+       (SELECT count(*) AS m FROM e0) m),
+gtc0 AS (SELECT (SELECT count(*) FROM rb0 WHERE node % 5 = 0) AS ol,
+                (SELECT count(*) FROM rb0) AS fsz),
+gtc1 AS (SELECT (SELECT count(*) FROM rb1 WHERE node % 5 = 1) AS ol,
+                (SELECT count(*) FROM rb1) AS fsz)
 SELECT 'nibble' AS method, id AS node FROM nibble
 UNION ALL
 SELECT 'gce' AS method, node FROM com{GCE_ROUNDS}
 UNION ALL
 SELECT 'tce' AS method, node FROM tcom{TCE_ROUNDS}
+UNION ALL
+SELECT 'rbfs', node FROM rb0
+UNION ALL
+SELECT 'setcond', CAST(floor(phi * 1e6) AS BIGINT) FROM sc
+UNION ALL
+SELECT 'gtc', CAST(0 * 10000000
+       + floor(CAST(ol AS DOUBLE) / (fsz + 40 - ol) * 1e6) AS BIGINT) FROM gtc0
+UNION ALL
+SELECT 'gtc', CAST(1 * 10000000
+       + floor(CAST(ol AS DOUBLE) / (fsz + 40 - ol) * 1e6) AS BIGINT) FROM gtc1
 """
 
 

@@ -529,3 +529,333 @@ def tce(
         else:
             rejected.add(v)
     return com
+
+
+# --------------------------------------------------------------------------
+# round-7 SCD additions
+# --------------------------------------------------------------------------
+
+
+def set_conductance(g: Graph, community: DataFrame) -> float:
+    """SetConductance (``scd/SetConductance.cpp:10-40``):
+    cut(C) / min(vol(C), vol(V∖C)) with self-loops counted twice in the
+    community volume; 1.0 when either side has zero volume."""
+    if g.directed:
+        raise ValueError("SetConductance only supports undirected graphs.")
+    ids = community.select(F.col(community.columns[0]).alias("node")).distinct()
+    e = g.edges  # symmetric storage: per-endpoint rows = forEdgesOf
+    inc = e.join(F.broadcast(ids.withColumnRenamed("node", "src")), "src", "left_semi")
+    row = inc.join(
+        F.broadcast(ids.withColumnRenamed("node", "dst")).withColumn("inn", F.lit(1)),
+        "dst",
+        "left",
+    ).agg(
+        F.sum(F.when(F.col("inn").isNull(), F.col("weight")).otherwise(0.0)).alias(
+            "cut"
+        ),
+        F.sum(
+            F.col("weight")
+            + F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)
+        ).alias("vol"),
+    ).collect()[0]
+    cut = float(row["cut"] or 0.0)
+    vol = float(row["vol"] or 0.0)
+    loops = g.edges.filter(F.col("src") == F.col("dst"))
+    total_w = float(g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    loop_w = float(loops.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    # symmetric storage holds non-loops twice and loops once:
+    # totalEdgeWeight (per-edge) = (total_w - loop_w)/2 + loop_w
+    total_volume = 2.0 * ((total_w - loop_w) / 2.0 + loop_w)
+    rest = total_volume - vol
+    if vol > 0 and rest > 0:
+        return cut / min(vol, rest)
+    return 1.0
+
+
+def combined_scd(g: Graph, seed, first, second) -> DataFrame:
+    """CombinedSCD (``scd/CombinedSCD.cpp``): run ``second`` on the
+    community ``first`` produced from the seed — e.g. a CliqueDetect
+    seed core refined by GCE. ``first`` is (g, seed) → DataFrame;
+    ``second`` is (g, members: DataFrame) → DataFrame."""
+    return second(g, first(g, seed))
+
+
+def random_bfs_scd(
+    g: Graph,
+    seeds: list[int],
+    com_size: int | None = None,
+    cover: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """RandomBFS (``scd/RandomBFS.cpp``): the baseline SCD — grow a BFS
+    ball around the seed set until it reaches the target size; the last
+    partial level is sampled. Target size: ``com_size``, else the size
+    of a ground-truth ``cover`` subset containing EVERY seed (hash-drawn
+    among candidates), else |seeds|. Deviations (documented): the
+    reference shuffles the final level and draws the subset with its
+    sequential RNG; here both use the portable md5 order (node-salted) —
+    deterministic at any parallelism.
+    """
+    from networkit_spark.functions.porthash import md5_mod_py
+
+    spark = g.edges.sparkSession
+    target = com_size if com_size is not None else len(seeds)
+    if com_size is None and cover is not None:
+        per = (
+            cover.join(
+                spark.createDataFrame([(int(s),) for s in seeds], "node long"),
+                "node",
+            )
+            .groupBy("subset")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == len(set(seeds)))
+            .select("subset")
+        )
+        sizes = {
+            int(r["subset"]): int(r["n"])
+            for r in cover.groupBy("subset")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(per, "subset")
+            .collect()
+        }
+        if sizes:
+            pick = min(sizes, key=lambda s: (md5_mod_py(s, salt=f"rbfs{seed}:"), s))
+            target = sizes[pick]
+    sym = (g.symmetrized_edges() if g.directed else g.edges).filter(
+        F.col("src") != F.col("dst")
+    )
+    result: set[int] = set()
+    level = sorted(set(int(s) for s in seeds))
+    while level and len(result) < target:
+        if len(level) + len(result) < target:
+            result.update(level)
+        else:
+            need = target - len(result)
+            ordered = sorted(
+                level, key=lambda v: (md5_mod_py(v, salt=f"rbfsl{seed}:"), v)
+            )
+            result.update(ordered[:need])
+            break
+        cur = spark.createDataFrame([(v,) for v in level], "src long")
+        nxt = (
+            sym.join(F.broadcast(cur), "src", "left_semi")
+            .select("dst")
+            .distinct()
+            .collect()
+        )
+        level = sorted(v[0] for v in nxt if v[0] not in result)
+    return spark.createDataFrame([(v,) for v in sorted(result)], "node long")
+
+
+def scd_ground_truth_comparison(
+    g: Graph,
+    ground_truth: DataFrame,
+    found: DataFrame,
+    ignore_seeds: bool = False,
+) -> dict:
+    """SCDGroundTruthComparison (``scd/SCDGroundTruthComparison.cpp``):
+    per seed community, the best Jaccard/F1/precision/recall against
+    the ground-truth cover — restricted to the seed's own subsets
+    unless ``ignore_seeds``. ``ground_truth``: (node, subset);
+    ``found``: (seed, node). Returns {'scores': DataFrame(seed,
+    jaccard, f1, precision, recall), 'avg_jaccard', 'avg_f1',
+    'avg_precision', 'avg_recall'} — one membership join + per-seed
+    max, all set algebra as join-aggs."""
+    ids = g.nodes.select(F.col("id").alias("node"))
+    gt = ground_truth.join(ids, "node")
+    fnd = found.join(ids, "node")
+    truth_sizes = gt.groupBy("subset").agg(F.count(F.lit(1)).alias("tsz"))
+    found_sizes = fnd.groupBy("seed").agg(F.count(F.lit(1)).alias("fsz"))
+    overlap = fnd.join(gt, "node").groupBy("seed", "subset").agg(
+        F.count(F.lit(1)).alias("ol")
+    )
+    if not ignore_seeds:
+        allowed = gt.select(F.col("node").alias("seed"), "subset")
+        overlap = overlap.join(allowed, ["seed", "subset"], "left_semi")
+    scored = (
+        overlap.join(truth_sizes, "subset")
+        .join(found_sizes, "seed")
+        .withColumn(
+            "jaccard",
+            F.col("ol") / (F.col("fsz") + F.col("tsz") - F.col("ol")),
+        )
+        .withColumn("recall", F.col("ol") / F.col("tsz"))
+        .withColumn("precision", F.col("ol") / F.col("fsz"))
+        .withColumn(
+            "f1",
+            2.0
+            * F.col("precision")
+            * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        )
+        .groupBy("seed")
+        .agg(
+            F.max("jaccard").alias("jaccard"),
+            F.max("f1").alias("f1"),
+            F.max("precision").alias("precision"),
+            F.max("recall").alias("recall"),
+        )
+    )
+    scores = (
+        found_sizes.select("seed")
+        .join(scored, "seed", "left")
+        .fillna(0.0, subset=["jaccard", "f1", "precision", "recall"])
+    )
+    row = scores.agg(
+        F.avg("jaccard").alias("j"),
+        F.avg("f1").alias("f"),
+        F.avg("precision").alias("p"),
+        F.avg("recall").alias("r"),
+    ).collect()[0]
+    return {
+        "scores": scores,
+        "avg_jaccard": float(row["j"] or 0.0),
+        "avg_f1": float(row["f"] or 0.0),
+        "avg_precision": float(row["p"] or 0.0),
+        "avg_recall": float(row["r"] or 0.0),
+    }
+
+
+def two_phase_l(g: Graph, seeds: list[int], max_iterations: int = 200) -> DataFrame:
+    """TwoPhaseL (``scd/TwoPhaseL.cpp``, Chen/Zaïane/Goebel): greedy
+    L-metric expansion then a one-pass pruning sweep. L = Lin/Lex with
+    Lin = 2·intW/|C| and Lex = cut/|boundary|. Adds accept the shell
+    node maximizing L among those RAISING Lin (ties → smallest id; the
+    reference draws uniformly — documented deviation); the pruning pass
+    visits members in ascending id (reference order unspecified) and
+    removes any whose removal does not both lower Lin and raise Lex.
+    Per round: one shell aggregation + one exclusive-boundary count —
+    the gce broadcast shape; community state stays distributed."""
+    if g.edges.filter(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise ValueError("Graphs with self-loops are not supported in TwoPhaseL")
+    spark = g.edges.sparkSession
+    sym = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .transform(pin)
+    )
+    wdeg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wdeg"))
+
+    members = sorted(set(int(s) for s in seeds))
+
+    def com_df(ms):
+        return spark.createDataFrame([(v,) for v in ms], "node long")
+
+    def stats(ms):
+        """(intW, cut, boundary members ext-degrees dict, member intdeg)."""
+        cdf = com_df(ms)
+        inc = sym.join(
+            F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+        )
+        per = (
+            inc.join(
+                F.broadcast(cdf.withColumnRenamed("node", "dst")).withColumn(
+                    "inn", F.lit(1)
+                ),
+                "dst",
+                "left",
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.when(F.col("inn").isNotNull(), F.col("weight")).otherwise(0.0)).alias("ideg"),
+                F.sum(F.when(F.col("inn").isNull(), F.col("weight")).otherwise(0.0)).alias("edeg"),
+            )
+            .collect()
+        )
+        ideg = {int(r["src"]): float(r["ideg"]) for r in per}
+        edeg = {int(r["src"]): float(r["edeg"]) for r in per}
+        for v in ms:  # isolated members
+            ideg.setdefault(v, 0.0)
+            edeg.setdefault(v, 0.0)
+        int_w = sum(ideg.values()) / 2.0
+        cut = sum(edeg.values())
+        boundary = sum(1 for v in ms if edeg[v] > 0)
+        return int_w, cut, boundary, ideg, edeg
+
+    int_w, cut, boundary, _, _ = stats(members)
+    if boundary == 0:
+        return com_df(members)
+    cur_lin = 2.0 * int_w / len(members)
+    cur_lex = cut / boundary
+    cur_l = cur_lin / cur_lex if cur_lex > 0 else float("inf")
+
+    for _ in range(max_iterations):
+        cdf = com_df(members)
+        shell = (
+            sym.join(F.broadcast(cdf.withColumnRenamed("node", "dst")), "dst", "left_semi")
+            .join(F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_anti")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(wdeg.withColumnRenamed("id", "node"), "node")
+            .select("node", "intdeg", (F.col("wdeg") - F.col("intdeg")).alias("extdeg"))
+        )
+        # exclusive boundary members: community nodes whose ONLY external
+        # neighbor is v -> v's boundary credit
+        ext = (
+            sym.join(F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi")
+            .join(F.broadcast(cdf.withColumnRenamed("node", "dst")), "dst", "left_anti")
+        )
+        excl = (
+            ext.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("dst").alias("only"))
+            .filter(F.col("cnt") == 1)
+            .groupBy(F.col("only").alias("node"))
+            .agg(F.count(F.lit(1)).alias("nexcl"))
+        )
+        cand = (
+            shell.join(excl, "node", "left")
+            .fillna(0, subset=["nexcl"])
+            .collect()
+        )
+        best_v, best_l, best_row = None, cur_l, None
+        for r in sorted(cand, key=lambda r: int(r["node"])):
+            n_lin = 2.0 * (int_w + float(r["intdeg"])) / (len(members) + 1)
+            bchange = (1 if float(r["extdeg"]) > 0 else 0) - int(r["nexcl"])
+            nb = boundary + bchange
+            if nb <= 0:
+                continue
+            n_lex = (cut - float(r["intdeg"]) + float(r["extdeg"])) / nb
+            if n_lex <= 0:
+                continue
+            n_l = n_lin / n_lex
+            if n_lin > cur_lin and n_l > best_l:
+                best_v, best_l, best_row = int(r["node"]), n_l, r
+        if best_v is None:
+            break
+        members = sorted(members + [best_v])
+        int_w, cut, boundary, _, _ = stats(members)
+        cur_lin = 2.0 * int_w / len(members)
+        cur_lex = cut / boundary if boundary > 0 else 0.0
+        if cur_lex <= 0:
+            break
+        cur_l = cur_lin / cur_lex
+
+    # pruning pass: ascending id, state updated after each removal
+    for v in sorted(members):
+        if len(members) <= 1:
+            break
+        int_w, cut, boundary, ideg, edeg = stats(members)
+        cur_lin = 2.0 * int_w / len(members)
+        cur_lex = cut / boundary if boundary > 0 else 0.0
+        # numFullyInternalNeighbors: community neighbors of v with edeg 0
+        cdf = com_df([v])
+        nbrs = [
+            int(r["dst"])
+            for r in sym.join(
+                F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+            )
+            .select("dst")
+            .collect()
+        ]
+        mset = set(members)
+        nfull = sum(1 for u in nbrs if u in mset and edeg.get(u, 0.0) == 0.0)
+        bchange = nfull - (1 if edeg[v] > 0 else 0)
+        nb = boundary + bchange
+        n_lin = 2.0 * (int_w - ideg[v]) / (len(members) - 1)
+        n_lex = (cut + ideg[v] - edeg[v]) / nb if nb > 0 else float("inf")
+        if not (cur_lin > n_lin and cur_lex < n_lex):
+            members = [u for u in members if u != v]
+    if not all(int(s) in set(members) for s in seeds):
+        return spark.createDataFrame([], "node long")
+    return com_df(sorted(members))
