@@ -1280,7 +1280,76 @@ def q_dyn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
     for frame in _io_roundtrip_frames(spark, sf_dir):
         out = out.unionByName(frame)
-    return out.unionByName(_seir_frame(spark, sf_dir))
+    out = out.unionByName(_seir_frame(spark, sf_dir))
+    return out.unionByName(_graph_difference_frame(spark, sf_dir))
+
+
+def _graph_difference_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff:* variants (gate-folded r7): GraphDifference
+    (``dynamics/GraphDifference.cpp``) between the (src+dst)%11+1
+    weighted sub200 graph and a deterministic mutation of it (drop
+    edges with src·dst ≡ 0 mod 7, +2 weight where src+dst ≡ 0 mod 3,
+    add the (2i, 2i+1) pairs not already present at weight 9). The
+    oracle re-derives each edit class by the same closed-form rules —
+    pure anti-join replay. Rows: (diff:rm u v 0) / (diff:add u v w) /
+    (diff:wu u v w)."""
+    from networkit_spark.streaming.dynamics import graph_difference
+
+    sub = _co_subgraph200(spark, sf_dir)
+    w1 = ((F.col("src") + F.col("dst")) % 11 + 1).cast("double")
+    g1 = Graph(
+        nodes=sub.nodes,
+        edges=sub.edges.select("src", "dst", w1.alias("weight")),
+        directed=False,
+        weighted=True,
+    )
+    can = sub.canonical_undirected_edges()
+    kept = can.filter((F.col("src") * F.col("dst")) % 7 != 0).select(
+        "src",
+        "dst",
+        (
+            w1
+            + F.when((F.col("src") + F.col("dst")) % 3 == 0, 2.0).otherwise(0.0)
+        ).alias("weight"),
+    )
+    extra = (
+        spark.range(10)
+        .select(
+            (F.col("id") * 2).alias("src"),
+            (F.col("id") * 2 + 1).alias("dst"),
+            F.lit(9.0).alias("weight"),
+        )
+        .join(can, ["src", "dst"], "left_anti")
+    )
+    g2 = Graph.from_edges(
+        kept.unionByName(extra), directed=False, weighted=True, nodes=sub.nodes
+    )
+    d = graph_difference(g1, g2)
+    e = d["edits"]
+    return (
+        e.filter(F.col("type") == "EDGE_REMOVAL").select(
+            F.lit("diff:rm").alias("variant"),
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(0.0).alias("weight"),
+        )
+        .unionByName(
+            e.filter(F.col("type") == "EDGE_ADDITION").select(
+                F.lit("diff:add").alias("variant"),
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.round("w", 6).alias("weight"),
+            )
+        )
+        .unionByName(
+            e.filter(F.col("type") == "EDGE_WEIGHT_UPDATE").select(
+                F.lit("diff:wu").alias("variant"),
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.round("w", 6).alias("weight"),
+            )
+        )
+    )
 
 
 def _seir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5210,6 +5279,16 @@ SELECT 'ba', least(a, b), greatest(a, b), 1.0 FROM bae{2 + 12}
 UNION ALL
 SELECT 'ff', least(u.e.a, u.e.b), greatest(u.e.a, u.e.b), 1.0
 FROM ff_fin, UNNEST(ff_fin.adj) AS u(e){io_unions}{_seir_census_sql(12)}
+UNION ALL
+SELECT 'diff:rm', src, dst, 0.0 FROM ioc WHERE (src * dst) % 7 = 0
+UNION ALL
+SELECT 'diff:add', CAST(2 * u.i AS BIGINT), CAST(2 * u.i + 1 AS BIGINT), 9.0
+FROM UNNEST(range(10)) AS u(i)
+WHERE NOT EXISTS (SELECT 1 FROM ioc
+                  WHERE src = 2 * u.i AND dst = 2 * u.i + 1)
+UNION ALL
+SELECT 'diff:wu', src, dst, CAST((src + dst) % 11 + 3 AS DOUBLE) FROM ioc
+WHERE (src * dst) % 7 <> 0 AND (src + dst) % 3 = 0
 """
 
 

@@ -487,3 +487,28 @@ def path_growing_matcher(
     if not best:
         return spark.createDataFrame([], "src long, dst long, weight double")
     return spark.createDataFrame(best, "src long, dst long, weight double")
+
+
+def random_spanning_forest(g: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst) — a seeded random spanning forest
+    (``components/RandomSpanningForest.cpp``). The reference samples a
+    UNIFORM spanning forest by Wilson's loop-erased random walks — an
+    inherently sequential walk process; here every canonical edge draws
+    a portable md5 weight and one Borůvka pass keeps a maximum forest
+    under those weights (documented deviation: seeded-random but not
+    uniform over all spanning forests; the walk chain is not
+    parallelizable or replayable). Same forest at any parallelism."""
+    from networkit_spark.functions.porthash import md5_mod
+
+    rnd = g.canonical_undirected_edges().select(
+        "src",
+        "dst",
+        (
+            md5_mod(
+                F.col("src") * F.lit(1_000_003) + F.col("dst"), salt=f"rsf{seed}:"
+            ).cast("double")
+            + 1.0
+        ).alias("weight"),
+    )
+    rg = Graph.from_edges(rnd, directed=False, weighted=True, nodes=g.nodes)
+    return spanning_forest(rg).select("src", "dst")

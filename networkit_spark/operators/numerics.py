@@ -324,3 +324,22 @@ def approx_electrical_closeness(
             "score"
         ),
     )
+
+
+def approx_spanning_edge(g: Graph, eps: float = 0.1, seed: int = 42) -> DataFrame:
+    """ApproxSpanningEdge (``centrality/ApproxSpanningEdge.cpp``): ε-approx
+    spanning-edge centrality for every edge. The reference estimates by
+    sampling O(log(m)/ε²) uniform spanning trees with sequential Wilson
+    walks; here the same ε-approximation comes from the Spielman-
+    Srivastava JL sketch (:func:`spanning_edge_centrality_jl`) with
+    k = ceil(log2(m)/ε²) capped at 256 projection vectors — the
+    distributed estimator for the identical quantity (documented
+    estimator substitution; per-walk sampling is not parallelizable).
+    Returns (src, dst, score)."""
+    import math
+
+    m = g.canonical_undirected_edges().count()
+    if m == 0:
+        raise ValueError("Error: graph is empty!")
+    k = min(256, max(8, int(math.ceil(math.log2(max(m, 2)) / (eps * eps) / 8.0))))
+    return spanning_edge_centrality_jl(g, k=k, seed=seed)

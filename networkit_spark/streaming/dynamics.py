@@ -904,3 +904,98 @@ def run_event_stream(
     )
     q.awaitTermination()
     return holder["g"]
+
+
+def graph_difference(g1: Graph, g2: Graph) -> dict:
+    """GraphDifference (``dynamics/GraphDifference.cpp:12-100``): the
+    edit script turning g1 into g2. Returns {'edits': DataFrame
+    (seq, type, u, v, w), 'num_edge_additions', 'num_edge_removals',
+    'num_weight_updates', 'num_node_additions', 'num_node_removals',
+    'num_node_restorations', 'num_edits'} — replaying ``edits`` through
+    :func:`apply_events` on g1 yields g2's structure.
+
+    Everything is anti-joins on canonical keys. Edit order follows the
+    reference's final concatenation (``:86-89``): edge removals, node
+    events, then edge additions/weight updates; WITHIN a block the
+    reference iterates adjacency order — unspecified — so rows order by
+    (u, v) (documented). Node ids beyond g1's max id become
+    NODE_ADDITION, below it NODE_RESTORATION (the reference's dense-id
+    filler dance does not map to an explicit node-set model)."""
+    if g1.directed != g2.directed:
+        raise ValueError("Error, either both or none of the graphs must be directed.")
+    if g1.weighted != g2.weighted:
+        raise ValueError("Error, either both or none of the graphs must be weighted.")
+
+    def canon(g: Graph) -> DataFrame:
+        if g.directed:
+            return g.edges.select("src", "dst", "weight")
+        return g.edges.filter(F.col("src") <= F.col("dst")).select(
+            "src", "dst", "weight"
+        )
+
+    e1, e2 = canon(g1), canon(g2)
+    removals = e1.join(e2.select("src", "dst"), ["src", "dst"], "left_anti").select(
+        F.lit(EDGE_REMOVAL).alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    additions = e2.join(e1.select("src", "dst"), ["src", "dst"], "left_anti").select(
+        F.lit(EDGE_ADDITION).alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("weight").alias("w"),
+    )
+    updates = (
+        e1.withColumnRenamed("weight", "w1")
+        .join(e2.withColumnRenamed("weight", "w2"), ["src", "dst"])
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.lit(EDGE_WEIGHT_UPDATE).alias("type"),
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("w2").alias("w"),
+        )
+    )
+    bound_row = g1.nodes.agg(F.max("id")).collect()[0][0]
+    g1_bound = int(bound_row) + 1 if bound_row is not None else 0
+    gone = g1.nodes.join(g2.nodes, "id", "left_anti").select(
+        F.lit(NODE_REMOVAL).alias("type"),
+        F.col("id").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    new = g2.nodes.join(g1.nodes, "id", "left_anti").select(
+        F.when(F.col("id") < g1_bound, F.lit(NODE_RESTORATION))
+        .otherwise(F.lit(NODE_ADDITION))
+        .alias("type"),
+        F.col("id").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    blocks = [removals, gone.unionByName(new), updates.unionByName(additions)]
+    counts = {}
+    for name, df in (
+        ("num_edge_removals", removals),
+        ("num_node_removals", gone),
+        ("num_edge_additions", additions),
+        ("num_weight_updates", updates),
+    ):
+        counts[name] = df.count()
+    nn = {
+        r["type"]: int(r["n"])
+        for r in new.groupBy("type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts["num_node_additions"] = nn.get(NODE_ADDITION, 0)
+    counts["num_node_restorations"] = nn.get(NODE_RESTORATION, 0)
+    counts["num_edits"] = sum(counts.values())
+    w = Window.orderBy("blk", "u", "v")
+    edits = None
+    for i, df in enumerate(blocks):
+        part = df.withColumn("blk", F.lit(i))
+        edits = part if edits is None else edits.unionByName(part)
+    edits = edits.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "seq", "type", "u", "v", "w"
+    )
+    counts["edits"] = edits
+    return counts
