@@ -859,3 +859,117 @@ def two_phase_l(g: Graph, seeds: list[int], max_iterations: int = 200) -> DataFr
     if not all(int(s) in set(members) for s in seeds):
         return spark.createDataFrame([], "node long")
     return com_df(sorted(members))
+
+
+def local_t(g: Graph, seeds: list[int], max_iterations: int = 200) -> DataFrame:
+    """LocalT (``scd/LocalT.cpp``, triangle-based expansion): greedily
+    add the shell node maximizing Score(C) = max(0, T_in·(T_in − T_ext))
+    where T_in counts triangles fully inside C and T_ext triangles with
+    EXACTLY ONE vertex in C; equal-score candidates are accepted with
+    the smallest resulting T_ext (the reference's tie rule — note an
+    equal-score candidate always qualifies on the first comparison, so
+    score-neutral growth continues until the shell empties; the
+    ``max_iterations`` cap bounds that, house convention). Remaining
+    ties break by smallest node id (the reference's unordered-set scan
+    order is unspecified — documented deviation).
+
+    Per round: one triangle enumeration anchored at C ∪ shell (wedge
+    join over the frontier-restricted edge relation) + one aggregation;
+    the community itself stays broadcast-small."""
+    spark = g.edges.sparkSession
+    sym = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .transform(pin)
+    )
+    can = sym.filter(F.col("src") < F.col("dst")).transform(pin)
+
+    members = sorted(set(int(s) for s in seeds))
+    for _ in range(max_iterations):
+        cdf = spark.createDataFrame([(v,) for v in members], "node long")
+        shell_df = (
+            sym.join(F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(cdf), "node", "left_anti")
+        )
+        anchored = F.broadcast(cdf.unionByName(shell_df))
+        # triangles with >= 1 vertex in C ∪ shell: anchor the smallest
+        # corner's edges at S-adjacent pairs, then classify all corners
+        e1 = can.join(
+            anchored.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).unionByName(
+            can.join(anchored.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        ).distinct()
+        tri = (
+            e1.alias("ab")
+            .join(
+                e1.alias("bc"),
+                (F.col("ab.src") == F.col("bc.src"))
+                & (F.col("ab.dst") < F.col("bc.dst")),
+            )
+            .join(
+                can.alias("ac"),
+                (F.col("ac.src") == F.col("ab.dst"))
+                & (F.col("ac.dst") == F.col("bc.dst")),
+            )
+            .select(
+                F.col("ab.src").alias("a"),
+                F.col("ab.dst").alias("b"),
+                F.col("bc.dst").alias("c"),
+            )
+            .distinct()
+        )
+        mem = F.broadcast(cdf.withColumn("m", F.lit(1)))
+        t = (
+            tri.join(mem.withColumnRenamed("node", "a").withColumnRenamed("m", "ma"), "a", "left")
+            .join(mem.withColumnRenamed("node", "b").withColumnRenamed("m", "mb"), "b", "left")
+            .join(mem.withColumnRenamed("node", "c").withColumnRenamed("m", "mc"), "c", "left")
+            .withColumn(
+                "k",
+                F.coalesce("ma", F.lit(0))
+                + F.coalesce("mb", F.lit(0))
+                + F.coalesce("mc", F.lit(0)),
+            )
+        ).localCheckpoint(eager=True)
+        row = t.agg(
+            F.sum(F.when(F.col("k") == 3, 1).otherwise(0)).alias("tin"),
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("text"),
+        ).collect()[0]
+        t_in, t_ext = int(row["tin"] or 0), int(row["text"] or 0)
+        cur_score = max(0, t_in * (t_in - t_ext))
+        # per-shell stats from the same classified triangle table
+        corners = (
+            t.select(F.col("a").alias("node"), "k").unionByName(
+                t.select(F.col("b").alias("node"), "k")
+            ).unionByName(t.select(F.col("c").alias("node"), "k"))
+        )
+        stats = {
+            int(r["node"]): (int(r["ni"] or 0), int(r["ne"] or 0), int(r["ns"] or 0))
+            for r in corners.join(
+                F.broadcast(shell_df), "node", "left_semi"
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("ni"),
+                F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("ne"),
+                F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("ns"),
+            )
+            .collect()
+        }
+        shell_all = sorted(int(r["node"]) for r in shell_df.collect())
+        # the reference scan (LocalT.cpp:113-128), in ascending-id order
+        u_max, best_score, best_ext = None, cur_score, float("inf")
+        for v in shell_all:
+            ni, ne, ns = stats.get(v, (0, 0, 0))
+            n_in = t_in + ni
+            n_ext = t_ext + ne - ns
+            n_score = max(0, n_in * (n_in - n_ext))
+            if n_score > best_score or (n_score == best_score and n_ext < best_ext):
+                u_max, best_score, best_ext = v, n_score, n_ext
+        if u_max is None:
+            break
+        members = sorted(members + [u_max])
+    return spark.createDataFrame([(v,) for v in members], "node long")

@@ -113,3 +113,73 @@ def test_scd_ground_truth_comparison(spark):
     # ignore_seeds: same here (seed in its own truth subset)
     res2 = scd_ground_truth_comparison(g, gt, found, ignore_seeds=True)
     assert abs(res2["avg_jaccard"] - 0.75) < 1e-12
+
+
+def test_local_t_two_cliques(spark):
+    from networkit_spark.operators.scd import local_t
+
+    g = _two_cliques(spark)
+    # seed inside a clique: triangles keep the expansion inside it —
+    # adding the bridge endpoint would raise T_ext without T_in gain
+    com = _ids(local_t(g, [1], max_iterations=10))
+    assert {1, 2, 3}.issubset(com) and com.issubset({0, 1, 2, 3})
+
+
+def test_local_t_dense_replay(spark):
+    import itertools
+
+    import numpy as np
+    from networkit_spark.operators.scd import local_t
+
+    rng = np.random.default_rng(11)
+    n = 14
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2)) if a < b})
+    eset = set(edges)
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tris = [
+        (a, b, c)
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    ]
+
+    def dense_local_t(seeds, iters):
+        members = set(seeds)
+        for _ in range(iters):
+            t_in = sum(1 for t in tris if sum(x in members for x in t) == 3)
+            t_ext = sum(1 for t in tris if sum(x in members for x in t) == 1)
+            cur = max(0, t_in * (t_in - t_ext))
+            shell = sorted(
+                {w for v in members for w in adj[v]} - members
+            )
+            u_max, bs, be = None, cur, float("inf")
+            for v in shell:
+                ni = sum(
+                    1
+                    for t in tris
+                    if v in t and sum(x in members for x in t if x != v) == 2
+                )
+                ne = sum(
+                    1
+                    for t in tris
+                    if v in t and sum(x in members for x in t if x != v) == 0
+                )
+                ns = sum(
+                    1
+                    for t in tris
+                    if v in t and sum(x in members for x in t if x != v) == 1
+                )
+                n_in, n_ext = t_in + ni, t_ext + ne - ns
+                ns_score = max(0, n_in * (n_in - n_ext))
+                if ns_score > bs or (ns_score == bs and n_ext < be):
+                    u_max, bs, be = v, ns_score, n_ext
+            if u_max is None:
+                break
+            members.add(u_max)
+        return members
+
+    g = Graph.of(spark, edges, n=n)
+    got = _ids(local_t(g, [0], max_iterations=5))
+    assert got == dense_local_t([0], 5)
