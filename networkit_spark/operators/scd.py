@@ -973,3 +973,111 @@ def local_t(g: Graph, seeds: list[int], max_iterations: int = 200) -> DataFrame:
             break
         members = sorted(members + [u_max])
     return spark.createDataFrame([(v,) for v in members], "node long")
+
+
+def local_tightness_expansion(
+    g: Graph, seeds: list[int], alpha: float = 1.0, max_iterations: int = 200
+) -> DataFrame:
+    """LocalTightnessExpansion (``scd/LocalTightnessExpansion.cpp``,
+    Huang et al. structural-similarity expansion). Edge similarity
+    s(u,v) = (2·w(u,v) + Σ_y w(u,y)·w(v,y)) / (wd(u)·wd(v)) with
+    wd(u) = sqrt(1 + Σ w(u,·)²) — STATIC per edge, so it is computed
+    once as one weighted wedge join. The shell heap pops the max
+    internal-similarity node and accepts iff
+    extSim/intSim − (α·ext(v) − int(v)) / (2·int(v)) > 0; a rejected
+    node is discarded permanently (``extract_top``). Because a
+    rejection leaves the state unchanged, the heap loop is equivalent
+    to: scan the shell in descending (intSim, −id) order until the
+    first acceptance, discarding everything popped before it — so the
+    driver loop runs ONE aggregation job per acceptance, not per pop.
+    Heap ties are unspecified in the reference; here they break by
+    smaller node id (documented)."""
+    import math
+
+    spark = g.edges.sparkSession
+    sym = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .transform(pin)
+    )
+    wd = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sqrt(1.0 + F.sum(F.col("w") * F.col("w"))).alias("wd")
+    )
+    # common-neighbor weight products per directed edge (u, v)
+    prod = (
+        sym.alias("a")
+        .join(
+            sym.alias("b"),
+            (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") != F.col("b.src")),
+        )
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.src").alias("dst2"),
+            (F.col("a.w") * F.col("b.w")).alias("p"),
+        )
+        .groupBy("src", F.col("dst2").alias("dst"))
+        .agg(F.sum("p").alias("psum"))
+    )
+    scores = pin(
+        sym.join(prod, ["src", "dst"], "left")
+        .fillna(0.0, subset=["psum"])
+        .join(wd.withColumnRenamed("id", "src").withColumnRenamed("wd", "wu"), "src")
+        .join(wd.withColumnRenamed("id", "dst").withColumnRenamed("wd", "wv"), "dst")
+        .select(
+            "src",
+            "dst",
+            ((2.0 * F.col("w") + F.col("psum")) / (F.col("wu") * F.col("wv"))).alias(
+                "s"
+            ),
+        )
+    )
+    tot = {
+        int(r["src"]): float(r["t"])
+        for r in scores.groupBy("src").agg(F.sum("s").alias("t")).collect()
+    }
+
+    members = sorted(set(int(s) for s in seeds))
+    discarded: set[int] = set()
+    for _ in range(max_iterations):
+        cdf = spark.createDataFrame([(v,) for v in members], "node long")
+        inc = scores.join(
+            F.broadcast(cdf.withColumnRenamed("node", "src")), "src", "left_semi"
+        )
+        # intSim per neighbor v of C (rows (u in C) -> v), both shell & members
+        per = {
+            int(r["dst"]): float(r["i"])
+            for r in inc.groupBy("dst").agg(F.sum("s").alias("i")).collect()
+        }
+        mset = set(members)
+        internal = sum(per.get(v, 0.0) for v in members)
+        external = sum(tot.get(v, 0.0) - per.get(v, 0.0) for v in members)
+        shell = sorted(
+            (v for v in per if v not in mset and v not in discarded),
+            key=lambda v: (-per[v], v),
+        )
+        accepted = None
+        for v in shell:
+            int_v = per[v]
+            ext_v = tot.get(v, 0.0) - int_v
+            try:
+                lhs = external / internal if internal != 0 else (
+                    math.inf if external > 0 else math.nan
+                )
+                rhs = (
+                    (alpha * ext_v - int_v) / (2.0 * int_v)
+                    if int_v != 0
+                    else (math.inf if alpha * ext_v - int_v > 0 else -math.inf
+                          if alpha * ext_v - int_v < 0 else math.nan)
+                )
+                take = (lhs - rhs) > 0
+            except ZeroDivisionError:  # pragma: no cover
+                take = False
+            if take:
+                accepted = v
+                break
+            discarded.add(v)
+        if accepted is None:
+            break
+        members = sorted(members + [accepted])
+    return spark.createDataFrame([(v,) for v in members], "node long")

@@ -183,3 +183,73 @@ def test_local_t_dense_replay(spark):
     g = Graph.of(spark, edges, n=n)
     got = _ids(local_t(g, [0], max_iterations=5))
     assert got == dense_local_t([0], 5)
+
+
+def test_lte_dense_replay(spark):
+    import math
+
+    import numpy as np
+    from networkit_spark.operators.scd import local_tightness_expansion
+
+    rng = np.random.default_rng(5)
+    n = 16
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (48, 2)) if a < b})
+    adj = {v: {} for v in range(n)}
+    for u, v in edges:
+        adj[u][v] = 1.0
+        adj[v][u] = 1.0
+
+    wd = {v: math.sqrt(1.0 + sum(w * w for w in adj[v].values())) for v in range(n)}
+
+    def s(u, v):
+        tsum = 2.0 * adj[u][v] + sum(
+            adj[u][y] * adj[v][y] for y in adj[u] if y in adj[v]
+        )
+        return tsum / (wd[u] * wd[v])
+
+    tot = {v: sum(s(v, u) for u in adj[v]) for v in range(n)}
+
+    def dense_lte(seeds, alpha=1.0):
+        members = set(seeds)
+        discarded = set()
+        while True:
+            per = {}
+            for u in members:
+                for v in adj[u]:
+                    per[v] = per.get(v, 0.0) + s(u, v)
+            internal = sum(per.get(v, 0.0) for v in members)
+            external = sum(tot[v] - per.get(v, 0.0) for v in members)
+            shell = sorted(
+                (v for v in per if v not in members and v not in discarded),
+                key=lambda v: (-per[v], v),
+            )
+            accepted = None
+            for v in shell:
+                iv = per[v]
+                ev = tot[v] - iv
+                lhs = external / internal if internal != 0 else (
+                    math.inf if external > 0 else math.nan
+                )
+                rhs = (alpha * ev - iv) / (2 * iv) if iv != 0 else math.nan
+                if (lhs - rhs) > 0:
+                    accepted = v
+                    break
+                discarded.add(v)
+            if accepted is None:
+                return members
+            members.add(accepted)
+
+    g = Graph.of(spark, edges, n=n)
+    got = {
+        int(r[0])
+        for r in local_tightness_expansion(g, [2], alpha=1.0).collect()
+    }
+    assert got == dense_lte([2])
+
+
+def test_lte_two_cliques(spark):
+    from networkit_spark.operators.scd import local_tightness_expansion
+
+    g = _two_cliques(spark)
+    com = {int(r[0]) for r in local_tightness_expansion(g, [5]).collect()}
+    assert {5, 6, 7}.issubset(com) and com.issubset({4, 5, 6, 7})
