@@ -446,3 +446,123 @@ def write_snap(g: Graph, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def read_edge_list_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = "\t"
+):
+    """EdgeListPartitionReader (``io/EdgeListPartitionReader.cpp``):
+    lines ``<node><sep><subset>`` (default firstNode=1, tab separator
+    per the header); '#'-prefixed lines skip. Returns (node, label)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), sep)
+    return (
+        lines.filter(~F.col("value").startswith("#") & (F.length("value") > 0))
+        .select(
+            (parts.getItem(0).cast("long") - first_node).alias("node"),
+            parts.getItem(1).cast("long").alias("label"),
+        )
+        .filter(F.col("node").isNotNull() & F.col("label").isNotNull())
+    )
+
+
+def write_edge_list_partition(
+    labels, path: str, first_node: int = 1, sep: str = "\t"
+) -> None:
+    """Inverse of :func:`read_edge_list_partition` (one text part,
+    node-ordered — partitions are driver-sized artifacts in the
+    reference's formats)."""
+    (
+        labels.select(
+            F.concat(
+                (F.col("node") + first_node).cast("string"),
+                F.lit(sep),
+                F.col("label").cast("string"),
+            ).alias("value")
+        )
+        .orderBy("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_edge_list_cover(spark: SparkSession, path: str, first_node: int = 1):
+    """EdgeListCoverReader (``io/EdgeListCoverReader.cpp``): lines
+    ``<node> <subset> [<subset> ...]``; '#' comments skip. Returns the
+    cover as (node, subset) rows."""
+    lines = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.filter(~F.col("value").startswith("#") & (F.length(F.trim("value")) > 0))
+        .select(
+            (toks.getItem(0).cast("long") - first_node).alias("node"),
+            F.explode(F.slice(toks, 2, 1_000_000)).alias("subset_str"),
+        )
+        .select("node", F.col("subset_str").cast("long").alias("subset"))
+        .filter(F.col("subset").isNotNull())
+    )
+
+
+def read_snap_edge_list_partition(spark: SparkSession, path: str):
+    """SNAPEdgeListPartitionReader (``io/SNAPEdgeListPartitionReader.cpp``):
+    each non-comment line lists one community's RAW node ids; the
+    community id is the 1-based LINE NUMBER (the reference's ``++i``
+    counts every line, comments and blanks included). Returns
+    (node, subset) with raw ids — compose with the SNAP reader's remap
+    to get dense ids. Line numbers come from ``zipWithIndex`` (byte
+    order of one file — same caveat as ``read_partition_text``)."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    rows = rdd.flatMap(
+        lambda t: [
+            (int(tok), int(t[1]) + 1)
+            for tok in (
+                t[0].split() if t[0] and not t[0].startswith("#") else []
+            )
+        ]
+    )
+    return spark.createDataFrame(rows, "node long, subset long")
+
+
+def write_binary_edge_list_partition(
+    labels, path: str, first_node: int = 0, width: int = 4
+) -> None:
+    """BinaryEdgeListPartitionWriter
+    (``io/BinaryEdgeListPartitionWriter.cpp``): little-endian
+    fixed-width (4/8) pairs ``(node + firstNode, subset)`` in node
+    order."""
+    if width not in (4, 8):
+        raise ValueError("Width must be 4 or 8")
+    rows = labels.select("node", "label").orderBy("node").collect()
+    max_label = max((int(r["label"]) for r in rows), default=0)
+    if width == 4 and max_label > 0xFFFFFFFF:
+        raise ValueError("partition upper bound needs width 8")
+    import struct
+
+    fmt = "<I" if width == 4 else "<Q"
+    with open(path, "wb") as f:
+        for r in rows:
+            f.write(struct.pack(fmt, int(r["node"]) + first_node))
+            f.write(struct.pack(fmt, int(r["label"])))
+
+
+def read_binary_edge_list_partition(
+    spark: SparkSession, path: str, first_node: int = 0, width: int = 4
+):
+    """BinaryEdgeListPartitionReader
+    (``io/BinaryEdgeListPartitionReader.cpp``): consecutive
+    little-endian (node, subset) pairs of ``width`` bytes each."""
+    if width not in (4, 8):
+        raise ValueError("Error: width must be 4 or 8")
+    import struct
+
+    fmt = "<I" if width == 4 else "<Q"
+    rows = []
+    with open(path, "rb") as f:
+        data = f.read()
+    step = width
+    for off in range(0, len(data) - 2 * step + 1, 2 * step):
+        (u,) = struct.unpack_from(fmt, data, off)
+        (c,) = struct.unpack_from(fmt, data, off + step)
+        rows.append((int(u) - first_node, int(c)))
+    return spark.createDataFrame(rows, "node long, label long")

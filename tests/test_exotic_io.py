@@ -194,3 +194,60 @@ def test_gexf_namespaced_string_ids(spark, tmp_path):
     assert canon(h) == [(0, 1), (1, 2)]
     w = {(r.src, r.dst): r.weight for r in h.edges.collect()}
     assert w[(1, 2)] == 3.5 and w[(0, 1)] == 1.0
+
+
+def test_edge_list_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.readers import (
+        read_binary_edge_list_partition,
+        read_edge_list_cover,
+        read_edge_list_partition,
+        read_snap_edge_list_partition,
+        write_binary_edge_list_partition,
+        write_edge_list_partition,
+    )
+    from pyspark.sql import functions as F
+
+    labels = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 7), (3, 1)], "node long, label long"
+    )
+    p = str(tmp_path / "elp")
+    write_edge_list_partition(labels, p, first_node=1)
+    back = {
+        (int(r["node"]), int(r["label"]))
+        for r in read_edge_list_partition(spark, p, first_node=1).collect()
+    }
+    assert back == {(0, 3), (1, 3), (2, 7), (3, 1)}
+
+    cov = str(tmp_path / "cov.txt")
+    with open(cov, "w") as f:
+        f.write("# comment\n1 0 2\n2 1\n4 0 1 2\n")
+    got = {
+        (int(r["node"]), int(r["subset"]))
+        for r in read_edge_list_cover(spark, cov, first_node=1).collect()
+    }
+    assert got == {(0, 0), (0, 2), (1, 1), (3, 0), (3, 1), (3, 2)}
+
+    snap = str(tmp_path / "snap.txt")
+    with open(snap, "w") as f:
+        f.write("# hdr\n10 20 30\n\n40 10\n")
+    sg = {
+        (int(r["node"]), int(r["subset"]))
+        for r in read_snap_edge_list_partition(spark, snap).collect()
+    }
+    # line numbers are 1-based and count comments/blanks
+    assert sg == {(10, 2), (20, 2), (30, 2), (40, 4), (10, 4)}
+
+    for width in (4, 8):
+        b = str(tmp_path / f"bin{width}")
+        write_binary_edge_list_partition(labels, b, first_node=5, width=width)
+        rb = {
+            (int(r["node"]), int(r["label"]))
+            for r in read_binary_edge_list_partition(
+                spark, b, first_node=5, width=width
+            ).collect()
+        }
+        assert rb == {(0, 3), (1, 3), (2, 7), (3, 1)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_binary_edge_list_partition(labels, str(tmp_path / "x"), width=3)
