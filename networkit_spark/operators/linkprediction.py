@@ -521,3 +521,38 @@ def precision_recall_points(
         .filter(F.col("rk") == 1)
         .select("recall", "precision")
     )
+
+
+def get_common_neighbors(g: Graph, u: int, v: int) -> DataFrame:
+    """NeighborhoodUtility::getCommonNeighbors
+    (``linkprediction/NeighborhoodUtility.cpp:26-36``): sorted common
+    neighbors of u and v as a one-column (node) DataFrame."""
+    for x in (u, v):
+        if g.nodes.filter(F.col("id") == int(x)).limit(1).count() == 0:
+            raise ValueError("Invalid node provided.")
+    adj = _adjacency(g)
+    return (
+        adj.filter(F.col("node") == int(u))
+        .select(F.col("nbr").alias("node"))
+        .join(
+            adj.filter(F.col("node") == int(v)).select(F.col("nbr").alias("node")),
+            "node",
+        )
+        .orderBy("node")
+    )
+
+
+def get_neighbors_union(g: Graph, u: int, v: int) -> DataFrame:
+    """NeighborhoodUtility::getNeighborsUnion
+    (``linkprediction/NeighborhoodUtility.cpp:14-24``): sorted union of
+    the two neighborhoods."""
+    for x in (u, v):
+        if g.nodes.filter(F.col("id") == int(x)).limit(1).count() == 0:
+            raise ValueError("Invalid node provided.")
+    adj = _adjacency(g)
+    return (
+        adj.filter(F.col("node").isin(int(u), int(v)))
+        .select(F.col("nbr").alias("node"))
+        .distinct()
+        .orderBy("node")
+    )
