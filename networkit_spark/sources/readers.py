@@ -566,3 +566,59 @@ def read_binary_edge_list_partition(
         (c,) = struct.unpack_from(fmt, data, off + step)
         rows.append((int(u) - first_node, int(c)))
     return spark.createDataFrame(rows, "node long, label long")
+
+
+def write_dot_partition(g: Graph, labels, path: str) -> None:
+    """DotPartitionWriter (``io/DotPartitionWriter.cpp``): undirected
+    .dot with every non-isolated node filled by its cluster's hue —
+    hues are idx/|clusters| over the distinct cluster ids ascending
+    (the reference's ordered-set scan). Distributed ordered text write,
+    same multi-part layout contract as :func:`write_dot`."""
+    spark = g.edges.sparkSession
+    deg = (
+        (g.symmetrized_edges() if g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lab = labels.select("node", "label").join(deg.select("node"), "node")
+    # hue map: ascending distinct cluster id -> idx/|clusters|
+    from pyspark.sql import Window as _W
+
+    dl = lab.select("label").distinct()
+    k = dl.count()
+    hue = dl.withColumn(
+        "hue", (F.row_number().over(_W.orderBy("label")) - 1) / F.lit(float(k or 1))
+    )
+    n_lines = lab.join(hue, "label").select(
+        F.concat(
+            F.col("node").cast("string"),
+            F.lit(' [style=filled, color="'),
+            F.col("hue").cast("string"),
+            F.lit(',0.99,0.99", label='),
+            F.col("label").cast("string"),
+            F.lit("];"),
+        ).alias("value"),
+        F.lit(1).alias("ord"),
+        F.col("node").alias("k1"),
+        F.lit(0).alias("k2"),
+    )
+    e = g.canonical_undirected_edges()
+    e_lines = e.select(
+        F.concat(F.col("src"), F.lit(" -- "), F.col("dst"), F.lit(";")).alias("value"),
+        F.lit(2).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+    )
+    wrap = spark.createDataFrame(
+        [("graph {", 0, 0, 0), ("}", 3, 0, 0)],
+        "value string, ord int, k1 long, k2 long",
+    )
+    (
+        wrap.unionByName(n_lines)
+        .unionByName(e_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
