@@ -989,13 +989,23 @@ def graph_difference(g1: Graph, g2: Graph) -> dict:
     counts["num_node_additions"] = nn.get(NODE_ADDITION, 0)
     counts["num_node_restorations"] = nn.get(NODE_RESTORATION, 0)
     counts["num_edits"] = sum(counts.values())
-    w = Window.orderBy("blk", "u", "v")
+    # per-block windows + exclusive offsets from the already-computed
+    # counts — no single global sort over the whole edit script
+    offsets = [
+        0,
+        counts["num_edge_removals"],
+        counts["num_edge_removals"]
+        + counts["num_node_removals"]
+        + counts["num_node_additions"]
+        + counts["num_node_restorations"],
+    ]
+    w = Window.partitionBy("blk").orderBy("u", "v")
     edits = None
     for i, df in enumerate(blocks):
-        part = df.withColumn("blk", F.lit(i))
+        part = df.withColumn("blk", F.lit(i)).withColumn("off", F.lit(offsets[i]))
         edits = part if edits is None else edits.unionByName(part)
-    edits = edits.withColumn("seq", F.row_number().over(w).cast("long")).select(
-        "seq", "type", "u", "v", "w"
-    )
+    edits = edits.withColumn(
+        "seq", (F.col("off") + F.row_number().over(w)).cast("long")
+    ).select("seq", "type", "u", "v", "w")
     counts["edits"] = edits
     return counts
