@@ -345,3 +345,94 @@ def read_gexf(spark: SparkSession, path: str) -> Graph:
         weighted=weighted,
         nodes=spark.range(len(ids)).select("id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DibaP binary format (io/DibapGraphReader.cpp — read side only in the
+# reference; the writer here is the exact inverse for round-trips)
+# ---------------------------------------------------------------------------
+
+
+def read_dibap(spark: SparkSession, path: str) -> Graph:
+    """DibapGraphReader (``io/DibapGraphReader.cpp:15-140``): big-endian
+    binary — magic short 'GI', int V, dvw (+V·dvw vertex weights),
+    CSR offsets of[V+1], adjacency to[of[V]], dew (+edge weights), dxy
+    (+V·dxy float32 coordinates, ignored here). Both orientations are
+    stored; edges keep the v ≤ to[e] canonical copy like the reference
+    (``:120-136``). Header parse is driver-side (a sequential binary
+    layout); the edge list lands in a DataFrame."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    (magic,) = struct.unpack_from(">h", data, off)
+    off += 2
+    if magic != (ord("G") << 8 | ord("I")):
+        raise ValueError("bad file structure")
+    (v_count,) = struct.unpack_from(">i", data, off)
+    off += 4
+    (dvw,) = struct.unpack_from(">i", data, off)
+    off += 4
+    if dvw > 0:
+        off += 4 * v_count * dvw  # vertex weights (unused, like the reference)
+    of_arr = struct.unpack_from(f">{v_count + 1}i", data, off)
+    off += 4 * (v_count + 1)
+    num_e2 = of_arr[v_count]
+    to = struct.unpack_from(f">{num_e2}i", data, off)
+    off += 4 * num_e2
+    (dew,) = struct.unpack_from(">i", data, off)
+    off += 4
+    ew = None
+    if dew > 0:
+        ew = struct.unpack_from(f">{num_e2 * dew}i", data, off)
+        off += 4 * num_e2 * dew
+    rows = []
+    for v in range(v_count):
+        for e in range(of_arr[v], of_arr[v + 1]):
+            if v <= to[e]:
+                w = float(ew[e]) if ew is not None else 1.0
+                rows.append((v, int(to[e]), w))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    nodes = spark.range(v_count).select(F.col("id"))
+    return Graph.from_edges(
+        edges, directed=False, weighted=ew is not None, nodes=nodes
+    )
+
+
+def write_dibap(g: Graph, path: str, with_weights: bool = False) -> None:
+    """Exact inverse of :func:`read_dibap` (big-endian 'GI' layout,
+    integer edge weights when ``with_weights``)."""
+    import struct
+
+    can = g.edges.filter(F.col("src") <= F.col("dst")).select(
+        "src", "dst", "weight"
+    )
+    rows = [(int(r["src"]), int(r["dst"]), float(r["weight"])) for r in can.collect()]
+    nv = g.num_nodes()
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(nv)]
+    for u, v, w in rows:
+        adj[u].append((v, w))
+        if u != v:
+            adj[v].append((u, w))
+    for lst in adj:
+        lst.sort()
+    with open(path, "wb") as f:
+        f.write(struct.pack(">h", (ord("G") << 8 | ord("I"))))
+        f.write(struct.pack(">i", nv))
+        f.write(struct.pack(">i", 0))  # dvw
+        offs = [0]
+        for lst in adj:
+            offs.append(offs[-1] + len(lst))
+        f.write(struct.pack(f">{nv + 1}i", *offs))
+        flat = [v for lst in adj for v, _ in lst]
+        if flat:
+            f.write(struct.pack(f">{len(flat)}i", *flat))
+        if with_weights:
+            f.write(struct.pack(">i", 1))
+            ws = [int(w) for lst in adj for _, w in lst]
+            if ws:
+                f.write(struct.pack(f">{len(ws)}i", *ws))
+        else:
+            f.write(struct.pack(">i", 0))
+        f.write(struct.pack(">i", 0))  # dxy

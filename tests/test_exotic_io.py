@@ -251,3 +251,35 @@ def test_edge_list_partition_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_binary_edge_list_partition(labels, str(tmp_path / "x"), width=3)
+
+
+def test_dibap_roundtrip(spark, tmp_path):
+    import struct
+
+    import pytest
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.exotic import read_dibap, write_dibap
+    from pyspark.sql import functions as F
+
+    g = Graph.of(spark, [(0, 1, 2.0), (1, 2, 3.0), (0, 3, 1.0), (2, 2, 4.0)],
+                 weighted=True, n=5)
+    p = str(tmp_path / "g.dibap")
+    write_dibap(g, p, with_weights=True)
+    back = read_dibap(spark, p)
+    a = {
+        (int(r["src"]), int(r["dst"]), float(r["weight"]))
+        for r in back.edges.filter(F.col("src") <= F.col("dst")).collect()
+    }
+    assert a == {(0, 1, 2.0), (1, 2, 3.0), (0, 3, 1.0), (2, 2, 4.0)}
+    assert back.nodes.count() == 5  # isolated node 4 preserved via V
+    # unweighted path
+    write_dibap(g, p)
+    back2 = read_dibap(spark, p)
+    assert not back2.weighted
+    assert back2.edges.filter(F.col("src") <= F.col("dst")).count() == 4
+    # bad magic raises
+    bad = str(tmp_path / "bad")
+    with open(bad, "wb") as f:
+        f.write(struct.pack(">h", 0x5858))
+    with pytest.raises(ValueError, match="bad file structure"):
+        read_dibap(spark, bad)
