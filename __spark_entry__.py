@@ -2453,9 +2453,25 @@ def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = affected_nodes(
         sub, "EDGE_ADDITION", int(estar["src"]), int(estar["dst"])
     ).select(F.lit("affected").alias("variant"), "node", "dist")
+    # bfs_sample (sampling.bfsSample, gate-folded r7 late): the k=40
+    # (dist, id)-smallest ball around node 0 on sub200 — members with
+    # their hop distance; oracle = rank over the shared sp table
+    from networkit_spark.operators.coloring import bfs_sample
+    from networkit_spark.operators.traversal import bfs
+
+    samp = bfs_sample(sub, source=0, k=40)
+    dists = bfs(sub, 0)
+    i = (
+        samp.nodes.join(dists.withColumnRenamed("node", "id"), "id")
+        .select(
+            F.lit("bfs_sample").alias("variant"),
+            F.col("id").alias("node"),
+            F.col("dist").cast("double").alias("dist"),
+        )
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
-        .unionByName(e).unionByName(f).unionByName(h)
+        .unionByName(e).unionByName(f).unionByName(h).unionByName(i)
     )
 
 
@@ -3843,6 +3859,15 @@ WHERE (node <> (SELECT src FROM afstar)
    OR (node <> (SELECT dst FROM afstar)
        AND (node = (SELECT src FROM afstar) OR du + 1.0 < dv))
 ) q
+UNION ALL
+SELECT 'bfs_sample' AS variant, bs.node, CAST(bs.dist AS DOUBLE) FROM (
+WITH RECURSIVE {SUB200_PRELUDE_SQL}
+SELECT node, dist FROM (
+  SELECT node, dist, row_number() OVER (ORDER BY dist, node) AS rk
+  FROM sp WHERE root = 0 AND node <> 0
+) WHERE rk <= 40
+UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+) bs
 """
     base["graph_lp_scores"] = f"""
 SELECT 'katz' AS metric, t.u, t.v, t.katz AS score FROM (
