@@ -2387,7 +2387,10 @@ def q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       the EDGE_ADDITION of sub200's last canonical edge — node = each
       affected node, dist = its min distance to the modification over
       the without-edge graph (the improvement-bound column lives in the
-      pytest transcription check)."""
+      pytest transcription check);
+    - bfs_sample (sampling.bfsSample, r7 late): the k=40 (dist, id)-
+      smallest BFS ball around 0 on sub200 with hop distances —
+      oracle = rank over the shared sp table."""
     from networkit_spark.operators.distance import (
         bidirectional_bfs,
         bidirectional_dijkstra,
