@@ -920,7 +920,14 @@ def graph_difference(g1: Graph, g2: Graph) -> dict:
     reference iterates adjacency order — unspecified — so rows order by
     (u, v) (documented). Node ids beyond g1's max id become
     NODE_ADDITION, below it NODE_RESTORATION (the reference's dense-id
-    filler dance does not map to an explicit node-set model)."""
+    filler dance does not map to an explicit node-set model).
+
+    Scale note: the classification joins are fully distributed; only
+    the ``seq`` assignment funnels each block through one ranking task
+    (the reference returns the script as a driver vector, so an edit
+    script is a replay log, not a big-data artifact — if two snapshots
+    ever diverge by billions of edits, replace the per-block window
+    with the bucketed two-phase rank of ``compact_labels``)."""
     if g1.directed != g2.directed:
         raise ValueError("Error, either both or none of the graphs must be directed.")
     if g1.weighted != g2.weighted:
