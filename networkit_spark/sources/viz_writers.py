@@ -280,3 +280,89 @@ def write_postscript(
         g.edges.sparkSession, header, n_lines, e_lines, footer, path,
         edges_first=True,
     )
+
+
+def write_gephi_stream(
+    g: Graph,
+    path: str,
+    values: DataFrame | None = None,
+    attribute_name: str = "value",
+) -> None:
+    """Gephi Streaming-protocol export as a JSON-lines file
+    (``networkit/gephi/streaming.py`` + ``pyclient.py``): the exact
+    event lines the reference POSTs to a live Gephi master — ``an``
+    node events with the deterministic ceil(√n) grid layout
+    (NODE_AREA_SIZE 2000, ``streaming.py:_exportNodes``; node numbers
+    are the ascending-id ordinals), then ``ae`` edge events with the
+    reference's edge-id convention ('u->v' directed, 'min-max'
+    undirected), then optional ``cn`` attribute events
+    (``exportNodeValues``). A file of these lines pipes straight into
+    the plugin (curl --data-binary per line) — the HTTP client itself
+    is out of scope in a batch engine. Distributed ordered text write
+    like every writer in this module."""
+    import math
+
+    spark = g.edges.sparkSession
+    n = g.num_nodes()
+    side = 0 if n == 0 else int(math.ceil(math.sqrt(n)))
+    step = 2000.0 / side if side else 0.0
+    off = 1000.0
+    from pyspark.sql import Window as _W
+
+    ordn = g.nodes.withColumn(
+        "i", F.row_number().over(_W.orderBy("id")) - 1
+    )
+    x = (F.col("i") % side) * step - off if side else F.lit(0.0)
+    y = (F.col("i") / side).cast("long") * step - off if side else F.lit(0.0)
+    an = ordn.select(
+        F.concat(
+            F.lit('{"an": {"'),
+            F.col("id").cast("string"),
+            F.lit('": {"size": 2.0, "r": 0.6, "g": 0.6, "b": 0.6, "x": '),
+            x.cast("string"),
+            F.lit(', "y": '),
+            y.cast("string"),
+            F.lit("}}}"),
+        ).alias("value"),
+        F.lit(0).alias("ord"),
+        F.col("id").alias("k1"),
+        F.lit(0).alias("k2"),
+    )
+    if g.directed:
+        e = g.edges
+        eid = F.concat(F.col("src").cast("string"), F.lit("->"), F.col("dst").cast("string"))
+        directed_flag = "true"
+    else:
+        e = g.canonical_undirected_edges()
+        eid = F.concat(F.col("src").cast("string"), F.lit("-"), F.col("dst").cast("string"))
+        directed_flag = "false"
+    ae = e.select(
+        F.concat(
+            F.lit('{"ae": {"'),
+            eid,
+            F.lit('": {"source": "'),
+            F.col("src").cast("string"),
+            F.lit('", "target": "'),
+            F.col("dst").cast("string"),
+            F.lit(f'", "directed": {directed_flag}}}}}}}'),
+        ).alias("value"),
+        F.lit(1).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+    )
+    out = an.unionByName(ae)
+    if values is not None:
+        cn = values.select(
+            F.concat(
+                F.lit('{"cn": {"'),
+                F.col("node").cast("string"),
+                F.lit(f'": {{"{attribute_name}": '),
+                F.col("value").cast("string"),
+                F.lit("}}}"),
+            ).alias("value"),
+            F.lit(2).alias("ord"),
+            F.col("node").alias("k1"),
+            F.lit(0).alias("k2"),
+        )
+        out = out.unionByName(cn)
+    out.orderBy("ord", "k1", "k2").select("value").write.mode("overwrite").text(path)

@@ -141,3 +141,45 @@ def test_postscript_default_clustering_and_torus(spark, tmp_path):
     assert "p 0.000 0.000 m -0.000 0.000 l s" in edge or (
         "p 0.000 0.000 m 0.000 0.000 l s" in edge
     )
+
+
+def test_gephi_stream_export(spark, tmp_path):
+    import glob
+    import json
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.viz_writers import write_gephi_stream
+    from pyspark.sql import functions as F
+
+    g = Graph.of(spark, [(0, 1), (1, 2), (2, 3)], n=4)
+    vals = g.nodes.select(
+        F.col("id").alias("node"), (F.col("id") % 2).cast("double").alias("value")
+    )
+    p = str(tmp_path / "gs")
+    write_gephi_stream(g, p, values=vals, attribute_name="community")
+    lines = [
+        json.loads(l)
+        for f in sorted(glob.glob(p + "/part-*"))
+        for l in open(f).read().splitlines()
+        if l
+    ]
+    kinds = [list(e)[0] for e in lines]
+    assert kinds.count("an") == 4 and kinds.count("ae") == 3
+    assert kinds.count("cn") == 4
+    # grid layout: n=4 -> side 2, step 1000, offset 1000 (streaming.py)
+    an = {k: v for e in lines if "an" in e for k, v in e["an"].items()}
+    assert an["0"]["x"] == -1000.0 and an["3"]["x"] == 0.0 and an["3"]["y"] == 0.0
+    ae = {k: v for e in lines if "ae" in e for k, v in e["ae"].items()}
+    assert set(ae) == {"0-1", "1-2", "2-3"}
+    assert all(v["directed"] is False for v in ae.values())
+    # directed edge-id convention
+    gd = Graph.of(spark, [(1, 0)], directed=True, n=2)
+    write_gephi_stream(gd, p)
+    lines2 = [
+        json.loads(l)
+        for f in sorted(glob.glob(p + "/part-*"))
+        for l in open(f).read().splitlines()
+        if l
+    ]
+    ae2 = {k for e in lines2 if "ae" in e for k in e["ae"]}
+    assert ae2 == {"1->0"}
