@@ -283,3 +283,33 @@ def test_dibap_roundtrip(spark, tmp_path):
         f.write(struct.pack(">h", 0x5858))
     with pytest.raises(ValueError, match="bad file structure"):
         read_dibap(spark, bad)
+
+
+def test_networkx_adapter_roundtrip(spark):
+    import networkx as nx
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.sources.nxadapter import from_networkx, to_networkx
+    from pyspark.sql import functions as F
+
+    nxg = nx.Graph()
+    nxg.add_edge("a", "b", w=2.0)
+    nxg.add_edge("b", "c", w=3.0)
+    nxg.add_node("iso")
+    g = from_networkx(spark, nxg, weight_attr="w")
+    assert g.num_nodes() == 4 and g.weighted and not g.directed
+    e = {
+        (int(r["src"]), int(r["dst"])): float(r["weight"])
+        for r in g.edges.filter(F.col("src") <= F.col("dst")).collect()
+    }
+    # "a"->0, "b"->1, "c"->2 in nodes() order
+    assert e == {(0, 1): 2.0, (1, 2): 3.0}
+    back = to_networkx(g)
+    assert back.number_of_nodes() == 4 and back.number_of_edges() == 2
+    assert back[0][1]["weight"] == 2.0
+    # directed path
+    d = nx.DiGraph()
+    d.add_edge(5, 7)
+    gd = from_networkx(spark, d)
+    assert gd.directed and to_networkx(gd).has_edge(0, 1)
+    # interchange sanity: pagerank runs on the imported graph
+    assert pagerank(g, max_iterations=3).scores.count() == 4
