@@ -86,23 +86,34 @@ def _co_graph(spark: SparkSession, sf_dir: str) -> Graph:
         li = _lineitem(spark, sf_dir).select("l_orderkey", "l_partkey")
         a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
         b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-        # src != dst keeps BOTH orientations straight out of the self-join
-        # (the symmetrized relation the engine stores), so the whole load
-        # is two shuffles: the orderkey join and ONE repartition("src") —
-        # dropDuplicates after it runs shuffle-free because hash(src)
-        # partitioning already clusters every (src, dst) group. The old
-        # plan paid a third full shuffle for a canonical distinct before
-        # re-symmetrizing (round-3 load_graph drift, VERDICT r3 #5).
+        # r8 load plan (guide §2.3/§3.1). Three changes vs the r3-r7 plan:
+        # 1. the orderkey self-join BROADCASTS the probe side while the
+        #    lineitem file is small (file-size proxy, env-tunable) — no
+        #    shuffle of either join input;
+        # 2. the old repartition("src") is gone: localCheckpoint does not
+        #    carry partitioning metadata into the rebuilt LogicalRDD, so
+        #    it bought downstream queries nothing (kernels now build their
+        #    shared layouts via plans/edge_layout.py) while forcing the
+        #    FULL pre-dedupe pair relation (~6x the edge count on this
+        #    data) through one exchange. A bare dropDuplicates instead
+        #    dedupes map-side first, so only near-deduped rows shuffle;
+        # 3. the constant weight column is attached AFTER dedupe +
+        #    checkpoint — narrower exchange, 2-column checkpoint blocks.
+        bcast_bytes = int(
+            os.environ.get("SPARK_GRAFT_BROADCAST_FILE_BYTES", str(256 << 20))
+        )
+        li_small = (
+            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")) <= bcast_bytes
+        )
         sym = (
-            a.join(b, "l_orderkey")
+            a.join(F.broadcast(b) if li_small else b, "l_orderkey")
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
-            .withColumn("weight", F.lit(1.0))
         )
         edges = (
-            sym.repartition("src")
-            .dropDuplicates(["src", "dst"])
+            sym.dropDuplicates(["src", "dst"])
             .localCheckpoint(eager=True)
+            .withColumn("weight", F.lit(1.0))
         )
         # nodes: LAZY checkpoint — re-derivable, and eagerly materializing
         # them was the round-2 load_graph bench regression (+26%)

@@ -41,26 +41,35 @@ def algebraic_distances(
 ) -> DataFrame:
     """(src, dst, score) per canonical undirected edge — the reference's
     ``withEdgeScores`` output. ``norm=0`` means max-norm."""
+    from networkit_spark.plans.edge_layout import broadcast_row_limit, partitioned_edges
+
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
     k = num_systems
-    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
-        "src", "dst", "weight"
-    ).repartition("src").cache()
-    edges.count()
+    # r8 (guide §2.4): shared dst-partitioned layout + broadcast load
+    # vector below the row limit — the Jacobi gather then aggregates by
+    # dst without an Exchange (the old plan shuffled the load vector and
+    # the gathered relation every one of the 30 iterations).
+    small = g.num_nodes() <= broadcast_row_limit()
+    edges = partitioned_edges(
+        g.symmetrized_edges() if g.directed else g.edges, "dst"
+    ).select("src", "dst", "weight")
 
     loads = _init_loads(g.nodes, k).localCheckpoint(eager=True)
     for it in range(1, num_iters + 1):
+        lj = loads.withColumnRenamed("id", "src")
+        lj = F.broadcast(lj) if small else lj.hint("shuffle_hash")
         gathered = (
-            edges.join(loads.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+            edges.join(lj, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(
                 F.sum("weight").alias("wdeg"),
                 *[F.sum(F.col("weight") * F.col(f"l{i}")).alias(f"s{i}") for i in range(k)],
             )
         )
+        gj = F.broadcast(gathered) if small else gathered.hint("shuffle_hash")
         loads = (
-            loads.join(gathered.hint("shuffle_hash"), "id", "left")
+            loads.join(gj, "id", "left")
             .select(
                 "id",
                 *[

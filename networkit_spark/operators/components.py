@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import maybe_broadcast
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -45,28 +46,35 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["c"], row["h"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Large-star: symmetrize, then for each u connect strictly-larger
-    neighbors to m = min(u ∪ N(u))."""
+    neighbors to m = min(u ∪ N(u)).
+
+    The per-u min table has at most |V| rows — broadcast it below the
+    row limit so the star join never shuffles the (edge-scale) neighbor
+    relation (guide §3.1); the map-side-partial min aggregation itself
+    only exchanges |V|-bounded rows."""
     nbrs = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-    m = nbrs.join(mins, "u").withColumn("m", F.least(F.col("u"), F.col("mn")))
+    m = nbrs.join(maybe_broadcast(mins, n), "u").withColumn(
+        "m", F.least(F.col("u"), F.col("mn"))
+    )
     out = m.filter(F.col("v") > F.col("u")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Small-star: orient each edge to its larger endpoint, then for each u
     connect all (≤ u) neighbors and u itself to m = min(N(u))."""
     nbrs = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-    m = nbrs.join(mins, "u")
+    m = nbrs.join(maybe_broadcast(mins, n), "u")
     out = m.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
         m.select(F.col("u"), F.col("mn").alias("v"))
     )
@@ -84,6 +92,7 @@ def connected_components(
     """
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
+    n = g.num_nodes()
 
     # symmetric, loop-free neighbor relation
     sym = g.symmetrized_edges() if g.directed else g.edges
@@ -98,8 +107,8 @@ def connected_components(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        edges = _large_star(edges)
-        edges = _small_star(edges)
+        edges = _large_star(edges, n)
+        edges = _small_star(edges, n)
         edges = runner.persist_step(edges, rounds)
         new_sig = _signature(edges)
         runner.record(rounds, edges=new_sig[0])

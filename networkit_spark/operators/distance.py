@@ -38,6 +38,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import (
+    broadcast_row_limit,
+    maybe_broadcast,
+    partitioned_edges,
+)
 from networkit_spark.plans.pin import pin
 from networkit_spark.plans.superstep import SuperstepRunner
 
@@ -49,6 +54,9 @@ class MSBFSResult:
     # levels[d]: (root, node, sigma) at hop distance d (levels[0] = sources)
     levels: list[DataFrame]
     depth: int
+    # level_rows[d]: row count of levels[d] (known from the frontier
+    # counts — lets consumers pick broadcast vs shuffle plans for free)
+    level_rows: list[int] | None = None
 
 
 def multi_source_bfs(
@@ -67,20 +75,27 @@ def multi_source_bfs(
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
 
-    # repartition by src BEFORE caching: the cached InMemoryRelation then
-    # carries hashpartitioning(src), so every per-level frontier join
-    # reuses the layout instead of re-shuffling the edge table per hop
-    edges = g.edges.select("src", "dst").repartition("src").cache()
-    edges.count()
+    # Shared memoized edge layouts (plans/edge_layout.py, guide §2.4).
+    # While the frontier / visited sets are under the broadcast row
+    # limit, a level runs over the dst-partitioned layout: broadcast
+    # frontier join (preserves the dst hashing) -> groupBy(root, dst)
+    # WITHOUT an Exchange -> broadcast anti-join against visited — a
+    # zero-shuffle level. Above the limit it falls back to the pre-r8
+    # plan over the src-partitioned layout (frontier shuffled by src,
+    # messages shuffled by (root, dst), visited anti-join shuffled).
+    bcast_rows = broadcast_row_limit()
 
     roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
     level0 = roots.select(
         "root", F.col("root").alias("node"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
+    frontier_rows = level0.count()
+    visited_rows = frontier_rows
 
     visited = level0.select("root", "node", F.lit(0).cast("long").alias("dist"), "sigma")
     visited = visited.localCheckpoint(eager=True)
     levels = [level0]
+    _level_counts = [frontier_rows]
     frontier = level0
 
     depth = 0
@@ -89,15 +104,22 @@ def multi_source_bfs(
         # expand: every (root, node) in the frontier sends σ along out-edges;
         # paths to the same (root, dst) sum — that IS σ for the next level
         # when dst is newly discovered.
+        fr = frontier.withColumnRenamed("node", "src")
+        if frontier_rows <= bcast_rows:
+            e = partitioned_edges(g.edges, "dst").select("src", "dst")
+            fr = F.broadcast(fr)
+        else:
+            e = partitioned_edges(g.edges, "src").select("src", "dst")
+            fr = fr.hint("shuffle_hash")
         msgs = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
-            )
+            e.join(fr, "src")
             .groupBy("root", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
         )
         nxt = msgs.join(
-            visited.select("root", "node"), ["root", "node"], "left_anti"
+            maybe_broadcast(visited.select("root", "node"), visited_rows),
+            ["root", "node"],
+            "left_anti",
         )
         nxt = nxt.localCheckpoint(eager=True)
         n_new = nxt.count()
@@ -106,15 +128,19 @@ def multi_source_bfs(
             depth -= 1
             break
         levels.append(nxt)
+        _level_counts.append(n_new)
         visited = visited.unionByName(
             nxt.select("root", "node", F.lit(depth).cast("long").alias("dist"), "sigma")
         )
         visited = runner.persist_step(visited, depth)
         frontier = nxt
+        frontier_rows = n_new
+        visited_rows += n_new
 
     if not with_sigma:
         visited = visited.drop("sigma")
-    return MSBFSResult(visited=visited, levels=levels, depth=depth)
+    rows = [lvl_rows for lvl_rows in _level_counts]
+    return MSBFSResult(visited=visited, levels=levels, depth=depth, level_rows=rows)
 
 
 # --------------------------------------------------------------------------
@@ -140,7 +166,7 @@ def _brandes(
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
     res = multi_source_bfs(g, sources, runner=runner)
-    edges = g.edges.select("src", "dst")
+    bcast_rows = broadcast_row_limit()
 
     acc: DataFrame | None = None  # (node, dep) summed over roots, per level
     eacc: DataFrame | None = None  # (src, dst, es) per level, summed over roots
@@ -169,16 +195,38 @@ def _brandes(
         )
         acc = contrib if acc is None else acc.unionByName(contrib)
 
-        # push dependency to predecessors at level d-1
+        # push dependency to predecessors at level d-1 (guide §2.4/§3.1):
+        # while the two per-level state tables fit the broadcast limit,
+        # run over the src-partitioned cached edge layout with BOTH
+        # state sides broadcast — the level then re-shuffles nothing
+        # (the old plan re-shuffled the full edge table by dst on EVERY
+        # level), and the δ groupBy(root, src) below inherits the src
+        # hash partitioning, so it is exchange-free too. Above the limit:
+        # dst-partitioned layout + shuffled-hash, the pre-r8 shape minus
+        # its per-level edge re-shuffle.
         factor = F.lit((d - 1) / d) if linear_scaling else F.lit(1.0)
         prev = res.levels[d - 1].select(
             "root", F.col("node").alias("src"), F.col("sigma").alias("sigma_p")
         )
+        lvl_rows = res.level_rows[d] if res.level_rows else None
+        prev_rows = res.level_rows[d - 1] if res.level_rows else None
+        small = (
+            lvl_rows is not None
+            and prev_rows is not None
+            and lvl_rows <= bcast_rows
+            and prev_rows <= bcast_rows
+        )
+        if small:
+            e = partitioned_edges(g.edges, "src").select("src", "dst")
+            cur_j = F.broadcast(cur.withColumnRenamed("node", "dst"))
+            prev_j = F.broadcast(prev)
+        else:
+            e = partitioned_edges(g.edges, "dst").select("src", "dst")
+            cur_j = cur.withColumnRenamed("node", "dst").hint("shuffle_hash")
+            prev_j = prev
         terms = (
-            edges.join(
-                cur.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
-            )
-            .join(prev, ["root", "src"])  # keeps only true DAG predecessors
+            e.join(cur_j, "dst")
+            .join(prev_j, ["root", "src"])  # keeps only true DAG predecessors
             .select(
                 "root",
                 "src",
@@ -590,22 +638,31 @@ def sssp(
     spark = g.edges.sparkSession
     runner = runner or SuperstepRunner(spark)
     max_rounds = max_rounds or (g.num_nodes() + 1)
-
-    edges = g.edges.select("src", "dst", "weight").repartition("src").cache()
-    edges.count()
+    bcast_rows = broadcast_row_limit()
 
     dist = spark.createDataFrame(
         [(int(source), 0.0)], "node long, dist double"
     ).localCheckpoint(eager=True)
     frontier = dist
+    frontier_rows = 1
 
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        # relax over the shared memoized layout (guide §2.4): broadcast
+        # the improved-frontier while it is small — the join preserves
+        # the dst partitioning, so the min-aggregate by dst needs no
+        # Exchange; shuffled-hash over the src layout otherwise.
+        fr = frontier.withColumnRenamed("node", "src")
+        if frontier_rows <= bcast_rows:
+            e = partitioned_edges(g.edges, "dst")
+            fr = F.broadcast(fr)
+        else:
+            e = partitioned_edges(g.edges, "src")
+            fr = fr.hint("shuffle_hash")
         relax = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
-            )
+            e.select("src", "dst", "weight")
+            .join(fr, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
         )
@@ -627,6 +684,7 @@ def sssp(
         n_improved = merged.filter("improved").count()
         runner.record(rounds, improved=n_improved)
         frontier = merged.filter("improved").select("node", "dist")
+        frontier_rows = n_improved
         dist = merged.select("node", "dist")
         if n_improved == 0:
             return dist
@@ -652,19 +710,26 @@ def multi_source_sssp(
     runner = runner or SuperstepRunner(spark)
     max_rounds = max_rounds or (g.num_nodes() + 1)
 
-    edges = g.edges.select("src", "dst", "weight").repartition("src").cache()
-    edges.count()
+    bcast_rows = broadcast_row_limit()
     roots = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
     dist = roots.select(
         "root", F.col("root").alias("node"), F.lit(0.0).alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
+    frontier_rows = dist.count()
 
     for rnd in range(1, max_rounds + 1):
+        # same adaptive layout/broadcast policy as ``sssp`` (guide §2.4)
+        fr = frontier.withColumnRenamed("node", "src")
+        if frontier_rows <= bcast_rows:
+            e = partitioned_edges(g.edges, "dst")
+            fr = F.broadcast(fr)
+        else:
+            e = partitioned_edges(g.edges, "src")
+            fr = fr.hint("shuffle_hash")
         relax = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
-            )
+            e.select("src", "dst", "weight")
+            .join(fr, "src")
             .groupBy("root", F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
         )
@@ -686,6 +751,7 @@ def multi_source_sssp(
         n_improved = merged.filter("improved").count()
         runner.record(rnd, improved=n_improved)
         frontier = merged.filter("improved").select("root", "node", "dist")
+        frontier_rows = n_improved
         dist = merged.select("root", "node", "dist")
         if n_improved == 0:
             return dist

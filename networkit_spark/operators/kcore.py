@@ -35,6 +35,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import (
+    broadcast_row_limit,
+    derived_layout,
+    maybe_broadcast,
+)
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -48,16 +53,20 @@ def core_decomposition(
     runner = runner or SuperstepRunner(spark)
 
     sym = g.symmetrized_edges() if g.directed else g.edges
-    # dst-partitioned cache: every round's h-gather joins on dst and
-    # reuses the layout (the cached InMemoryRelation advertises it)
-    edges = (
-        sym.filter(F.col("src") != F.col("dst"))
+    # r8 layout (guide §2.4): SRC-partitioned memoized cache. The h-gather
+    # joins on dst with the |V|-sized h vector BROADCAST (below the row
+    # limit), which preserves the src hashing — so the H-index window
+    # (partitionBy node = src) and the groupBy(node) after it both run
+    # WITHOUT an Exchange. The old plan shuffled the edge-scale neighbor
+    # relation for the window sort every round.
+    edges = derived_layout(
+        g.edges,
+        "kcore_simple_src",
+        lambda: sym.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
-        .repartition("dst")
-        .cache()
+        .repartition("src"),
     )
-    edges.count()
 
     # h⁰ = degree (isolated nodes: 0 — already their coreness)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -74,10 +83,13 @@ def core_decomposition(
     rounds = 0
     changed_nodes: DataFrame | None = None  # None ⇒ everyone recomputes
     last_changed = n
+    small = n <= broadcast_row_limit()
     while rounds < max_rounds:
         rounds += 1
+        hj = h.withColumnRenamed("id", "dst")
+        hj = F.broadcast(hj) if small else hj.hint("shuffle_hash")
         nbh = (
-            edges.join(h.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
+            edges.join(hj, "dst")
             .select(
                 F.col("src").alias("node"),
                 F.col("dst").alias("nbr"),
@@ -92,20 +104,26 @@ def core_decomposition(
         if changed_nodes is not None and last_changed < 0.4 * n:
             targets = (
                 edges.join(
-                    changed_nodes.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                    maybe_broadcast(
+                        changed_nodes.withColumnRenamed("id", "dst"), last_changed
+                    ),
+                    "dst",
+                    "left_semi",
                 )
                 .select(F.col("src").alias("node"))
                 .distinct()
             )
-            nbh = nbh.join(targets, "node", "left_semi")
+            nbh = nbh.join(maybe_broadcast(targets, n), "node", "left_semi")
         hidx = (
             nbh.withColumn("rn", F.row_number().over(w))
             .groupBy("node")
             .agg(F.max(F.least(F.col("rn"), F.col("hv"))).alias("h_new"))
         )
+        hx = hidx.withColumnRenamed("node", "id")
+        hx = F.broadcast(hx) if small else hx.hint("shuffle_hash")
         new_h = (
             h.withColumnRenamed("h", "h_old")
-            .join(hidx.withColumnRenamed("node", "id").hint("shuffle_hash"), "id", "left")
+            .join(hx, "id", "left")
             .select(
                 "id",
                 F.coalesce(F.col("h_new"), F.col("h_old")).cast("long").alias("h"),

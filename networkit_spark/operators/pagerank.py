@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import (
+    broadcast_row_limit,
+    derived_layout,
+    maybe_broadcast,
+    partitioned_edges,
+)
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
@@ -68,18 +74,29 @@ def pagerank(
 
     # gather relation: IN-edge list with the sender's weighted out-degree
     # attached once up front. For undirected graphs g.edges already holds
-    # both orientations, so "incoming" == rows grouped by dst. Every src in
-    # edges has out-degree ≥ 1, so the raw groupBy aggregate joins back
-    # inner — no |V|-sized left join needed here. The join on src leaves the
-    # output hash-partitioned by src; an extra repartition would be a
-    # redundant full shuffle of the edge table.
+    # both orientations, so "incoming" == rows grouped by dst.
+    #
+    # r8 layout (guide §2.4): the relation is built ON the shared
+    # dst-partitioned cached layout (src-out-degree attached via a
+    # broadcast when |V| is small, shuffled-hash otherwise) and memoized,
+    # so (a) reps/co-resident queries share one build, and (b) each
+    # superstep's groupBy(dst) gather runs WITHOUT an Exchange — the
+    # broadcast score join preserves the dst hash partitioning. Above the
+    # broadcast row limit the superstep falls back to the pre-r8
+    # shuffled-hash plan (score vector shuffled by src, gather shuffled
+    # by dst with map-side partial aggregation).
+    small = n <= broadcast_row_limit()
+
+    def _build_edges_deg() -> DataFrame:
+        e = partitioned_edges(g.edges, "dst")
+        out_deg = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+        od = F.broadcast(out_deg) if small else out_deg.hint("shuffle_hash")
+        return e.join(od, "src").select(
+            "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
+        )
+
+    edges_deg = derived_layout(g.edges, "pagerank_frac", _build_edges_deg)
     out_deg = g.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
-    edges_deg = (
-        g.edges.join(out_deg.hint("shuffle_hash"), "src")
-        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
-        .cache()
-    )
-    edges_deg.count()  # materialize once; supersteps reuse this layout
 
     nodes = g.nodes.cache()
 
@@ -107,14 +124,16 @@ def pagerank(
 
     while iterations < max_iterations:
         t0 = time.monotonic()
-        # gather: shuffle only the |V|-sized score vector. The shuffle_hash
-        # hint forbids both a driver-built broadcast (single-threaded hash
-        # table build every superstep — does not scale with cores) and a
-        # sort-merge join (re-sorts the cached edge relation every step).
+        # gather: below the broadcast limit the |V|-sized score vector is
+        # broadcast (the join then preserves the cached dst layout and the
+        # groupBy(dst) needs NO exchange — a zero-shuffle superstep);
+        # above it, shuffled-hash join as before (broadcast would be a
+        # single-threaded driver build per superstep, sort-merge would
+        # re-sort the cached edge relation every step).
+        sc = scores.withColumnRenamed("id", "src")
+        sc = F.broadcast(sc) if small else sc.hint("shuffle_hash")
         gathered = (
-            edges_deg.join(
-                scores.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
+            edges_deg.join(sc, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("score")).alias("gather"))
         )
@@ -123,9 +142,11 @@ def pagerank(
         # then needs no second |V| ⋈ |V| join. Nodes with no in-edges get
         # teleport only (left join ⇒ null gather ⇒ 0), covering dangling
         # targets exactly as PageRank.cpp:56-66.
+        gj = gathered.withColumnRenamed("dst", "id")
+        gj = F.broadcast(gj) if small else gj.hint("shuffle_hash")
         new_scores = (
             scores.withColumnRenamed("score", "old")
-            .join(gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left")
+            .join(gj, "id", "left")
             .select(
                 "id",
                 (

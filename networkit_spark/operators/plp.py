@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import maybe_broadcast, partitioned_edges
 from networkit_spark.plans.pin import pin
 from networkit_spark.plans.superstep import SuperstepRunner
 
@@ -45,23 +46,53 @@ class PLPResult:
     iterations: int
 
 
-def _vote(edges: DataFrame, labels: DataFrame, target: DataFrame | None) -> DataFrame:
+def _vote(
+    edges: DataFrame,
+    labels: DataFrame,
+    target: DataFrame | None,
+    n: int | None = None,
+) -> DataFrame:
     """Weighted-majority vote for every dst in ``edges`` (optionally only
-    for dst ∈ target). Tie-break: weight desc, label asc (PLP.cpp:87-90)."""
+    for dst ∈ target). Tie-break: weight desc, label asc (PLP.cpp:87-90).
+
+    Plan (guide §2.4): ``edges`` arrives hash-partitioned by ``dst`` and
+    cached; the label vector (|V| rows) is broadcast below the row limit,
+    so the join preserves the dst partitioning and BOTH aggregation
+    levels — sum per (dst, label), then argmax per dst — run without any
+    Exchange. The argmax is ``max(struct(w, -label))``, identical to the
+    old ``row_number over (orderBy w desc, label asc) = 1`` window but a
+    hash aggregate instead of a shuffle + sort. Above the broadcast
+    limit the join falls back to a shuffled hash join (the pre-r8 plan).
+    """
     e = edges
     if target is not None:
-        e = e.join(target.withColumnRenamed("node", "dst"), "dst", "left_semi")
-    votes = (
-        e.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy("dst", "label")
-        .agg(F.sum("weight").alias("w"))
+        e = e.join(
+            maybe_broadcast(target.withColumnRenamed("node", "dst"), n),
+            "dst",
+            "left_semi",
+        )
+    lbl = labels.withColumnRenamed("node", "src")
+    lbl = (
+        F.broadcast(lbl)
+        if n is not None and n <= _bcast_limit()
+        else lbl.hint("shuffle_hash")
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+    votes = e.join(lbl, "src").groupBy("dst", "label").agg(F.sum("weight").alias("w"))
     return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("dst").alias("node"), F.col("label").alias("new_label"))
+        votes.groupBy("dst")
+        .agg(
+            F.max(
+                F.struct(F.col("w").alias("w"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        )
+        .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("new_label"))
     )
+
+
+def _bcast_limit() -> int:
+    from networkit_spark.plans.edge_layout import broadcast_row_limit
+
+    return broadcast_row_limit()
 
 
 def plp(
@@ -79,12 +110,13 @@ def plp(
     threshold = theta if theta is not None else n / 1e5
     max_iterations = max_iterations if max_iterations is not None else 1 << 30
 
-    # gather relation: undirected semantics — both orientations present
-    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
-        "src", "dst", "weight"
-    )
-    edges = edges.repartition("dst").cache()
-    edges.count()
+    # gather relation: undirected semantics — both orientations present.
+    # The dst-partitioned cached layout is memoized per edge relation
+    # (plans/edge_layout.py): reps and co-resident queries share one
+    # exchange + one cache instead of paying both per call.
+    edges = partitioned_edges(
+        g.symmetrized_edges() if g.directed else g.edges, "dst"
+    ).select("src", "dst", "weight")
 
     labels = (
         initial_labels
@@ -107,15 +139,24 @@ def plp(
         # active set only once the frontier has shrunk below 40% of |V| —
         # before that a full vote is the cheaper plan.
         if active_set and changed is not None and last_updated < 0.4 * n:
-            # nodes adjacent to a changed node (PLP.cpp:92-100 reactivation)
+            # nodes adjacent to a changed node (PLP.cpp:92-100 reactivation).
+            # ``changed`` has last_updated rows (just counted) — broadcast
+            # it so the semi-join keeps the dst layout, and the distinct
+            # on dst is then exchange-free.
             target = (
-                edges.join(changed.withColumnRenamed("node", "src"), "src", "left_semi")
+                edges.join(
+                    maybe_broadcast(
+                        changed.withColumnRenamed("node", "src"), last_updated
+                    ),
+                    "src",
+                    "left_semi",
+                )
                 .select(F.col("dst").alias("node"))
                 .distinct()
             )
-        winners = _vote(edges, labels, target)
+        winners = _vote(edges, labels, target, n=n)
         new_labels = (
-            labels.join(winners, "node", "left")
+            labels.join(maybe_broadcast(winners, n), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", F.col("label")).alias("label"),

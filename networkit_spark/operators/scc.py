@@ -34,22 +34,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import (
+    broadcast_row_limit,
+    derived_layout,
+    maybe_broadcast,
+)
 from networkit_spark.plans.superstep import SuperstepRunner
 
 
 def _min_label_fixpoint(
-    nodes: DataFrame, edges: DataFrame, runner: SuperstepRunner, tag: int
+    nodes: DataFrame,
+    edges: DataFrame,
+    runner: SuperstepRunner,
+    tag: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Propagate min id along edges to fixpoint: (node, color)."""
+    """Propagate min id along edges to fixpoint: (node, color).
+
+    The frontier is |remaining|-bounded — broadcast it below the row
+    limit (guide §3.1) so the per-round edge relation is never shuffled;
+    shuffled-hash fallback above it."""
     labels = nodes.select("id", F.col("id").alias("color")).localCheckpoint(eager=True)
     frontier = labels
+    frontier_rows = n_rows
     step = 0
     while True:
         step += 1
+        fr = frontier.withColumnRenamed("id", "src")
+        fr = (
+            F.broadcast(fr)
+            if frontier_rows is not None and frontier_rows <= broadcast_row_limit()
+            else fr.hint("shuffle_hash")
+        )
         msgs = (
-            edges.join(
-                frontier.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
+            edges.join(fr, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("color").alias("cand"))
         )
@@ -62,6 +80,7 @@ def _min_label_fixpoint(
         n_chg = merged.filter("chg").count()
         runner.record(tag * 1000 + step, changed=n_chg)
         frontier = merged.filter("chg").select("id", "color")
+        frontier_rows = n_chg
         labels = merged.select("id", "color")
         if n_chg == 0:
             return labels
@@ -81,14 +100,17 @@ def strongly_connected_components(
         return connected_components(g)
 
     remaining = g.nodes.select("id").localCheckpoint(eager=True)
-    edges_all = (
-        g.edges.filter(F.col("src") != F.col("dst"))
+    # memoized layout (guide §2.4) — shared with any other kernel keyed
+    # on this edge relation; the simple-graph filter/dedupe runs
+    # exchange-free on the src hashing
+    edges_all = derived_layout(
+        g.edges,
+        "scc_simple_src",
+        lambda: g.edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
-        .repartition("src")
-        .cache()
+        .repartition("src"),
     )
-    edges_all.count()
     done: DataFrame | None = None  # (node, label)
 
     for outer in range(max_outer):
@@ -96,9 +118,12 @@ def strongly_connected_components(
         if n_left == 0:
             break
 
+        # node-set semi-joins broadcast while |remaining| is small — the
+        # edge relation is then filtered without any shuffle (guide §3.1)
+        rem_b = maybe_broadcast(remaining, n_left)
         edges = (
-            edges_all.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            edges_all.join(rem_b.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rem_b.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
@@ -125,27 +150,31 @@ def strongly_connected_components(
             if remaining.count() == 0:
                 empty_remainder = True
                 break
+            core_b = maybe_broadcast(core, n_left)  # |core| <= n_left
             edges = (
-                edges.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
-                .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                edges.join(core_b.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(core_b.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
         if empty_remainder:
             break
 
         # 2. forward min-id coloring to fixpoint
-        colors = _min_label_fixpoint(remaining, edges, runner, tag=outer * 2 + 1)
+        colors = _min_label_fixpoint(
+            remaining, edges, runner, tag=outer * 2 + 1, n_rows=n_left
+        )
 
         # 3. backward reachability from each color root within its color:
         #    SCC(root) = {v : color(v)=root and v reaches root} — walk
         #    reverse edges whose endpoints share a color.
+        colors_b = maybe_broadcast(colors, n_left)  # |colors| <= n_left
         rev = (
             edges.join(
-                colors.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"),
+                colors_b.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"),
                 "src",
             )
             .join(
-                colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"),
+                colors_b.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"),
                 "dst",
             )
             .filter(F.col("c_src") == F.col("c_dst"))
@@ -162,10 +191,15 @@ def strongly_connected_components(
         while True:
             step += 1
             nxt = (
-                rev.join(frontier.withColumnRenamed("id", "src"), ["src", "color"])
+                rev.join(
+                    maybe_broadcast(
+                        frontier.withColumnRenamed("id", "src"), n_left
+                    ),
+                    ["src", "color"],
+                )
                 .select(F.col("dst").alias("id"), "color")
                 .distinct()
-                .join(reached, ["id", "color"], "left_anti")
+                .join(maybe_broadcast(reached, n_left), ["id", "color"], "left_anti")
                 .localCheckpoint(eager=True)
             )
             if nxt.count() == 0:

@@ -40,31 +40,53 @@ def bfs(
     runner = runner or SuperstepRunner(spark)
     max_depth = max_depth if max_depth is not None else 1 << 30
 
-    edges = g.edges
+    from networkit_spark.plans.edge_layout import (
+        broadcast_row_limit,
+        maybe_broadcast,
+        partitioned_edges,
+    )
+
+    base = g.edges
+    key_fwd, key_bwd = "src", "dst"
     if reverse and g.directed:
-        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # src-partitioned cache: frontier joins reuse the layout every hop
-    edges = edges.select("src", "dst").repartition("src").cache()
-    edges.count()
+        key_fwd, key_bwd = "dst", "src"
+    bcast_rows = broadcast_row_limit()
 
     visited = spark.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
+    frontier_rows = 1
+    visited_rows = 1
 
     depth = 0
     while depth < max_depth:
         depth += 1
+        # adaptive level plan (guide §2.4): broadcast the frontier over
+        # the dst-side layout — the distinct over the gather key and the
+        # broadcast anti-join then run exchange-free; shuffled-hash over
+        # the src-side layout above the row limit.
+        fr = frontier.withColumnRenamed("node", key_fwd)
+        if frontier_rows <= bcast_rows:
+            e = partitioned_edges(base, key_bwd)
+            fr = F.broadcast(fr)
+        else:
+            e = partitioned_edges(base, key_fwd)
+            fr = fr.hint("shuffle_hash")
         nxt = (
-            edges.join(
-                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
-            )
-            .select(F.col("dst").alias("node"))
+            e.join(fr, key_fwd)
+            .select(F.col(key_bwd).alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                maybe_broadcast(visited.select("node"), visited_rows),
+                "node",
+                "left_anti",
+            )
         )
         nxt = nxt.localCheckpoint(eager=True)
         n_new = nxt.count()
+        frontier_rows = n_new
+        visited_rows += n_new
         runner.record(depth, frontier=n_new)
         if n_new == 0:
             break

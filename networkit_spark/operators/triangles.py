@@ -35,17 +35,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.edge_layout import derived_layout, maybe_broadcast
 
 
 def _oriented(g: Graph) -> DataFrame:
-    """Canonical edges oriented low→high by (deg, id). Returns (src, dst)."""
+    """Canonical edges oriented low→high by (deg, id). Returns (src, dst).
+
+    r8 plan: the degree vector (|V| rows) is broadcast below the row
+    limit so the two orientation joins never shuffle the edge table
+    (guide §3.1); above the limit the planner falls back to its size
+    estimate as before.
+    """
     edges = g.canonical_undirected_edges()  # src < dst, no loops, deduped
+    n = g.num_nodes()
     deg = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    deg = maybe_broadcast(deg, n)
     e = (
         edges.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dsrc"), "src")
         .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddst"), "dst")
@@ -59,11 +68,20 @@ def _oriented(g: Graph) -> DataFrame:
     )
 
 
+def _oriented_layout(g: Graph) -> DataFrame:
+    """Memoized src-partitioned cached copy of the degree-oriented DAG —
+    the adjacency layout every triangle query (per-node counts, per-edge
+    scores, clustering coefficients, total count) shares; the wedge
+    self-join below then runs exchange-free on the cached partitioning
+    (guide §2.4)."""
+    return derived_layout(g.edges, "tri_oriented", lambda: _oriented(g).repartition("src"))
+
+
 def triangles(g: Graph) -> DataFrame:
     """All triangles as rows (a, b, c): a = lowest corner in the degree
     order; (a,b),(a,c),(b,c) all oriented edges. Each triangle appears
     exactly once."""
-    fwd = _oriented(g).cache()
+    fwd = _oriented_layout(g)
     e1 = fwd.alias("e1")
     e2 = fwd.alias("e2")
     wedges = e1.join(
@@ -72,10 +90,15 @@ def triangles(g: Graph) -> DataFrame:
     ).select(
         F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
     )
-    closer = fwd.select(F.col("src").alias("b"), F.col("dst").alias("c")).unionByName(
-        fwd.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    # Every wedge has b < c by construction, so the closing edge can be
+    # looked up in ID-canonical orientation — half the rows of the old
+    # both-orientations union — and broadcast below the row limit, which
+    # leaves the (potentially O(m^1.5)-sized) wedge relation UNSHUFFLED.
+    closer = fwd.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
     )
-    return wedges.join(closer, ["b", "c"], "left_semi")
+    m = fwd.count()  # cached layout — cheap, and exact input for the policy
+    return wedges.join(maybe_broadcast(closer, m), ["b", "c"], "left_semi")
 
 
 def triangle_count_per_node(g: Graph) -> DataFrame:

@@ -144,15 +144,30 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, h0..h{k-1}): MinHash signature per doc via k salted portable
-    hashes. Docs with no shingles get NULL mins (filtered by callers)."""
+    hashes. Docs with no shingles get NULL mins (filtered by callers).
+
+    r8 plan (guide §1.2 "per-task work"): shingles repeat heavily across
+    documents (~10:1 on the benchmark corpus), so the k salted md5 hashes
+    are computed once per DISTINCT shingle — group the inverted index by
+    shingle (one narrow shuffle), hash each group row, explode the doc
+    ids back, then take the per-doc min. The (id, hash-value) multiset
+    reaching the min aggregate is identical to hashing every (doc,
+    shingle) row, so the signatures are bit-for-bit unchanged; the md5
+    work drops by the duplication factor."""
     sh = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    aggs = [
-        F.min(md5_mod(F.col("s"), salt=f"mh{i}:")).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    grouped = sh.groupBy("s").agg(F.collect_list("id").alias("ids"))
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    hashed = grouped.select(
+        "ids",
+        *[
+            md5_mod(F.col("s"), salt=f"mh{i}:").alias(c)
+            for i, c in enumerate(hcols)
+        ],
+    )
+    per_doc = hashed.select(F.explode("ids").alias("id"), *hcols)
+    return per_doc.groupBy("id").agg(*[F.min(c).alias(c) for c in hcols])
 
 
 def minhash_lsh_candidates(

@@ -47,11 +47,28 @@ def cosine_topk(
     ``queries`` shape = ``corpus`` shape; a query is never its own
     neighbor. Ranking key: round(cosine, 6) desc, neighbor id asc.
     """
+    # norms are precomputed once per row on each side (guide §1.2): the
+    # cross join then evaluates only the dot product per pair instead of
+    # re-folding both norms for every (query, corpus) combination. The
+    # expressions are identical (sqrt of the same left-to-right fold), so
+    # cosine values are bit-for-bit unchanged.
+    sq = lambda u: F.aggregate(  # noqa: E731
+        u, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(sq(F.col(vec_col))).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(sq(F.col(vec_col))).alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     scored = (
         F.broadcast(q)
@@ -60,7 +77,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
