@@ -105,6 +105,12 @@ def _co_graph(spark: SparkSession, sf_dir: str) -> Graph:
         li_small = (
             os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")) <= bcast_bytes
         )
+        # the small parquet arrives as ONE scan split — spread the probe
+        # side to cluster parallelism first, or the broadcast join (and
+        # the map-side dedupe behind it) runs on a single task
+        if li_small:
+            par = spark.sparkContext.defaultParallelism
+            a = a.repartition(par, "l_orderkey")
         sym = (
             a.join(F.broadcast(b) if li_small else b, "l_orderkey")
             .filter(F.col("src") != F.col("dst"))

@@ -57,7 +57,15 @@ def common_neighbor_scores(
     already connected — the reference's predictors are evaluated on
     non-edges (``linkprediction/LinkPredictor.hpp``).
     """
-    adj = _adjacency(g).cache()
+    # r8 (guide §2.4): the adjacency is memoized partitioned by the wedge
+    # center, so the self-join below reuses one cached exchange; the
+    # |V|-row degree table is broadcast below the row limit.
+    from networkit_spark.plans.edge_layout import derived_layout, maybe_broadcast
+
+    n = g.num_nodes()
+    adj = derived_layout(
+        g.edges, "linkpred_adj_by_nbr", lambda: _adjacency(g).repartition("nbr")
+    )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
     centers = adj.select(F.col("nbr").alias("z"), F.col("node").alias("end"))
@@ -65,9 +73,12 @@ def common_neighbor_scores(
         ok = deg.filter(F.col("deg") <= max_center_degree).select(
             F.col("node").alias("z")
         )
-        centers = centers.join(ok, "z", "left_semi")
+        centers = centers.join(maybe_broadcast(ok, n), "z", "left_semi")
     centers = centers.join(
-        deg.withColumnRenamed("node", "z").withColumnRenamed("deg", "zdeg"), "z"
+        maybe_broadcast(
+            deg.withColumnRenamed("node", "z").withColumnRenamed("deg", "zdeg"), n
+        ),
+        "z",
     )
 
     wedges = (
@@ -93,8 +104,18 @@ def common_neighbor_scores(
         )
         scores = scores.join(existing, ["u", "v"], "left_anti")
     return (
-        scores.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        scores.join(
+            maybe_broadcast(
+                deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), n
+            ),
+            "u",
+        )
+        .join(
+            maybe_broadcast(
+                deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), n
+            ),
+            "v",
+        )
         .select(
             "u",
             "v",

@@ -56,14 +56,26 @@ def _local_moving(
     portable_hash: bool = False,
 ) -> tuple[DataFrame, int]:
     """One Louvain move phase. Returns ((node, label), total moves)."""
-    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
-        "src", "dst", "weight"
+    # r8 (guide §2.4): src-partitioned shared layout; the per-round
+    # affinity join broadcasts the label vector, so the (node, cand)
+    # aggregation AND the best-move window (both keyed by src) run
+    # without an Exchange. n-scale side tables (volumes, community
+    # volumes, moves) are broadcast below the row limit too.
+    from networkit_spark.plans.edge_layout import (
+        broadcast_row_limit,
+        maybe_broadcast,
+        partitioned_edges,
     )
+
+    n = g.num_nodes()
+    small = n <= broadcast_row_limit()
+    edges = partitioned_edges(
+        g.symmetrized_edges() if g.directed else g.edges, "src"
+    ).select("src", "dst", "weight")
     loops = edges.filter(F.col("src") == F.col("dst")).select(
         F.col("src").alias("id"), F.col("weight").alias("loop_w")
     ).groupBy("id").agg(F.sum("loop_w").alias("loop_w"))
-    nonloop = edges.filter(F.col("src") != F.col("dst")).cache()
-    nonloop.count()
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
 
     total = g.total_edge_weight()
     if total == 0:
@@ -89,18 +101,19 @@ def _local_moving(
     quiet = 0
     for rnd in range(max_rounds):
         comm_vol = (
-            labels.join(vol_node.withColumnRenamed("id", "node"), "node")
+            labels.join(
+                maybe_broadcast(vol_node.withColumnRenamed("id", "node"), n), "node"
+            )
             .groupBy("label")
             .agg(F.sum("vol").alias("cvol"))
         )
         # affinity of u to each neighboring community (self-loops excluded)
+        lj = labels.select(
+            F.col("node").alias("dst"), F.col("label").alias("cand")
+        )
+        lj = F.broadcast(lj) if small else lj.hint("shuffle_hash")
         aff = (
-            nonloop.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("cand")
-                ).hint("shuffle_hash"),
-                "dst",
-            )
+            nonloop.join(lj, "dst")
             .groupBy(F.col("src").alias("node"), "cand")
             .agg(F.sum("weight").alias("aff"))
         )
@@ -130,9 +143,9 @@ def _local_moving(
                 ["node", "cur"],
                 "left",
             )
-            .join(vol_node.withColumnRenamed("id", "node"), "node")
-            .join(comm_vol.withColumnRenamed("label", "cur").withColumnRenamed("cvol", "vol_cur"), "cur")
-            .join(comm_vol.withColumnRenamed("label", "cand").withColumnRenamed("cvol", "vol_cand"), "cand")
+            .join(maybe_broadcast(vol_node.withColumnRenamed("id", "node"), n), "node")
+            .join(maybe_broadcast(comm_vol.withColumnRenamed("label", "cur").withColumnRenamed("cvol", "vol_cur"), n), "cur")
+            .join(maybe_broadcast(comm_vol.withColumnRenamed("label", "cand").withColumnRenamed("cvol", "vol_cand"), n), "cand")
             .select(
                 "node",
                 "cand",
@@ -153,8 +166,9 @@ def _local_moving(
             .filter((F.col("rn") == 1) & (F.col("delta") > 0))
             .select("node", F.col("cand").alias("new_label"))
         )
+        mv = F.broadcast(moves) if small else moves.hint("shuffle_hash")
         new_labels = (
-            labels.join(moves.hint("shuffle_hash"), "node", "left")
+            labels.join(mv, "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", F.col("label")).alias("label"),
@@ -354,16 +368,24 @@ def louvain_map_equation(
     import math
 
     spark = g.edges.sparkSession
-    edges = (g.symmetrized_edges() if g.directed else g.edges).select(
-        "src", "dst", "weight"
+    # r8: same layout/broadcast policy as the PLM move phase above
+    from networkit_spark.plans.edge_layout import (
+        broadcast_row_limit,
+        maybe_broadcast,
+        partitioned_edges,
     )
+
+    n_nodes = g.num_nodes()
+    small = n_nodes <= broadcast_row_limit()
+    edges = partitioned_edges(
+        g.symmetrized_edges() if g.directed else g.edges, "src"
+    ).select("src", "dst", "weight")
     loops = (
         edges.filter(F.col("src") == F.col("dst"))
         .groupBy(F.col("src").alias("id"))
         .agg((F.sum("weight")).alias("loop_w"))
     )
-    nonloop = edges.filter(F.col("src") != F.col("dst")).cache()
-    nonloop.count()
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
     vol_node = (
         g.degrees()
         .join(loops, "id", "left")
@@ -388,6 +410,8 @@ def louvain_map_equation(
     for rnd in range(max_rounds):
         lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("lu"))
         lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("lv"))
+        if small:
+            lab_src, lab_dst = F.broadcast(lab_src), F.broadcast(lab_dst)
         le = nonloop.join(lab_src, "src").join(lab_dst, "dst")
         ccut = (
             le.filter(F.col("lu") != F.col("lv"))
@@ -395,7 +419,10 @@ def louvain_map_equation(
             .agg(F.sum("weight").alias("cut"))
         )
         cvol = (
-            labels.join(vol_node.withColumnRenamed("id", "node"), "node")
+            labels.join(
+                maybe_broadcast(vol_node.withColumnRenamed("id", "node"), n_nodes),
+                "node",
+            )
             .groupBy("label")
             .agg(F.sum("vol").alias("cvol"))
         )
@@ -425,20 +452,26 @@ def louvain_map_equation(
                 ["node", "cur"],
                 "left",
             )
-            .join(vol_node.withColumnRenamed("id", "node"), "node")
+            .join(maybe_broadcast(vol_node.withColumnRenamed("id", "node"), n_nodes), "node")
             .join(
-                cstate.select(
-                    F.col("label").alias("cur"),
-                    F.col("cvol").alias("vol_cur"),
-                    F.col("cut").alias("cut_cur"),
+                maybe_broadcast(
+                    cstate.select(
+                        F.col("label").alias("cur"),
+                        F.col("cvol").alias("vol_cur"),
+                        F.col("cut").alias("cut_cur"),
+                    ),
+                    n_nodes,
                 ),
                 "cur",
             )
             .join(
-                cstate.select(
-                    F.col("label").alias("cand"),
-                    F.col("cvol").alias("vol_t"),
-                    F.col("cut").alias("cut_t"),
+                maybe_broadcast(
+                    cstate.select(
+                        F.col("label").alias("cand"),
+                        F.col("cvol").alias("vol_t"),
+                        F.col("cut").alias("cut_t"),
+                    ),
+                    n_nodes,
                 ),
                 "cand",
             )

@@ -91,19 +91,27 @@ def neighborhood_function(
 ) -> list[float]:
     """Estimated #(node, reachable-node) pairs at hops 1..H; stops once the
     estimate is stable (all sketches saturated ⇒ all nodes reached)."""
-    sym = g.symmetrized_edges() if g.directed else g.edges
-    edges = sym.select("src", "dst").cache()
-    edges.count()
+    # r8 (guide §2.3/§2.4): the k mask columns make this the widest
+    # gather in the engine (k longs per node) — broadcasting the |V|-row
+    # mask table over the shared dst layout removes the per-hop exchange
+    # of the edge-scale OR-aggregation entirely (the old plan shuffled
+    # ~partitions×|V|×k longs per hop even after partial aggregation).
+    from networkit_spark.plans.edge_layout import broadcast_row_limit, partitioned_edges
+
+    small = g.num_nodes() <= broadcast_row_limit()
+    edges = partitioned_edges(
+        g.symmetrized_edges() if g.directed else g.edges, "dst"
+    ).select("src", "dst")
     masks = _init_masks(g, k, bits, seed, portable_hash).localCheckpoint(eager=True)
     mask_cols = [f"m{t}" for t in range(k)]
 
     estimates: list[float] = []
     prev_total = None
     for _hop in range(max_hops):
+        mj = masks.withColumnRenamed("id", "src")
+        mj = F.broadcast(mj) if small else mj.hint("shuffle_hash")
         nbr = (
-            edges.join(
-                masks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
+            edges.join(mj, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(*[F.bit_or(F.col(c)).alias(c) for c in mask_cols])
         )

@@ -71,9 +71,14 @@ def katz_centrality(
         )
         alpha = 1.0 / (1.0 + max_deg)
 
-    # gather over OUT-edges: contributions arrive at src from dst's score
-    edges = g.edges.select("src", "dst", "weight").cache()
-    edges.count()
+    # gather over OUT-edges: contributions arrive at src from dst's score.
+    # r8 (guide §2.4): shared src-partitioned layout + broadcast score
+    # vector below the row limit — the groupBy(src) gather then needs no
+    # Exchange; shuffled-hash fallback above it.
+    from networkit_spark.plans.edge_layout import broadcast_row_limit, partitioned_edges
+
+    small = g.num_nodes() <= broadcast_row_limit()
+    edges = partitioned_edges(g.edges, "src").select("src", "dst", "weight")
     if initial_scores is not None:
         scores = g.nodes.join(
             initial_scores.select("id", "score"), "id", "left"
@@ -88,10 +93,10 @@ def katz_centrality(
     iterations = 0
     converged = False
     while iterations < max_iterations:
+        sc = scores.withColumnRenamed("id", "dst")
+        sc = F.broadcast(sc) if small else sc.hint("shuffle_hash")
         gathered = (
-            edges.join(
-                scores.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
-            )
+            edges.join(sc, "dst")
             .groupBy("src")
             .agg(
                 F.sum(F.col("weight") * F.lit(alpha) * (1.0 + F.col("score"))).alias(
@@ -99,9 +104,11 @@ def katz_centrality(
                 )
             )
         )
+        gj = gathered.withColumnRenamed("src", "id")
+        gj = F.broadcast(gj) if small else gj.hint("shuffle_hash")
         new_scores = (
             scores.select("id")
-            .join(gathered.withColumnRenamed("src", "id").hint("shuffle_hash"), "id", "left")
+            .join(gj, "id", "left")
             .select(
                 "id",
                 (F.lit(beta) + F.coalesce(F.col("gather"), F.lit(0.0))).alias("score"),
@@ -135,8 +142,11 @@ def eigenvector_centrality(
     runner = runner or SuperstepRunner(spark)
     max_iterations = max_iterations if max_iterations is not None else 1 << 30
 
-    edges = g.edges.select("src", "dst", "weight").cache()
-    edges.count()
+    # r8 (guide §2.4): dst layout + broadcast scores, same policy as Katz
+    from networkit_spark.plans.edge_layout import broadcast_row_limit, partitioned_edges
+
+    small = g.num_nodes() <= broadcast_row_limit()
+    edges = partitioned_edges(g.edges, "dst").select("src", "dst", "weight")
     scores = g.nodes.select("id", F.lit(1.0).alias("score")).localCheckpoint(
         eager=True
     )
@@ -146,16 +156,18 @@ def eigenvector_centrality(
     converged = False
     while iterations < max_iterations:
         # gather over IN-edges: x'[u] = Σ_{(v,u)} w·x[v]
+        sc = scores.withColumnRenamed("id", "src")
+        sc = F.broadcast(sc) if small else sc.hint("shuffle_hash")
         gathered = (
-            edges.join(
-                scores.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
+            edges.join(sc, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("weight") * F.col("score")).alias("gather"))
         )
+        gj = gathered.withColumnRenamed("dst", "id")
+        gj = F.broadcast(gj) if small else gj.hint("shuffle_hash")
         raw = (
             scores.select("id")
-            .join(gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left")
+            .join(gj, "id", "left")
             .select("id", F.coalesce(F.col("gather"), F.lit(0.0)).alias("score"))
         )
         iterations += 1
