@@ -126,7 +126,12 @@ def _co_graph(spark: SparkSession, sf_dir: str) -> Graph:
         nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
             eager=False
         )
-        return Graph(nodes=nodes, edges=edges, directed=False, weighted=False)
+        # simple=True: deduped, loop-filtered, both orientations by
+        # construction — canonical/adjacency consumers skip their
+        # defensive dedupe Exchange
+        return Graph(
+            nodes=nodes, edges=edges, directed=False, weighted=False, simple=True
+        )
 
     return _memo(spark, sf_dir, "co_graph", build)
 
@@ -143,6 +148,7 @@ def _co_subgraph200(spark: SparkSession, sf_dir: str) -> Graph:
             edges=sub.edges.localCheckpoint(eager=True),
             directed=False,
             weighted=False,
+            simple=True,  # endpoint filter of a simple relation
         )
 
     return _memo(spark, sf_dir, "co_subgraph200", build)

@@ -48,6 +48,14 @@ class Graph:
     edges: DataFrame
     directed: bool = False
     weighted: bool = False
+    # set by loaders that GUARANTEE the stored edge relation is already
+    # simple: no duplicate (src, dst) rows, no self-loops, and (for
+    # undirected graphs) both orientations present. Lets canonical /
+    # adjacency derivations skip their defensive dedupe pass (guide
+    # §2.4: a dropDuplicates over an unpartitioned relation is a full
+    # edge-scale Exchange). False (defensive) everywhere it is not
+    # provably true.
+    simple: bool = False
 
     # ---------------------------------------------------------------- build
     @staticmethod
@@ -228,7 +236,14 @@ class Graph:
 
     def canonical_undirected_edges(self) -> DataFrame:
         """One row per undirected edge as (src < dst), self-loops dropped —
-        input shape for triangle counting."""
+        input shape for triangle counting.
+
+        When the relation is flagged ``simple`` (both orientations
+        present, deduped, loop-free) the canonical set is exactly the
+        ``src < dst`` half — a partitioning-preserving filter instead of
+        a column rewrite + edge-scale dedupe Exchange."""
+        if self.simple and not self.directed:
+            return self.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
         e = self.edges if not self.directed else self.symmetrized_edges()
         return (
             e.filter(F.col("src") != F.col("dst"))
@@ -248,7 +263,14 @@ class Graph:
             .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select(*EDGE_COLS)
         )
-        g = Graph(nodes=ids, edges=e, directed=self.directed, weighted=self.weighted)
+        g = Graph(
+            nodes=ids,
+            edges=e,
+            directed=self.directed,
+            weighted=self.weighted,
+            # endpoint-filtering a simple relation keeps it simple
+            simple=self.simple,
+        )
         if compact:
             from networkit_spark.ids import compact_graph
 

@@ -46,16 +46,25 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["c"], row["h"])
 
 
-def _large_star(edges: DataFrame, n: int | None = None) -> DataFrame:
+def _large_star(
+    edges: DataFrame, n: int | None = None, symmetric: bool = False
+) -> DataFrame:
     """Large-star: symmetrize, then for each u connect strictly-larger
     neighbors to m = min(u ∪ N(u)).
 
     The per-u min table has at most |V| rows — broadcast it below the
     row limit so the star join never shuffles the (edge-scale) neighbor
     relation (guide §3.1); the map-side-partial min aggregation itself
-    only exchanges |V|-bounded rows."""
-    nbrs = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    only exchanges |V|-bounded rows. ``symmetric=True`` declares the
+    input already holds both orientations (the engine's undirected
+    storage contract) — the union would only duplicate every row and
+    double the round's aggregate/join volume for identical results."""
+    nbrs = (
+        edges
+        if symmetric
+        else edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     m = nbrs.join(maybe_broadcast(mins, n), "u").withColumn(
@@ -94,20 +103,26 @@ def connected_components(
     runner = runner or SuperstepRunner(spark)
     n = g.num_nodes()
 
-    # symmetric, loop-free neighbor relation
-    sym = g.symmetrized_edges() if g.directed else g.edges
-    edges = (
-        sym.filter(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
+    # symmetric, loop-free neighbor relation. Built over the shared src
+    # layout so the defensive distinct is a partitioning-preserving
+    # hash aggregate, not a full edge-scale Exchange (a simple-flagged
+    # relation skips the distinct outright).
+    from networkit_spark.plans.edge_layout import partitioned_edges
+
+    sym = partitioned_edges(g.symmetrized_edges() if g.directed else g.edges, "src")
+    edges = sym.filter(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    if not g.simple:
+        edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
     sig = _signature(edges)
 
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        edges = _large_star(edges, n)
+        # round 1 runs over the stored symmetric relation — no union
+        edges = _large_star(edges, n, symmetric=(rounds == 1))
         edges = _small_star(edges, n)
         edges = runner.persist_step(edges, rounds)
         new_sig = _signature(edges)

@@ -121,7 +121,9 @@ def multi_source_bfs(
             ["root", "node"],
             "left_anti",
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        # lazy checkpoint + count = ONE job per level (the count
+        # materializes the checkpoint blocks); eager + count was two
+        nxt = nxt.localCheckpoint(eager=False)
         n_new = nxt.count()
         runner.record(depth, frontier=n_new)
         if n_new == 0:
@@ -136,6 +138,12 @@ def multi_source_bfs(
         frontier = nxt
         frontier_rows = n_new
         visited_rows += n_new
+        # every (root, node) pair discovered ⇒ the next expansion is
+        # provably empty — skip the final full-graph pass outright.
+        # (Internal callers pass distinct sources, so level0's row count
+        # is the root count.)
+        if visited_rows >= _level_counts[0] * g.num_nodes():
+            break
 
     if not with_sigma:
         visited = visited.drop("sigma")
@@ -245,7 +253,10 @@ def _brandes(
             terms.groupBy("root", F.col("src").alias("node"))
             .agg(F.sum("term").alias("delta"))
         )
-        delta = delta.localCheckpoint(eager=True)
+        # lazy: the plan is truncated now, execution chains into the next
+        # level's (or the final aggregate's) job — one job for the whole
+        # backward sweep instead of one per level
+        delta = delta.localCheckpoint(eager=False)
 
         levels_since_fold += 1
         if levels_since_fold >= FOLD_EVERY:

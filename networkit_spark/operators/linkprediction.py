@@ -36,7 +36,11 @@ from networkit_spark.graph import Graph
 
 
 def _adjacency(g: Graph) -> DataFrame:
-    """Symmetric loop-free (node, nbr) relation."""
+    """Symmetric loop-free (node, nbr) relation. A ``simple``-flagged
+    undirected relation already IS that — skip the defensive dedupe
+    Exchange (guide §2.4)."""
+    if g.simple and not g.directed:
+        return g.edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     sym = g.symmetrized_edges() if g.directed else g.edges
     return (
         sym.filter(F.col("src") != F.col("dst"))

@@ -200,7 +200,7 @@ def strongly_connected_components(
                 .select(F.col("dst").alias("id"), "color")
                 .distinct()
                 .join(maybe_broadcast(reached, n_left), ["id", "color"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # count materializes: 1 job
             )
             if nxt.count() == 0:
                 break

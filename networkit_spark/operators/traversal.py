@@ -83,7 +83,7 @@ def bfs(
                 "left_anti",
             )
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=False)  # count materializes: 1 job
         n_new = nxt.count()
         frontier_rows = n_new
         visited_rows += n_new
@@ -95,5 +95,7 @@ def bfs(
         )
         visited = runner.persist_step(visited, depth)
         frontier = nxt.select("node")
+        if visited_rows >= g.num_nodes():  # all nodes reached: done
+            break
 
     return visited

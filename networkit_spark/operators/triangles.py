@@ -48,12 +48,24 @@ def _oriented(g: Graph) -> DataFrame:
     """
     edges = g.canonical_undirected_edges()  # src < dst, no loops, deduped
     n = g.num_nodes()
-    deg = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if g.simple and not g.directed:
+        # the symmetric simple relation counts each neighbor exactly once
+        # per endpoint — groupBy(src) IS the simple-graph degree, and it
+        # runs exchange-free on the shared src layout
+        from networkit_spark.plans.edge_layout import partitioned_edges
+
+        deg = (
+            partitioned_edges(g.edges, "src")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+    else:
+        deg = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     deg = maybe_broadcast(deg, n)
     e = (
         edges.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dsrc"), "src")
@@ -145,6 +157,14 @@ def total_triangles(g: Graph) -> int:
 def _simple_degrees(g: Graph) -> DataFrame:
     """Degrees of the simple graph (loops removed, deduped) — the degree
     used by clustering coefficients."""
+    if g.simple and not g.directed:
+        from networkit_spark.plans.edge_layout import partitioned_edges
+
+        return (
+            partitioned_edges(g.edges, "src")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     edges = g.canonical_undirected_edges()
     return (
         edges.select(F.col("src").alias("id"))
