@@ -76,7 +76,14 @@ def partitioned_edges(edges: DataFrame, key: str = "src") -> DataFrame:
     """
     per_df = _LAYOUTS.setdefault(edges, {})
     if key not in per_df:
-        per_df[key] = edges.repartition(key).cache()
+        layout = edges.repartition(key).cache()
+        # materialize NOW: plans compiled against an unmaterialized
+        # cached exchange cannot see its final hash partitioning (the
+        # AQE subplan is not finalized yet) and would re-Exchange; after
+        # this count every consumer — including the first iteration of
+        # the first kernel — plans against the concrete layout.
+        layout.count()
+        per_df[key] = layout
     return per_df[key]
 
 
@@ -88,5 +95,7 @@ def derived_layout(edges: DataFrame, key: str, build) -> DataFrame:
     function of ``edges``."""
     per_df = _LAYOUTS.setdefault(edges, {})
     if key not in per_df:
-        per_df[key] = build().cache()
+        layout = build().cache()
+        layout.count()  # same finalize-before-planning rule as above
+        per_df[key] = layout
     return per_df[key]
