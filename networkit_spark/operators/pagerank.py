@@ -88,10 +88,19 @@ def pagerank(
     small = n <= broadcast_row_limit()
 
     def _build_edges_deg() -> DataFrame:
-        e = partitioned_edges(g.edges, "dst")
-        out_deg = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
-        od = F.broadcast(out_deg) if small else out_deg.hint("shuffle_hash")
-        return e.join(od, "src").select(
+        if small:
+            # share the dst layout with the other kernels; the broadcast
+            # degree join preserves its partitioning
+            e = partitioned_edges(g.edges, "dst")
+            out_deg = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+            return e.join(F.broadcast(out_deg), "src").select(
+                "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
+            )
+        # large graphs: build straight from the base relation so only the
+        # gather relation itself is cached (not an intermediate layout
+        # too) — the r7 memory footprint, src-partitioned by the join
+        out_deg = g.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+        return g.edges.join(out_deg.hint("shuffle_hash"), "src").select(
             "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
         )
 
