@@ -114,9 +114,16 @@ def connected_components(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     if not g.simple:
-        edges = edges.distinct()
-    edges = edges.localCheckpoint(eager=True)
-    sig = _signature(edges)
+        # the defensive dedupe is an exchange — materialize it once so
+        # round 1's two scans (min gather + star join) don't pay it twice
+        edges = edges.distinct().localCheckpoint(eager=True)
+    # a simple-flagged relation needs NO setup pass at all: the projection
+    # over the cached layout is recomputed from cache by round 1's scans,
+    # and convergence starts comparing from round 1's own signature (the
+    # input scan only ever detected an already-star-shaped input — one
+    # round of tiny-edge-set work in that rare case vs a full |E| scan +
+    # checkpoint copy on EVERY call here).
+    sig: tuple | None = None
 
     rounds = 0
     while rounds < max_rounds:
